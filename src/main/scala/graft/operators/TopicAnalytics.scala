@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.sources.Snapshots.NumScans
+
+/** Topic-level analytics: the reference's `topics_df` and its waste /
+  * most-active report fragments.
+  *
+  * Reference: topics_df built at
+  * kafka_overwatch/overwatch_resources/clusters.py:315-329 from row dicts at
+  * overwatch_resources/topics.py:158-172; waste categories at
+  * reporting/topics.py:17-111; most-active at reporting/__init__.py:37-51.
+  *
+  * All functions are pure DataFrame -> DataFrame transforms over the
+  * snapshot tables (graft.sources.Snapshots), so Catalyst sees one
+  * declarative plan per report: filters push into the parquet scan,
+  * group-bys run as partial+final hash aggregates, and the small dimension
+  * joins broadcast. At 100 TB (large fleet x long history) the only
+  * shuffles are the per-(cluster,topic) aggregations, which are
+  * prefix-partitioned by the snapshot layout.
+  */
+object TopicAnalytics {
+
+  /** The reference's `topics_df`: one row per (cluster, topic) with
+    * partitions, total_messages, new_messages, eval_elapsed_time,
+    * consumer_groups, active_groups, messages_per_seconds.
+    *
+    * - total_messages = sum over partitions of (high - low) at the latest
+    *   scan (Partition.total_messages, overwatch_resources/topics.py:102-106).
+    * - new_messages = sum of (high - high at first scan) (A2,
+    *   overwatch_resources/topics.py:108-115).
+    * - eval_elapsed_time = max(scan_ts) - min(scan_ts) per topic — fixes
+    *   quirk Q2 (reference reads partition 0's clock only,
+    *   overwatch_resources/topics.py:210-216).
+    * - messages_per_seconds = new/elapsed, int-truncated, null->0 (P1/F3,
+    *   overwatch_resources/clusters.py:322-327).
+    */
+  def topicsDf(wm: DataFrame, go: DataFrame, gd: DataFrame): DataFrame = {
+    val wLatest = wm.filter(col("s") === NumScans)
+    val wFirst  = wm.filter(col("s") === 1)
+    val part = wLatest.alias("l")
+      .join(wFirst.alias("f"), Seq("cluster", "topic", "partition_id"))
+      .select(col("cluster"), col("topic"), col("partition_id"),
+        col("l.low").as("low"), col("l.high").as("high"),
+        col("f.high").as("init_high"))
+    val msgs = part.groupBy(col("cluster"), col("topic")).agg(
+      count(lit(1)).as("partitions"),
+      sum(col("high") - col("low")).as("total_messages"),
+      sum(col("high") - col("init_high")).as("new_messages"))
+    val elapsed = wm.groupBy(col("cluster"), col("topic"))
+      .agg((max(col("scan_ts")) - min(col("scan_ts"))).as("eval_elapsed_time"))
+    val tg = topicGroupCounts(go, gd)
+    msgs.join(elapsed, Seq("cluster", "topic"))
+      .join(tg, Seq("cluster", "topic"), "left")
+      .select(col("cluster"), col("topic").as("name"), col("partitions"),
+        col("total_messages"), col("new_messages"), col("eval_elapsed_time"),
+        coalesce(col("consumer_groups"), lit(0L)).as("consumer_groups"),
+        coalesce(col("active_groups"), lit(0L)).as("active_groups"),
+        coalesce(expr("new_messages div eval_elapsed_time"), lit(0L))
+          .as("messages_per_seconds"))
+  }
+
+  /** J3: per-topic consumer_groups / active_groups counts.
+    * Reference back-links at overwatch_resources/topics.py:166-171,193-198;
+    * is_active at overwatch_resources/groups.py:79-85. */
+  def topicGroupCounts(go: DataFrame, gd: DataFrame): DataFrame = {
+    val distinctTG = go.select(col("cluster"), col("topic"), col("grp")).distinct()
+    val gLatest = gd.filter(col("s") === NumScans)
+      .withColumn("is_active",
+        !col("state").isin("DEAD", "EMPTY") && col("member_count") > 0)
+      .select(col("cluster"), col("grp"), col("is_active"))
+    distinctTG.join(broadcast(gLatest), Seq("cluster", "grp"))
+      .groupBy(col("cluster"), col("topic"))
+      .agg(countDistinct(col("grp")).as("consumer_groups"),
+        countDistinct(when(col("is_active"), col("grp"))).as("active_groups"))
+  }
+
+  /** Waste-category predicates (reporting/topics.py:23-28, 43-47, 83-87). */
+  val emptyPred: Column =
+    col("total_messages") === 0
+  val deadWeightPred: Column =
+    col("total_messages") === 0 && col("partitions") > 1 && col("active_groups") === 0
+  val stalePred: Column =
+    col("total_messages") > 0 && col("new_messages") === 0 && col("active_groups") === 0
+
+  /** A7: one waste-category summary row: topics_count, topic_partitions_sum,
+    * cluster_percentage (int-truncated, reporting/topics.py:35-38 — computed
+    * as exact integer division count*100 div total in both engines). */
+  def wasteCategory(topics: DataFrame, pred: Column, category: String): DataFrame = {
+    val total = topics.agg(count(lit(1)).as("total"))
+    topics.filter(pred)
+      .agg(count(lit(1)).as("topics_count"),
+        coalesce(sum(col("partitions")), lit(0L)).as("topic_partitions_sum"))
+      .crossJoin(total)
+      .select(lit(category).as("category"), col("topics_count"),
+        col("topic_partitions_sum"),
+        expr("topics_count * 100 div total").as("cluster_percentage"))
+  }
+
+  /** All three waste categories as one 3-row summary. */
+  def wasteSummary(topics: DataFrame): DataFrame =
+    wasteCategory(topics, emptyPred, "empty")
+      .unionByName(wasteCategory(topics, deadWeightPred, "dead_weight"))
+      .unionByName(wasteCategory(topics, stalePred, "stale"))
+
+  /** Per-topic membership rows for each waste category (the reference keeps
+    * a name->partitions map per category, reporting/topics.py:24-28). */
+  def wasteDetail(topics: DataFrame): DataFrame = {
+    def cat(pred: Column, name: String) =
+      topics.filter(pred).select(lit(name).as("category"), col("name"), col("partitions"))
+    cat(emptyPred, "empty")
+      .unionByName(cat(deadWeightPred, "dead_weight"))
+      .unionByName(cat(stalePred, "stale"))
+  }
+
+  /** P6/A6/A9: topics above the 75th percentile of both new_messages and
+    * total_messages with at least one active group
+    * (reporting/__init__.py:37-51). `percentile` is exact linear
+    * interpolation — same definition as pandas Series.quantile and DuckDB
+    * quantile_cont; switch to percentile_approx at 100 TB scale. */
+  def mostActive(topics: DataFrame): DataFrame = {
+    val q = topics.agg(
+      percentile(col("new_messages"), lit(0.75)).as("q_new"),
+      percentile(col("total_messages"), lit(0.75)).as("q_total"))
+    topics.crossJoin(broadcast(q))
+      .filter(col("new_messages") > col("q_new") &&
+        col("total_messages") > col("q_total") && col("active_groups") > 0)
+      .select(col("cluster"), col("name"), col("partitions"),
+        col("total_messages"), col("new_messages"), col("active_groups"))
+  }
+
+  /** A5: cluster totals (processing/clusters.py:93-99). */
+  def clusterTotals(wm: DataFrame, gd: DataFrame): DataFrame = {
+    val wLatest = wm.filter(col("s") === NumScans)
+    val t = wLatest.groupBy(col("cluster"))
+      .agg(countDistinct(col("topic")).as("topics_count"),
+        count(lit(1)).as("partitions_count"))
+    val g = gd.filter(col("s") === NumScans).groupBy(col("cluster"))
+      .agg(countDistinct(col("grp")).as("consumer_groups_count"))
+    t.join(g, Seq("cluster"))
+  }
+
+  /** A10: pandas describe()-style summary over topics_df numeric columns,
+    * written as explicit expressions so the oracle can reproduce the exact
+    * arithmetic (std from exact integer sums; sample stddev). Reference
+    * prints topics_df.describe() each scan (processing/clusters.py:108-109). */
+  def describeStats(topics: DataFrame): DataFrame = {
+    def statsFor(c: String) = topics.agg(
+      count(lit(1)).as("cnt"),
+      sum(col(c)).as("sx"),
+      sum(col(c) * col(c)).as("sxx"),
+      min(col(c)).cast("double").as("min_v"),
+      percentile(col(c), lit(0.25)).as("q25"),
+      percentile(col(c), lit(0.5)).as("q50"),
+      percentile(col(c), lit(0.75)).as("q75"),
+      max(col(c)).cast("double").as("max_v"))
+      .select(lit(c).as("column"), col("cnt"),
+        (col("sx").cast("double") / col("cnt")).as("mean"),
+        sqrt((col("sxx").cast("double") - col("sx").cast("double") * col("sx") / col("cnt"))
+          / (col("cnt") - 1)).as("std"),
+        col("min_v"), col("q25"), col("q50"), col("q75"), col("max_v"))
+    statsFor("total_messages").unionByName(statsFor("new_messages"))
+  }
+}

@@ -1,0 +1,194 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic snapshot fixtures derived from the driver's parquet tables.
+  *
+  * The reference engine (kafka-overwatch) polls a Kafka cluster and keeps
+  * successive metadata snapshots in an in-memory object graph (reference:
+  * kafka_overwatch/overwatch_resources/topics.py:17-45,
+  * kafka_overwatch/overwatch_resources/groups.py:19-57). This engine
+  * relationalizes that model into append-only snapshot tables (FIXTURES.md
+  * §A), derived deterministically from the driver's `events` table so the
+  * DuckDB oracle can reproduce them with identical SQL
+  * (graft.oracle.OracleSql mirrors this file expression-for-expression —
+  * keep the two in sync).
+  *
+  * Derivation: topic = event_type, partition_id = user_id % 4. Three scans
+  * (s = 1..3); scan s sees all events with event_id <= max(event_id)*s/3,
+  * so the partition high watermark at scan s is that event count. The log
+  * start ("low") trails at high/8, simulating retention. Edge-case rows
+  * from SURVEY.md §2.10 are injected as literals: empty topics (P3/P4), a
+  * stale topic (P5), a topic with no partition 0 (Q2), and a committed
+  * offset of -1 (Q3).
+  *
+  * scan_ts is BIGINT epoch-seconds (not TIMESTAMP) for bit-exact oracle
+  * parity; `s` (1..NumScans) is the scan ordinal kept as a convenience
+  * column (scan_ts = Epoch0 + Step*s).
+  *
+  * Scale note: at production scale these tables are produced by a metadata
+  * collector (one row per cluster/topic/partition/scan) and are naturally
+  * partitioned by (cluster, scan_ts); every downstream analytic groups or
+  * joins on a prefix of that key, so no extra shuffle is introduced here.
+  */
+object Snapshots {
+  val NumScans = 3
+  val Epoch0   = 1700000000L
+  val Step     = 60L
+  val Cluster  = "c1"
+  /** Topics injected as literal edge cases (not derived from events). */
+  val InjectedTopics: Seq[String] = Seq("t_empty", "t_empty1", "t_stale", "t_nop0")
+
+  /** Shared literal rows — the single source of truth for both the Spark
+    * derivation below and the DuckDB oracle (graft.oracle.OracleSql builds
+    * VALUES clauses from these same Seqs). */
+  // (topic, partition_id, s, low, high)
+  val InjectedWatermarkRows: Seq[(String, Long, Long, Long, Long)] =
+    (1 to NumScans).flatMap { s =>
+      Seq(
+        ("t_empty", 0L, s.toLong, 0L, 0L),
+        ("t_empty", 1L, s.toLong, 0L, 0L),
+        ("t_empty1", 0L, s.toLong, 0L, 0L),
+        ("t_stale", 0L, s.toLong, 0L, 100L),
+        ("t_nop0", 1L, s.toLong, 0L, 10L * s),
+        ("t_nop0", 2L, s.toLong, 0L, 20L * s))
+    }
+  // (grp, topic, partition_id, committed, s)
+  val InjectedGroupOffsetRows: Seq[(String, String, Long, Long, Long)] =
+    (1 to NumScans).flatMap { s =>
+      Seq(
+        ("g_empty", "t_stale", 0L, 40L, s.toLong),
+        ("g_mixed", "t_nop0", 1L, -1L, s.toLong),
+        ("g_mixed", "t_nop0", 2L, 15L * s, s.toLong))
+    }
+  // (grp, state, member_count, s)
+  val GroupDimRows: Seq[(String, String, Long, Long)] =
+    (1 to NumScans).flatMap { s =>
+      Seq(
+        ("g_active", "STABLE", 3L, s.toLong),
+        ("g_empty", "EMPTY", 0L, s.toLong),
+        ("g_dead", "DEAD", 0L, s.toLong),
+        ("g_mixed", "STABLE", 1L, s.toLong))
+    }
+  // (registry, subject, version, schema_id, schema_type, schema_string)
+  val SrInjectedRows: Seq[(String, String, Long, Long, String, String)] = Seq(
+    ("sr1", "click-key", 1L, 201L, "AVRO", "{}"),
+    ("sr1", "orphan-value", 1L, 202L, "JSON", "{}"),
+    ("sr1", "plain_subject", 1L, 203L, "PROTOBUF", "{}"),
+    ("sr1", "t_gone-value", 2L, 204L, "AVRO", "{}"))
+
+  /** The driver's events table stores ts as parquet TIMESTAMP(NANOS),
+    * which Spark only reads via the nanosAsLong legacy conf (ts -> BIGINT
+    * nanos since epoch). The snapshot derivation keys on event_id, not ts,
+    * so this is loss-free here. */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+  }
+
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    eventsRaw(spark, dir)
+      .select($"event_id", $"event_type".as("topic"),
+        ($"user_id" % 4).as("partition_id"))
+  }
+
+  private def scansDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (1 to NumScans).map(_.toLong).toDF("s")
+  }
+
+  /** partition_watermarks: (cluster, topic, partition_id, low, high, scan_ts, s).
+    * Reference: Partition watermark fetch, kafka_overwatch/kafka_resources/topics.py:168-209. */
+  def watermarks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev    = events(spark, dir)
+    val mx    = ev.agg(max($"event_id").as("maxid"))
+    val scans = scansDf(spark)
+    val pairs = ev.select($"topic", $"partition_id").distinct()
+    val cnts = ev.crossJoin(broadcast(mx)).crossJoin(broadcast(scans))
+      .filter($"event_id" <= expr("maxid * s div 3"))
+      .groupBy($"topic", $"partition_id", $"s").agg(count(lit(1)).as("c"))
+    val derived = pairs.crossJoin(broadcast(scans))
+      .join(cnts, Seq("topic", "partition_id", "s"), "left")
+      .withColumn("high", coalesce($"c", lit(0L)))
+      .withColumn("low", expr("high div 8"))
+      .select($"topic", $"partition_id", $"s", $"low", $"high")
+    val injected = InjectedWatermarkRows
+      .toDF("topic", "partition_id", "s", "low", "high")
+    derived.unionByName(injected)
+      .select(lit(Cluster).as("cluster"), $"topic", $"partition_id", $"low",
+        $"high", (lit(Epoch0) + lit(Step) * $"s").as("scan_ts"), $"s")
+  }
+
+  /** group_offsets: (cluster, grp, topic, partition_id, committed, scan_ts, s).
+    * Reference: committed-offset fetch, kafka_overwatch/kafka_resources/groups.py:149-170.
+    * committed = -1 means "no committed offset" (groups.py:121-130, quirk Q3). */
+  def groupOffsets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wm   = watermarks(spark, dir)
+    val base = wm.filter(!$"topic".isin(InjectedTopics: _*))
+    val gActive = base.select($"cluster", lit("g_active").as("grp"), $"topic",
+      $"partition_id", expr("high * 3 div 4").as("committed"), $"scan_ts", $"s")
+    val gEmpty = base.select($"cluster", lit("g_empty").as("grp"), $"topic",
+      $"partition_id", expr("high div 2").as("committed"), $"scan_ts", $"s")
+    val injected = InjectedGroupOffsetRows
+      .toDF("grp", "topic", "partition_id", "committed", "s")
+      .select(lit(Cluster).as("cluster"), $"grp", $"topic", $"partition_id",
+        $"committed", (lit(Epoch0) + lit(Step) * $"s").as("scan_ts"), $"s")
+    gActive.unionByName(gEmpty).unionByName(injected)
+  }
+
+  /** groups: (cluster, grp, state, member_count, scan_ts, s).
+    * Reference: ConsumerGroupDescription, kafka_overwatch/kafka_resources/groups.py:74-108.
+    * is_active semantics (state not DEAD/EMPTY and members > 0):
+    * overwatch_resources/groups.py:79-85. */
+  def groupsDim(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GroupDimRows.map { case (g, st, m, s) =>
+      (Cluster, g, st, m, Epoch0 + Step * s, s)
+    }.toDF("cluster", "grp", "state", "member_count", "scan_ts", "s")
+  }
+
+  /** topic_configs: (cluster, topic, key, value, is_default) — one row per
+    * config entry, relational form of Topic.config
+    * (reference: overwatch_resources/topics.py:147-155). */
+  def topicConfigs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val topics = watermarks(spark, dir).select($"cluster", $"topic").distinct()
+    val keys = Seq("retention.ms", "cleanup.policy", "segment.bytes").toDF("key")
+    topics.crossJoin(broadcast(keys))
+      .withColumn("value",
+        when($"key" === "retention.ms",
+          when(length($"topic") > 5, lit("86400000")).otherwise(lit("604800000")))
+          .when($"key" === "cleanup.policy",
+            when($"topic" === "click", lit("compact")).otherwise(lit("delete")))
+          .otherwise(lit("1073741824")))
+      .withColumn("is_default",
+        when($"key" === "retention.ms", length($"topic") <= 5)
+          .when($"key" === "cleanup.policy", $"topic" =!= "click")
+          .otherwise(lit(true)))
+  }
+
+  /** sr_subjects: (registry, subject, version, schema_id, schema_type, schema_string).
+    * Reference: Subject/Schema, kafka_overwatch/kafka_overwatch/schema_registry/schema.py:14-50.
+    * One AVRO subject per event-derived topic (TopicNameStrategy `-value`),
+    * plus literal subjects exercising `-key`, orphaned, and no-suffix cases
+    * for the unused-subject anti-join (reporting/schema_registry.py:22-27). */
+  def srSubjects(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val topics = watermarks(spark, dir)
+      .filter(!$"topic".isin(InjectedTopics: _*))
+      .select($"topic").distinct()
+    val derived = topics
+      .withColumn("schema_id", lit(100L) + dense_rank().over(Window.orderBy($"topic")))
+      .select(lit("sr1").as("registry"), concat($"topic", lit("-value")).as("subject"),
+        lit(1L).as("version"), $"schema_id", lit("AVRO").as("schema_type"),
+        lit("""{"type":"record","name":"r"}""").as("schema_string"))
+    val injected = SrInjectedRows
+      .toDF("registry", "subject", "version", "schema_id", "schema_type", "schema_string")
+    derived.unionByName(injected)
+  }
+}
