@@ -4,7 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Snapshots
 import graft.operators._
-import graft.oracle.OracleSql
+import graft.functions.{Dedup, Sketches, Similarity, TextAnalytics}
+import graft.expressions.PolyHash
+import graft.oracle.{OracleSql, OracleSqlExt}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -77,9 +79,69 @@ object SparkEntry {
       ConfigOps.drCommands(Snapshots.watermarks(s, dir), Snapshots.topicConfigs(s, dir))
         .orderBy(col("topic"))),
     "q_describe_stats" -> ((s, dir) =>
-      TopicAnalytics.describeStats(topicsDf(s, dir)).orderBy(col("column"))))
+      TopicAnalytics.describeStats(topicsDf(s, dir)).orderBy(col("column"))),
+
+    // --- text analysis / dedup / similarity (LLM training-data ops) ---
+    "q_doc_stats" -> ((s, dir) =>
+      TextAnalytics.docStats(docs(s, dir)).orderBy(col("doc_id"))),
+    "q_token_freq" -> ((s, dir) =>
+      TextAnalytics.tokenFrequency(docs(s, dir))),
+    "q_quality" -> ((s, dir) =>
+      TextAnalytics.qualityScores(docs(s, dir)).orderBy(col("doc_id"))),
+    "q_langid" -> ((s, dir) =>
+      TextAnalytics.languageId(docs(s, dir)).orderBy(col("doc_id"))),
+    "q_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        PolyHash.polyhash(col("text")).as("fingerprint")).orderBy(col("doc_id"))),
+    "q_dedup_exact_docs" -> ((s, dir) =>
+      Dedup.exactGroups(docs(s, dir), col("text"), col("doc_id"))
+        .orderBy(col("content_hash"))),
+    "q_dedup_records" -> ((s, dir) =>
+      Dedup.recordGroups(Snapshots.eventsRaw(s, dir), Seq("user_id", "event_type"),
+        col("event_id")).orderBy(col("user_id"), col("event_type"))),
+    "q_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(docs(s, dir), threshold = 0.3)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "q_minhash_pairs" -> ((s, dir) =>
+      Sketches.minHashPairs(docs(s, dir), threshold = 0.3)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "q_simhash_pairs" -> ((s, dir) =>
+      Sketches.simHashPairs(docs(s, dir), maxHamming = 10)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "q_knn_exact" -> ((s, dir) =>
+      Similarity.knnExact(emb(s, dir)).orderBy(col("query_id"), col("rank"))),
+    "q_knn_lsh" -> ((s, dir) =>
+      Similarity.knnLsh(emb(s, dir)).orderBy(col("query_id"), col("rank"))),
+    "q_cosine_neardups" -> ((s, dir) =>
+      Similarity.cosineNearDups(emb(s, dir), threshold = 0.4)
+        .orderBy(col("vec_a"), col("vec_b"))),
+
+    // --- relational / event-time breadth ---
+    "q_pricing_summary" -> ((s, dir) =>
+      Relational.pricingSummary(tbl(s, dir, "lineitem"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+    "q_revenue_by_nation" -> ((s, dir) =>
+      Relational.revenueByNation(tbl(s, dir, "lineitem"), tbl(s, dir, "orders"),
+        tbl(s, dir, "customer"), tbl(s, dir, "nation")).orderBy(col("n_name"))),
+    "q_top_customers" -> ((s, dir) =>
+      Relational.topCustomers(tbl(s, dir, "lineitem"), tbl(s, dir, "orders"),
+        tbl(s, dir, "customer"))),
+    "q_order_priority" -> ((s, dir) =>
+      Relational.orderPriorityCheck(tbl(s, dir, "lineitem"), tbl(s, dir, "orders"))
+        .orderBy(col("o_orderpriority"))),
+    "q_events_minute" -> ((s, dir) =>
+      Relational.eventsMinuteRollup(Relational.eventsWithEpoch(s, dir))
+        .orderBy(col("event_type"), col("minute"))),
+    "q_sessionize" -> ((s, dir) =>
+      Relational.sessionize(Relational.eventsWithEpoch(s, dir))
+        .orderBy(col("user_id"))))
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+  private def docs(s: SparkSession, dir: String): DataFrame = tbl(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame = tbl(s, dir, "embeddings")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = OracleSql.queries
+  def oracleSql: Map[String, String] = OracleSql.queries ++ OracleSqlExt.queries
 }

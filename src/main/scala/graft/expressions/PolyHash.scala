@@ -1,0 +1,57 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Rolling polynomial fingerprint of a string:
+  * h = fold(chars)(h * 31 + c) mod 1e9+7.
+  *
+  * A native Catalyst expression with whole-stage codegen (no UDF
+  * serialization, stays inside the generated loop) — the document-
+  * fingerprinting primitive of the training-data pipeline. The modulus
+  * keeps every intermediate below 2^35 so the same arithmetic is
+  * reproducible in engines without wrapping 64-bit multiply (e.g. a
+  * DuckDB list_reduce mirror).
+  *
+  * Byte-wise over UTF-8; for ASCII corpora this equals the per-character
+  * definition.
+  */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"polyhash requires STRING, got ${child.dataType.catalogString}")
+  override def nullSafeEval(v: Any): Any =
+    PolyHash.hash(v.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.PolyHash.hash($c.getBytes())")
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+  override def prettyName: String = "polyhash"
+}
+
+object PolyHash {
+  final val Mod = 1000000007L
+
+  def hash(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * 31 + (bytes(i) & 0xff)) % Mod
+      i += 1
+    }
+    h
+  }
+
+  def polyhash(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      PolyHash(org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+}

@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * Two paths:
+  *  - exact brute-force cosine top-k: the correctness baseline, a
+  *    broadcast cross-join + per-row dot product + windowed top-k. O(Q*N)
+  *    — fine for a bounded query set, the oracle-checkable path.
+  *  - LSH-bucketed ANN (random hyperplanes): the 100 TB path. Each vector
+  *    maps to a small bucket key; only same-bucket (or neighboring-probe)
+  *    pairs are scored, turning the cross-join into an equi-join.
+  *
+  * Dot products are computed in double with a sequential fold
+  * (functions.aggregate) so the result is order-deterministic and
+  * reproducible across engines.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float arrays, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Exact cosine top-k neighbors for each query vector (vec_id < nQueries
+    * by convention — a bounded driver-chosen query set).
+    *
+    * Ranking is on the score rounded to 9 decimals (FP noise below 5e-10
+    * cannot flip an order), with vec_id as the deterministic tiebreak. The
+    * query side is broadcast: the scan of the big side streams once. */
+  def knnExact(emb: DataFrame, nQueries: Int = 10, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = emb.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("norm"))
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("norm").as("qnorm"))
+    val scored = base.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score",
+        round(dot(col("qvec"), col("embedding")) / (col("qnorm") * col("norm")), 9))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("score"))
+  }
+
+  /** Multi-table LSH parameters: L tables of b hyperplane bits each.
+    * Same-bucket in ANY table => candidate. At this corpus density
+    * (hundreds-thousands of vectors) 8x4 keeps buckets populated; at
+    * billions of rows raise bitsPerTable so expected bucket size stays
+    * O(100) — candidates scale as L * N / 2^bits.
+    */
+  val NumTables = 8
+  val BitsPerTable = 4
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p is a
+    * mixed hash of (p, j) scaled to [-1, 1]. Seeded by Sketches.mix, so
+    * runs are reproducible without any stored model. */
+  def hyperplane(p: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { j =>
+      Sketches.mix(p.toLong << 32 | j.toLong, 0x9e3779b97f4a7c15L).toDouble /
+        Long.MaxValue.toDouble
+    }
+
+  /** Bucket key for one LSH table: bit i set iff dot(v, plane_{table,i}) > 0. */
+  def tableKey(emb: Column, table: Int, dim: Int): Column = {
+    val bits = (0 until BitsPerTable).map { i =>
+      val plane = hyperplane(table * BitsPerTable + i, dim)
+      val planeCol = array(plane.map(lit): _*)
+      when(aggregate(zip_with(emb, planeCol, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v) > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a + b)
+  }
+
+  /** (table, key) bucket rows for every vector — the LSH index. */
+  private def bucketed(emb: DataFrame, dim: Int): DataFrame = {
+    val keyed = (0 until NumTables).foldLeft(
+      emb.select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("norm"))) {
+      (df, t) => df.withColumn(s"k$t", tableKey(col("embedding"), t, dim))
+    }
+    keyed.select(col("vec_id"), col("embedding"), col("norm"),
+      explode(array((0 until NumTables).map(t =>
+        struct(lit(t).as("table"), col(s"k$t").as("key"))): _*)).as("tk"))
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        col("tk.table").as("table"), col("tk.key").as("key"))
+  }
+
+  /** ANN top-k via multi-table hyperplane LSH: candidates are same-bucket
+    * pairs in any table (deduplicated), then exact cosine re-rank. Turns
+    * the O(N^2) cross-join into L equi-joins; recall vs knnExact is
+    * measured in the test suite. */
+  def knnLsh(emb: DataFrame, dim: Int = 64, nQueries: Int = 10, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = bucketed(emb, dim)
+    val q = b.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("norm").as("qnorm"), col("table"), col("key"))
+    val cand = b.join(broadcast(q), Seq("table", "key"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id")
+    val scored = cand.withColumn("score",
+      round(dot(col("qvec"), col("embedding")) / (col("qnorm") * col("norm")), 9))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("score"))
+  }
+
+  /** Pairwise near-duplicate detection by embedding cosine: all pairs
+    * above a similarity threshold among same-bucket candidates (the
+    * scalable embedding-near-dup dedup path). */
+  def cosineNearDups(emb: DataFrame, dim: Int = 64, threshold: Double = 0.4): DataFrame = {
+    val b = bucketed(emb, dim)
+    b.as("a").join(b.as("b"),
+      col("a.table") === col("b.table") && col("a.key") === col("b.key") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"),
+        col("a.norm").as("na"), col("b.norm").as("nb"))
+      .dropDuplicates("vec_a", "vec_b")
+      .withColumn("score", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 9))
+      .filter(col("score") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("score"))
+  }
+}

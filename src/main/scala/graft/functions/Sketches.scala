@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Sketch-based near-duplicate detection: MinHash + banded LSH and
+  * SimHash. This is the 100 TB dedup path — per-document state is a
+  * fixed-size signature built in one pass with map-side partial
+  * aggregation (custom `Aggregator`s), and candidate pairs come from
+  * equi-joins on band keys, never from the full shingle inverted index.
+  *
+  * Everything is deterministic: permutation seeds derive from a fixed
+  * seed, and the underlying shingle hash is Spark's xxhash64.
+  */
+object Sketches {
+
+  val NumHashes = 64
+  val MinHashBands = 16
+  val RowsPerBand: Int = NumHashes / MinHashBands
+
+  /** Per-permutation seeds (fixed master seed -> reproducible runs). */
+  val Seeds: Array[Long] = {
+    val r = new scala.util.Random(42)
+    Array.fill(NumHashes)(r.nextLong())
+  }
+
+  /** 64-bit mix (murmur3 finalizer) of a pre-hashed value with a seed —
+    * the permutation family h_i(x). */
+  @inline def mix(x: Long, seed: Long): Long = {
+    var h = x ^ seed
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
+  /** MinHash signature aggregator: IN = shingle hash, BUF = running mins
+    * for all permutations (fixed 64*8 bytes per group — constant state, no
+    * per-row growth), OUT = signature. */
+  class MinHashAgg extends Aggregator[Long, Array[Long], Seq[Long]] {
+    def zero: Array[Long] = Array.fill(NumHashes)(Long.MaxValue)
+    def reduce(b: Array[Long], x: Long): Array[Long] = {
+      var i = 0
+      while (i < NumHashes) {
+        val v = mix(x, Seeds(i))
+        if (v < b(i)) b(i) = v
+        i += 1
+      }
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < NumHashes) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** SimHash aggregator: IN = token hash, BUF = 64 signed bit counters,
+    * OUT = 64-bit fingerprint (bit set where counter > 0). */
+  class SimHashAgg extends Aggregator[Long, Array[Int], Long] {
+    def zero: Array[Int] = new Array[Int](64)
+    def reduce(b: Array[Int], h: Long): Array[Int] = {
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) b(i) += 1 else b(i) -= 1
+        i += 1
+      }
+      b
+    }
+    def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < 64) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Int]): Long = {
+      var out = 0L
+      var i = 0
+      while (i < 64) { if (b(i) > 0) out |= (1L << i); i += 1 }
+      out
+    }
+    def bufferEncoder: Encoder[Array[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  private lazy val minHashUdaf = udaf(new MinHashAgg, Encoders.scalaLong)
+  private lazy val simHashUdaf = udaf(new SimHashAgg, Encoders.scalaLong)
+
+  /** MinHash signatures per document from its character shingles. */
+  def minHashSignatures(docs: DataFrame, n: Int = 5): DataFrame =
+    Dedup.charShingles(docs, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(minHashUdaf(col("h")).as("sig"))
+
+  /** Banded-LSH candidate pairs + signature-estimated Jaccard.
+    * Pairs sharing >= 1 of the 16 bands are candidates; est_jaccard =
+    * fraction of agreeing signature positions. */
+  def minHashPairs(docs: DataFrame, threshold: Double = 0.5, n: Int = 5): DataFrame = {
+    val sigs = minHashSignatures(docs, n)
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      explode(sequence(lit(0), lit(MinHashBands - 1))).as("band"))
+      .select(col("doc_id"), col("sig"), col("band"),
+        hash(col("band"), expr(s"slice(sig, band * $RowsPerBand + 1, $RowsPerBand)"))
+          .as("band_key"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .withColumn("est_jaccard",
+        expr(s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+          .cast("double") / NumHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+  }
+
+  /** SimHash fingerprints per document from its tokens. */
+  def simHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(TextAnalytics.tokens(col("text"))).as("token"))
+      .select(col("doc_id"), xxhash64(col("token")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(simHashUdaf(col("h")).as("simhash"))
+
+  /** Near-dup pairs by SimHash: band the 64-bit fingerprint into 4x16-bit
+    * keys (any hamming<=3 pair must agree on >= 1 band), verify with
+    * bit_count(xor) <= maxHamming. */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simHashes(docs)
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_key",
+        expr("shiftrightunsigned(simhash, band * 16)").bitwiseAND(lit(0xFFFFL)))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

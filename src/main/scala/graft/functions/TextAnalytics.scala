@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for an LLM training-data pipeline, over the
+  * `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * All of these are row-local (no shuffle except the explicit global
+  * aggregations), codegen-friendly column expressions — at 100 TB they run
+  * as a single map stage over the corpus scan with full predicate/column
+  * pushdown.
+  */
+object TextAnalytics {
+
+  /** Whitespace tokens. The corpus is single-space separated; `split` on
+    * one space keeps Spark and DuckDB (string_split) semantics aligned. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Stopword list used by quality scoring / language ID. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Per-document token statistics.
+    * avg_token_len uses the algebraic identity
+    * total_token_chars = length(text) - (n_tokens - 1)
+    * (single-space separation), which both engines compute identically. */
+  def docStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      col("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_unique_tokens"),
+      ((length(col("text")) - (size(toks) - lit(1))).cast("double") / size(toks))
+        .as("avg_token_len"))
+  }
+
+  /** Global token frequency, top-k by count (desc, token asc tiebreak). */
+  def tokenFrequency(docs: DataFrame, k: Int = 50): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+
+  /** Quality scoring: stopword ratio, lexical diversity, length signal.
+    * score = 0.4*(1 - stopword_ratio) + 0.3*min(1, n_tokens/100)
+    *       + 0.3*(unique/n_tokens) — plain double arithmetic, identical
+    * on both engines. */
+  def qualityScores(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_stop",
+        size(filter(toks, t => Stopwords.map(s => t === s).reduce(_ || _))).cast("long"))
+      .withColumn("n_unique", size(array_distinct(toks)).cast("long"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_stop"), col("n_unique"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"),
+        (lit(0.4) * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens"))
+          + lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / lit(100.0))
+          + lit(0.3) * (col("n_unique").cast("double") / col("n_tokens")))
+          .as("quality_score"))
+  }
+
+  /** Marker-token sets per language for the n-gram/lexical language-ID
+    * heuristic. The synthetic corpus is English-ish; real marker lists
+    * would be larger. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "es" -> Seq("el", "los", "que", "y"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4"))
+
+  /** Language ID: count marker hits per language, argmax with 'und'
+    * fallback when nothing matches. Ties broken by language order via
+    * strict-greater comparison chain. */
+  def languageId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val withCounts = LangMarkers.foldLeft(docs.withColumn("toks", toks)) {
+      case (df, (lang, markers)) =>
+        df.withColumn(s"m_$lang",
+          size(filter(col("toks"), t => markers.map(m => t === m).reduce(_ || _)))
+            .cast("long"))
+    }
+    val best = LangMarkers.map(_._1).foldLeft(
+      (lit("und"), lit(0L)): (Column, Column)) { case ((bl, bc), lang) =>
+      val c = col(s"m_$lang")
+      (when(c > bc, lit(lang)).otherwise(bl), when(c > bc, c).otherwise(bc))
+    }
+    withCounts.select(
+      (col("doc_id") +: LangMarkers.map { case (l, _) => col(s"m_$l") }) :+
+        best._1.as("predicted_lang") :+
+        (best._1 === col("lang")).as("label_match"): _*)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Snapshots
+
+/** General relational analytics over the driver's TPC-H-ish tables and
+  * the events stream table — the engine's bread-and-butter scan/filter/
+  * join/aggregate/window surface, written scale-first:
+  *
+  *  - money sums run in DECIMAL (exact, order-independent) and surface as
+  *    DOUBLE, so results are reproducible under any partitioning;
+  *  - dimension joins are broadcast; fact-fact joins shuffle on the join
+  *    key only after pre-aggregation where possible;
+  *  - event-time arithmetic is integer epoch math (ts arrives as BIGINT
+  *    nanos via the nanosAsLong parquet conf).
+  */
+object Relational {
+
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  /** TPC-H Q1-style pricing summary over lineitem. */
+  def pricingSummary(li: DataFrame): DataFrame =
+    li.filter(col("l_shipdate") <= expr("timestamp'1998-09-02 00:00:00'"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"),
+        (sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"))
+
+  /** Revenue per nation: lineitem joined through orders/customer/nation.
+    * Dimensions broadcast; revenue pre-aggregated per order before the
+    * customer join so the shuffle carries order-level rows, not line-level. */
+  def revenueByNation(li: DataFrame, orders: DataFrame, customer: DataFrame,
+                      nation: DataFrame): DataFrame = {
+    val orderRev = li.groupBy(col("l_orderkey"))
+      .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        .as("order_rev"))
+    orderRev.join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("order_rev")).cast("double").as("revenue"),
+        countDistinct(col("o_custkey")).as("customers"),
+        count(lit(1)).as("orders"))
+  }
+
+  /** Top-k customers by revenue (Q3-flavored). */
+  def topCustomers(li: DataFrame, orders: DataFrame, customer: DataFrame,
+                   k: Int = 10): DataFrame = {
+    val orderRev = li.groupBy(col("l_orderkey"))
+      .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        .as("order_rev"))
+    orderRev.join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("order_rev")).as("rev_d"), count(lit(1)).as("orders"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("rev_d").cast("double").as("revenue"),
+        col("orders"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+  }
+
+  /** Orders with at least one lineitem (left-semi / EXISTS shape), counted
+    * per priority. */
+  def orderPriorityCheck(li: DataFrame, orders: DataFrame): DataFrame =
+    orders.join(li.select(col("l_orderkey")).distinct(),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+
+  /** events with integer epoch-second column (ts is BIGINT nanos). */
+  def eventsWithEpoch(spark: SparkSession, dir: String): DataFrame =
+    Snapshots.eventsRaw(spark, dir)
+      .withColumn("epoch_s", expr("ts div 1000000000"))
+
+  /** Tumbling per-minute rollup per event type: counts + exact value sums
+    * (DECIMAL accumulate, DOUBLE surface). */
+  def eventsMinuteRollup(ev: DataFrame): DataFrame =
+    ev.withColumn("minute", expr("epoch_s div 60"))
+      .groupBy(col("event_type"), col("minute"))
+      .agg(count(lit(1)).as("events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"),
+        countDistinct(col("user_id")).as("users"))
+
+  /** Sessionization: a session break is a >30min gap per user; returns
+    * per-user session/event counts and mean session length in events.
+    * One window over (user, time) — a single shuffle on user_id. */
+  def sessionize(ev: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch_s"), col("event_id"))
+    ev.withColumn("prev_s", lag(col("epoch_s"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_s").isNull || col("epoch_s") - col("prev_s") > gapSeconds, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("sessions"), count(lit(1)).as("events"))
+      .withColumn("events_per_session",
+        col("events").cast("double") / col("sessions"))
+  }
+}

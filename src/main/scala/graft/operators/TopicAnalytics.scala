@@ -57,7 +57,8 @@ object TopicAnalytics {
         col("total_messages"), col("new_messages"), col("eval_elapsed_time"),
         coalesce(col("consumer_groups"), lit(0L)).as("consumer_groups"),
         coalesce(col("active_groups"), lit(0L)).as("active_groups"),
-        coalesce(expr("new_messages div eval_elapsed_time"), lit(0L))
+        coalesce(when(col("eval_elapsed_time") === 0, lit(null))
+          .otherwise(expr("new_messages div eval_elapsed_time")), lit(0L))
           .as("messages_per_seconds"))
   }
 
@@ -95,7 +96,9 @@ object TopicAnalytics {
       .crossJoin(total)
       .select(lit(category).as("category"), col("topics_count"),
         col("topic_partitions_sum"),
-        expr("topics_count * 100 div total").as("cluster_percentage"))
+        when(col("total") === 0, lit(null))
+          .otherwise(expr("topics_count * 100 div total"))
+          .as("cluster_percentage"))
   }
 
   /** All three waste categories as one 3-row summary. */

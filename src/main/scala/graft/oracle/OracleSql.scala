@@ -194,7 +194,7 @@ gov AS (
       s"""$base SELECT cluster, grp, topic, CAST(sum("lag") AS BIGINT) AS total_lag, count(*) AS partitions_with_lag FROM lag_rows GROUP BY 1, 2, 3 ORDER BY grp, topic""",
     "q_waste_summary" -> (base + ", waste_summary AS (" +
       wastePreds.toSeq.sortBy(_._1).map { case (c, p) => wasteCat(c, p) }.mkString(" UNION ALL ") +
-      ") SELECT category, topics_count, topic_partitions_sum, (topics_count * 100) // total AS cluster_percentage FROM waste_summary, w_total ORDER BY category"),
+      ") SELECT category, topics_count, topic_partitions_sum, CASE WHEN total = 0 THEN NULL ELSE (topics_count * 100) // total END AS cluster_percentage FROM waste_summary, w_total ORDER BY category"),
     "q_waste_detail" -> (base + " " +
       wastePreds.toSeq.sortBy(_._1).map { case (c, p) =>
         s"SELECT '$c' AS category, name, partitions FROM topics_df WHERE $p" }

@@ -1,0 +1,161 @@
+package graft.oracle
+
+/** DuckDB oracle SQL for the text-analysis, dedup, similarity, and
+  * relational queries (these run directly on the raw parquet tables; no
+  * snapshot CTEs needed). Mirrors graft.functions.* and
+  * graft.operators.Relational expression-for-expression.
+  */
+object OracleSqlExt {
+
+  private val stop = "('the', 'a', 'of', 'and', 'to', 'in')"
+
+  private val decPrice =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+  private val orev =
+    s"orev AS (SELECT l_orderkey, sum($decPrice) AS order_rev FROM lineitem GROUP BY 1)"
+
+  val queries: Map[String, String] = Map(
+    "q_doc_stats" -> """
+SELECT doc_id, n_chars,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique_tokens,
+  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+    / len(string_split(text, ' ')) AS avg_token_len
+FROM documents ORDER BY doc_id""",
+
+    "q_token_freq" -> """
+SELECT token, count(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY 1 ORDER BY cnt DESC, token LIMIT 50""",
+
+    "q_quality" -> s"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(toks, x -> x IN $stop)) AS BIGINT) AS n_stop,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique
+      FROM t)
+SELECT doc_id, n_tokens, n_stop, n_unique,
+  CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+  0.4 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+    + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+    + 0.3 * (CAST(n_unique AS DOUBLE) / n_tokens) AS quality_score
+FROM s ORDER BY doc_id""",
+
+    "q_langid" -> """
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+m AS (SELECT doc_id, lang,
+        CAST(len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS BIGINT) AS m_en,
+        CAST(len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS BIGINT) AS m_de,
+        CAST(len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS BIGINT) AS m_fr,
+        CAST(len(list_filter(toks, x -> x IN ('el','los','que','y'))) AS BIGINT) AS m_es,
+        CAST(len(list_filter(toks, x -> x IN ('de5','shi4','le5','zai4'))) AS BIGINT) AS m_zh
+      FROM t),
+p AS (SELECT *, greatest(m_en, m_de, m_fr, m_es, m_zh) AS mx FROM m)
+SELECT doc_id, m_en, m_de, m_fr, m_es, m_zh,
+  CASE WHEN mx <= 0 THEN 'und'
+       WHEN m_en = mx THEN 'en' WHEN m_de = mx THEN 'de'
+       WHEN m_fr = mx THEN 'fr' WHEN m_es = mx THEN 'es'
+       ELSE 'zh' END AS predicted_lang,
+  (CASE WHEN mx <= 0 THEN 'und'
+        WHEN m_en = mx THEN 'en' WHEN m_de = mx THEN 'de'
+        WHEN m_fr = mx THEN 'fr' WHEN m_es = mx THEN 'es'
+        ELSE 'zh' END) = lang AS label_match
+FROM p ORDER BY doc_id""",
+
+    "q_fingerprint" -> """
+SELECT doc_id,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i:i]) AS BIGINT))),
+    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+FROM documents ORDER BY doc_id""",
+
+    "q_dedup_exact_docs" -> """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents GROUP BY 1 ORDER BY content_hash""",
+
+    "q_dedup_records" -> """
+SELECT user_id, event_type, min(event_id) AS keep_id, count(*) AS dup_count
+FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""",
+
+    "q_jaccard_pairs" -> """
+WITH sh AS (
+  SELECT DISTINCT doc_id, text[i:i+4] AS shingle
+  FROM documents, unnest(range(1, greatest(length(text) - 3, 1))) t(i)),
+rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 100),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shr GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+       sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.3
+ORDER BY doc_a, doc_b""",
+
+    "q_knn_exact" -> """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 10),
+p AS (SELECT query_id, vec_id, round(list_dot_product(qv, v) / (qnrm * nrm), 9) AS score
+      FROM q, n WHERE vec_id <> query_id),
+r AS (SELECT query_id, vec_id AS neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+      FROM p)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", score
+FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"""",
+
+    "q_pricing_summary" -> s"""
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum($decPrice) AS DOUBLE) AS sum_disc_price,
+  count(*) AS count_order,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_revenue_by_nation" -> s"""
+WITH $orev
+SELECT n_name, CAST(sum(order_rev) AS DOUBLE) AS revenue,
+       count(DISTINCT o_custkey) AS customers, count(*) AS orders
+FROM orev JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1 ORDER BY n_name""",
+
+    "q_top_customers" -> s"""
+WITH $orev,
+cr AS (SELECT o_custkey, sum(order_rev) AS rev_d, count(*) AS orders
+       FROM orev JOIN orders ON l_orderkey = o_orderkey GROUP BY 1)
+SELECT c_custkey, c_name, CAST(rev_d AS DOUBLE) AS revenue, orders
+FROM cr JOIN customer ON o_custkey = c_custkey
+ORDER BY revenue DESC, c_custkey LIMIT 10""",
+
+    "q_order_priority" -> """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders WHERE o_orderkey IN (SELECT DISTINCT l_orderkey FROM lineitem)
+GROUP BY 1 ORDER BY 1""",
+
+    "q_events_minute" -> """
+SELECT event_type, epoch_ns(ts) // 1000000000 // 60 AS minute,
+       count(*) AS events,
+       CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+       count(DISTINCT user_id) AS users
+FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_sessionize" -> """
+WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS epoch_s FROM events),
+x AS (SELECT user_id, epoch_s,
+             lag(epoch_s) OVER (PARTITION BY user_id ORDER BY epoch_s, event_id) AS prev_s
+      FROM e),
+y AS (SELECT user_id,
+             CASE WHEN prev_s IS NULL OR epoch_s - prev_s > 1800 THEN 1 ELSE 0 END AS ns
+      FROM x)
+SELECT user_id, CAST(sum(ns) AS BIGINT) AS sessions, count(*) AS events,
+       CAST(count(*) AS DOUBLE) / CAST(sum(ns) AS BIGINT) AS events_per_session
+FROM y GROUP BY 1 ORDER BY user_id""")
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{Dedup, Sketches, Similarity}
+
+/** Recall/accuracy tests for the sketch-based near-dup and ANN operators
+  * against their exact counterparts on sf0.001. */
+class SketchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+  private def emb  = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+
+  test("minhash LSH recovers the high-jaccard pairs") {
+    val exact = Dedup.jaccardPairs(docs, threshold = 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    val lsh = Sketches.minHashPairs(docs, threshold = 0.35)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"minhash recall $recall < 0.8 (${exact.size} true pairs)")
+  }
+
+  test("minhash est_jaccard approximates true jaccard") {
+    val exact = Dedup.jaccardPairs(docs, threshold = 0.5)
+      .select($"doc_a", $"doc_b", $"jaccard").as[(Long, Long, Double)]
+      .collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    val est = Sketches.minHashPairs(docs, threshold = 0.2)
+      .select($"doc_a", $"doc_b", $"est_jaccard").as[(Long, Long, Double)]
+      .collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    val common = exact.keySet.intersect(est.keySet)
+    assert(common.nonEmpty)
+    val maxErr = common.map(k => math.abs(exact(k) - est(k))).max
+    assert(maxErr <= 0.35, s"worst |est - true| = $maxErr") // 64 perms => se ~ 1/8
+  }
+
+  test("simhash of identical token multisets is identical") {
+    val d = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "totally different words here")).toDF("doc_id", "text")
+    val sh = Sketches.simHashes(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(2L))
+    assert(sh(1L) !== sh(3L))
+  }
+
+  test("knnLsh recall against knnExact") {
+    val exact = Similarity.knnExact(emb, nQueries = 10, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.knnLsh(emb, nQueries = 10, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    // random 64-dim vectors are the worst case for LSH; require a floor
+    // well above chance (10/500 = 2%)
+    assert(recall >= 0.25, s"ANN recall $recall < 0.25")
+  }
+
+  test("exact dedup groups: one group per distinct content") {
+    val d = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "text")
+    val g = Dedup.exactGroups(d, $"text", $"doc_id")
+      .orderBy($"keep_id").collect()
+    assert(g.length === 2)
+    assert(g(0).getAs[Long]("keep_id") === 1L && g(0).getAs[Long]("dup_count") === 2L)
+  }
+}
