@@ -22,9 +22,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     topicsDf(spark, "/root/testdata/sf0.001")
 
+  /** topics_df feeds 7 downstream report queries — derive + persist once
+    * per (session, sf dir). */
+  private val topicsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private def topicsDf(s: SparkSession, dir: String): DataFrame =
-    TopicAnalytics.topicsDf(Snapshots.watermarks(s, dir),
-      Snapshots.groupOffsets(s, dir), Snapshots.groupsDim(s, dir))
+    topicsMemo.getOrElseUpdate((s, dir),
+      TopicAnalytics.topicsDf(Snapshots.watermarks(s, dir),
+        Snapshots.groupOffsets(s, dir), Snapshots.groupsDim(s, dir)).persist())
 
   private def groupsDfOf(s: SparkSession, dir: String): DataFrame =
     GroupAnalytics.groupsDf(Snapshots.watermarks(s, dir),

@@ -50,17 +50,27 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, n: Int = 5, maxDocFreq: Int = 100,
                    threshold: Double = 0.5): DataFrame = {
     val sh = charShingles(docs, n)
-    val rare = sh.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq)
-      .select(col("shingle"))
-    val shRare = sh.join(rare, "shingle")
-    val sizes = shRare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = shRare.as("a")
-      .join(shRare.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Inverted index: one shuffle groups the postings per shingle; the
+    // candidate pairs are then exploded from each (capped) posting list
+    // in-task. Equivalent to the textbook shingle self-join but with one
+    // exchange instead of three (the identical index subtree below is
+    // deduplicated by Spark's ReuseExchange). The maxDocFreq cap bounds
+    // the per-shingle pair fan-out (df^2) — the skew guard at scale.
+    val index = sh.groupBy(col("shingle"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) <= maxDocFreq)
+      .select(col("ids"))
+    val sizes = index.select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = index
+      .select(explode(expr(
+        "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a AS doc_a, b AS doc_b)))), p -> p.doc_a < p.doc_b)"))
+        .as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    // no broadcast hint on sizes: one row per doc, so at corpus scale AQE
+    // must be free to pick shuffle-hash instead
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")

@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float arrays, in double. */
+  /** Sequential-fold dot product in double — a native codegen expression
+    * (graft.expressions.DotProduct); bit-identical to the HOF
+    * aggregate(zip_with(...)) form but runs as a primitive loop inside
+    * whole-stage codegen. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.expressions.DotProduct.dot_product(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -74,8 +76,7 @@ object Similarity {
     val bits = (0 until BitsPerTable).map { i =>
       val plane = hyperplane(table * BitsPerTable + i, dim)
       val planeCol = array(plane.map(lit): _*)
-      when(aggregate(zip_with(emb, planeCol, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v) > 0, lit(1L << i)).otherwise(lit(0L))
+      when(dot(emb, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a + b)
   }
@@ -103,11 +104,14 @@ object Similarity {
     val q = b.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         col("norm").as("qnorm"), col("table"), col("key"))
-    val cand = b.join(broadcast(q), Seq("table", "key"))
+    // score first (cheap codegen loop), then dedup on the narrow
+    // (query_id, vec_id, score) rows — the shuffle never carries arrays
+    val scored = b.join(broadcast(q), Seq("table", "key"))
       .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("qvec"), col("embedding")) / (col("qnorm") * col("norm")), 9)
+          .as("score"))
       .dropDuplicates("query_id", "vec_id")
-    val scored = cand.withColumn("score",
-      round(dot(col("qvec"), col("embedding")) / (col("qnorm") * col("norm")), 9))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -121,15 +125,17 @@ object Similarity {
     * scalable embedding-near-dup dedup path). */
   def cosineNearDups(emb: DataFrame, dim: Int = 64, threshold: Double = 0.4): DataFrame = {
     val b = bucketed(emb, dim)
+    // Score and threshold BEFORE deduplicating: the dot product is cheap
+    // (native codegen loop) while dropDuplicates shuffles its input — so
+    // the shuffle should carry only (id, id, score) survivors, not 1M
+    // candidate rows with two embedding arrays each.
     b.as("a").join(b.as("b"),
       col("a.table") === col("b.table") && col("a.key") === col("b.key") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.embedding").as("ea"), col("b.embedding").as("eb"),
-        col("a.norm").as("na"), col("b.norm").as("nb"))
-      .dropDuplicates("vec_a", "vec_b")
-      .withColumn("score", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 9))
+        round(dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.norm") * col("b.norm")), 9).as("score"))
       .filter(col("score") >= threshold)
-      .select(col("vec_a"), col("vec_b"), col("score"))
+      .dropDuplicates("vec_a", "vec_b")
   }
 }

@@ -40,7 +40,7 @@ object Relational {
     val orderRev = li.groupBy(col("l_orderkey"))
       .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
         .as("order_rev"))
-    orderRev.join(orders.select(col("o_orderkey"), col("o_custkey")),
+    orderRev.join(broadcast(orders.select(col("o_orderkey"), col("o_custkey"))),
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
         col("o_custkey") === col("c_custkey"))
@@ -58,7 +58,7 @@ object Relational {
     val orderRev = li.groupBy(col("l_orderkey"))
       .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
         .as("order_rev"))
-    orderRev.join(orders.select(col("o_orderkey"), col("o_custkey")),
+    orderRev.join(broadcast(orders.select(col("o_orderkey"), col("o_custkey"))),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"))
       .agg(sum(col("order_rev")).as("rev_d"), count(lit(1)).as("orders"))

@@ -99,9 +99,23 @@ object Snapshots {
     (1 to NumScans).map(_.toLong).toDF("s")
   }
 
+  /** Per-session memo of derived snapshot tables: within one process the
+    * driver (Verify/Bench) runs many queries over the same snapshot set;
+    * deriving + persisting once turns the shared derivation into a cached
+    * in-memory columnar scan for every later query. Entries live for the
+    * session lifetime (bounded: a handful of tiny tables per sf dir). */
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def memoize(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((spark, key), build.persist())
+
   /** partition_watermarks: (cluster, topic, partition_id, low, high, scan_ts, s).
     * Reference: Partition watermark fetch, kafka_overwatch/kafka_resources/topics.py:168-209. */
-  def watermarks(spark: SparkSession, dir: String): DataFrame = {
+  def watermarks(spark: SparkSession, dir: String): DataFrame =
+    memoize(spark, s"wm|$dir")(watermarksUncached(spark, dir))
+
+  private def watermarksUncached(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev    = events(spark, dir)
     val mx    = ev.agg(max($"event_id").as("maxid"))
@@ -125,7 +139,10 @@ object Snapshots {
   /** group_offsets: (cluster, grp, topic, partition_id, committed, scan_ts, s).
     * Reference: committed-offset fetch, kafka_overwatch/kafka_resources/groups.py:149-170.
     * committed = -1 means "no committed offset" (groups.py:121-130, quirk Q3). */
-  def groupOffsets(spark: SparkSession, dir: String): DataFrame = {
+  def groupOffsets(spark: SparkSession, dir: String): DataFrame =
+    memoize(spark, s"go|$dir")(groupOffsetsUncached(spark, dir))
+
+  private def groupOffsetsUncached(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val wm   = watermarks(spark, dir)
     val base = wm.filter(!$"topic".isin(InjectedTopics: _*))
@@ -144,7 +161,10 @@ object Snapshots {
     * Reference: ConsumerGroupDescription, kafka_overwatch/kafka_resources/groups.py:74-108.
     * is_active semantics (state not DEAD/EMPTY and members > 0):
     * overwatch_resources/groups.py:79-85. */
-  def groupsDim(spark: SparkSession, dir: String): DataFrame = {
+  def groupsDim(spark: SparkSession, dir: String): DataFrame =
+    memoize(spark, s"gd|$dir")(groupsDimUncached(spark, dir))
+
+  private def groupsDimUncached(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     GroupDimRows.map { case (g, st, m, s) =>
       (Cluster, g, st, m, Epoch0 + Step * s, s)
@@ -154,7 +174,10 @@ object Snapshots {
   /** topic_configs: (cluster, topic, key, value, is_default) — one row per
     * config entry, relational form of Topic.config
     * (reference: overwatch_resources/topics.py:147-155). */
-  def topicConfigs(spark: SparkSession, dir: String): DataFrame = {
+  def topicConfigs(spark: SparkSession, dir: String): DataFrame =
+    memoize(spark, s"tc|$dir")(topicConfigsUncached(spark, dir))
+
+  private def topicConfigsUncached(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val topics = watermarks(spark, dir).select($"cluster", $"topic").distinct()
     val keys = Seq("retention.ms", "cleanup.policy", "segment.bytes").toDF("key")
@@ -176,7 +199,10 @@ object Snapshots {
     * One AVRO subject per event-derived topic (TopicNameStrategy `-value`),
     * plus literal subjects exercising `-key`, orphaned, and no-suffix cases
     * for the unused-subject anti-join (reporting/schema_registry.py:22-27). */
-  def srSubjects(spark: SparkSession, dir: String): DataFrame = {
+  def srSubjects(spark: SparkSession, dir: String): DataFrame =
+    memoize(spark, s"sr|$dir")(srSubjectsUncached(spark, dir))
+
+  private def srSubjectsUncached(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val topics = watermarks(spark, dir)
