@@ -69,6 +69,14 @@ object SparkEntry {
         Snapshots.watermarks(s, dir)).orderBy(col("subject"))),
     "q_sr_counts" -> ((s, dir) =>
       SchemaRegistryOps.counts(Snapshots.srSubjects(s, dir), Snapshots.watermarks(s, dir))),
+    "q_sr_backup_index" -> ((s, dir) =>
+      SchemaRegistryOps.backupIndex(Snapshots.srSubjects(s, dir))
+        .orderBy(col("file_name"))),
+    "q_cluster_report" -> ((s, dir) =>
+      report.ClusterReporting.clusterReport(Snapshots.Cluster, topicsDf(s, dir),
+        groupsDfOf(s, dir), Snapshots.srSubjects(s, dir),
+        Snapshots.watermarks(s, dir),
+        java.time.Instant.ofEpochSecond(Snapshots.Epoch0 + Snapshots.Step * Snapshots.NumScans))),
     "q_partition_deltas" -> ((s, dir) =>
       Deltas.partitionDeltas(Snapshots.watermarks(s, dir))
         .orderBy(col("topic"), col("partition_id"), col("scan_ts"))),
@@ -121,6 +129,12 @@ object SparkEntry {
     "q_cosine_neardups" -> ((s, dir) =>
       Similarity.cosineNearDups(emb(s, dir), threshold = 0.4)
         .orderBy(col("vec_a"), col("vec_b"))),
+
+    "q_multimodal_features" -> ((s, dir) =>
+      functions.Multimodal.featureStats(
+        functions.Multimodal.decodeFeatures(
+          functions.Multimodal.assetsFrom(docs(s, dir))))
+        .orderBy(col("kind"), col("pos"))),
 
     // --- relational / event-time breadth ---
     "q_pricing_summary" -> ((s, dir) =>

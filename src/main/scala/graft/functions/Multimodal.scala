@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque BINARY columns
+  * with typed metadata, plus decode/feature-extract operators.
+  *
+  * The Spark-side shape is real and tested — schema, partitioning, batch
+  * iteration (mapPartitions over a typed Dataset, the JVM analogue of a
+  * pandas-batch UDF), fixed-width feature vectors. The actual media decode
+  * is STUBBED with a deterministic byte-level computation (this
+  * environment has no image/audio codecs): `decodeFeatures` computes a
+  * 16-bin byte histogram + length instead of pixels. Swap `stubDecode`
+  * for a real codec and nothing else changes.
+  *
+  * Scale notes: payloads stay off the shuffle path (features are extracted
+  * in a map stage, payload column pruned immediately after); metadata-only
+  * transforms (resize plans, frame sampling) are pure column expressions.
+  */
+object Multimodal {
+
+  case class Asset(asset_id: Long, kind: String, payload: Array[Byte],
+                   width: Int, height: Int, sample_rate: Int)
+  case class AssetFeatures(asset_id: Long, kind: String, n_bytes: Long,
+                           features: Array[Double])
+
+  val FeatureBins = 16
+
+  /** Deterministic asset table derived from documents: payload = utf-8
+    * bytes, kind assigned round-robin by doc_id, fake dimensions from
+    * n_chars. This stands in for a real (id, binary, metadata) lake table. */
+  def assetsFrom(docs: DataFrame): Dataset[Asset] = {
+    import docs.sparkSession.implicits._
+    docs.select(
+      col("doc_id").as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("payload"),
+      (col("n_chars") % 640 + 1).cast("int").as("width"),
+      (col("n_chars") % 480 + 1).cast("int").as("height"),
+      lit(16000).as("sample_rate")).as[Asset]
+  }
+
+  /** THE STUB: a real decoder would turn payload bytes into pixels/samples
+    * here. Deterministic stand-in: normalized 16-bin byte histogram. */
+  def stubDecode(payload: Array[Byte]): Array[Double] = {
+    val hist = new Array[Double](FeatureBins)
+    var i = 0
+    while (i < payload.length) {
+      hist((payload(i) & 0xff) / (256 / FeatureBins)) += 1.0
+      i += 1
+    }
+    if (payload.length > 0) {
+      var b = 0
+      while (b < FeatureBins) { hist(b) /= payload.length; b += 1 }
+    }
+    hist
+  }
+
+  /** Batched decode/feature-extraction: one partition = one batch, the
+    * JVM analogue of mapInPandas — per-partition setup cost (codec init)
+    * is amortized across the batch. */
+  def decodeFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      // real impl: initialize codec once per batch here
+      batch.map { a =>
+        AssetFeatures(a.asset_id, a.kind, a.payload.length.toLong,
+          stubDecode(a.payload))
+      }
+    }
+  }
+
+  /** Metadata-only transform: a resize *plan* (target dims per asset) —
+    * pure column arithmetic, no payload touched. */
+  def resizePlan(assets: Dataset[Asset], maxSide: Int = 256): DataFrame =
+    assets.toDF().select(col("asset_id"), col("kind"), col("width"), col("height"),
+      least(lit(1.0), lit(maxSide) / greatest(col("width"), col("height")))
+        .as("scale"))
+      .withColumn("target_w", ceil(col("width") * col("scale")).cast("int"))
+      .withColumn("target_h", ceil(col("height") * col("scale")).cast("int"))
+
+  /** Frame-sample plan for video assets: every nth frame index up to a
+    * cap — array expression, no decode. */
+  def frameSamplePlan(assets: Dataset[Asset], everyN: Int = 30, cap: Int = 8): DataFrame =
+    assets.toDF().filter(col("kind") === "video")
+      .select(col("asset_id"),
+        slice(sequence(lit(0), lit(everyN * (cap - 1)), lit(everyN)), 1, cap)
+          .as("frame_indexes"))
+
+  /** Per-kind feature rollup (the downstream consumer of decode): mean
+    * feature vector per modality. */
+  def featureStats(features: Dataset[AssetFeatures]): DataFrame = {
+    import features.sparkSession.implicits._
+    features.toDF()
+      .select(col("kind"), col("n_bytes"), posexplode(col("features")))
+      .groupBy(col("kind"), col("pos"))
+      .agg(avg(col("col")).as("mean_feature"), count(lit(1)).as("n_assets"))
+  }
+}

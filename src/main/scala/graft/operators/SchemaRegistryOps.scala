@@ -27,6 +27,17 @@ object SchemaRegistryOps {
       .select(col("registry"), col("subject"), col("version"),
         col("schema_id"), col("schema_type"))
 
+  /** K7: the SR backup archive index — one row per schema version with the
+    * reference's file-name contract `subject::version::type::id.txt`
+    * (kafka_overwatch/schema_registry/__init__.py:95-129), preserved so a
+    * reference restore CLI can consume engine-written archives. */
+  def backupIndex(sr: DataFrame): DataFrame =
+    sr.select(
+      concat(col("subject"), lit("::"), col("version"), lit("::"),
+        col("schema_type"), lit("::"), col("schema_id"), lit(".txt")).as("file_name"),
+      col("registry"), col("subject"), col("version"), col("schema_id"),
+      col("schema_type"), col("schema_string"))
+
   /** A11: registry counts — distinct subjects / schemas + unused subjects. */
   def counts(sr: DataFrame, topics: DataFrame): DataFrame = {
     val c = sr.groupBy(col("registry")).agg(

@@ -248,6 +248,10 @@ LEFT JOIN (SELECT registry, count(DISTINCT subject) AS unused_subjects_count
            FROM sru WHERE base_name NOT IN (SELECT DISTINCT topic FROM watermarks)
            GROUP BY 1) u ON s.registry = u.registry
 GROUP BY s.registry, u.unused_subjects_count""",
+    "q_sr_backup_index" ->
+      s"""$base SELECT subject || '::' || version || '::' || schema_type || '::' || schema_id || '.txt' AS file_name,
+       registry, subject, version, schema_id, schema_type, schema_string
+FROM sr_subjects ORDER BY file_name""",
     "q_partition_deltas" ->
       s"""$base SELECT cluster, topic, partition_id, scan_ts, high - prev_high AS delta
 FROM (SELECT cluster, topic, partition_id, scan_ts, high,

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.OffsetStream
+import graft.streaming.OffsetStream.WatermarkScan
+import graft.operators.Deltas
+import graft.sources.Snapshots
+
+/** Streaming/batch equivalence: feeding the watermark scans one
+  * micro-batch per scan through the stateful stream must reproduce the
+  * batch window-function deltas (W1). */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("stateful stream reproduces batch partition deltas across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val wm = Snapshots.watermarks(spark, TestSpark.Sf0001)
+    val byScan = (1 to Snapshots.NumScans).map { s =>
+      wm.filter($"s" === s)
+        .select("cluster", "topic", "partition_id", "low", "high", "scan_ts")
+        .as[WatermarkScan].collect().toSeq
+    }
+    val input = MemoryStream[WatermarkScan]
+    val q = OffsetStream.deltas(input.toDS())
+      .writeStream.format("memory").queryName("deltas_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      byScan.foreach { batch => input.addData(batch); q.processAllAvailable() }
+      val streamed = spark.sql(
+        "SELECT cluster, topic, partition_id, scan_ts, delta FROM deltas_out")
+        .as[(String, String, Long, Long, Long)].collect().toSet
+      val batch = Deltas.partitionDeltas(wm)
+        .as[(String, String, Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stream state tracks the moving log-start offset (W3)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[WatermarkScan]
+    val q = OffsetStream.deltas(input.toDS())
+      .writeStream.format("memory").queryName("logstart_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Seq(WatermarkScan("c1", "t", 0L, 0L, 10L, 100L)))
+      q.processAllAvailable()
+      input.addData(Seq(WatermarkScan("c1", "t", 0L, 4L, 20L, 160L)))
+      q.processAllAvailable()
+      // retention never moves first_offset backwards
+      input.addData(Seq(WatermarkScan("c1", "t", 0L, 2L, 30L, 220L)))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT scan_ts, delta, messages_since_start, first_offset FROM logstart_out ORDER BY scan_ts")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(rows === Seq((160L, 10L, 10L, 4L), (220L, 10L, 20L, 4L)))
+    } finally q.stop()
+  }
+}
