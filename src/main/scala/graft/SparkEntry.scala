@@ -66,16 +66,19 @@ object SparkEntry {
         compliant = Seq("^[a-z]+$"), excluded = Seq("^g_dead")).orderBy(col("name"))),
     "q_sr_unused" -> ((s, dir) =>
       SchemaRegistryOps.unusedSubjects(Snapshots.srSubjects(s, dir),
-        Snapshots.watermarks(s, dir)).orderBy(col("subject"))),
+        latestWm(s, dir)).orderBy(col("subject"))),
     "q_sr_counts" -> ((s, dir) =>
-      SchemaRegistryOps.counts(Snapshots.srSubjects(s, dir), Snapshots.watermarks(s, dir))),
+      SchemaRegistryOps.counts(Snapshots.srSubjects(s, dir), latestWm(s, dir))),
+    "q_topic_churn" -> ((s, dir) =>
+      ChangeFeed.topicChurn(Snapshots.watermarks(s, dir))
+        .orderBy(col("s"), col("change"), col("topic"))),
     "q_sr_backup_index" -> ((s, dir) =>
       SchemaRegistryOps.backupIndex(Snapshots.srSubjects(s, dir))
         .orderBy(col("file_name"))),
     "q_cluster_report" -> ((s, dir) =>
       report.ClusterReporting.clusterReport(Snapshots.Cluster, topicsDf(s, dir),
         groupsDfOf(s, dir), Snapshots.srSubjects(s, dir),
-        Snapshots.watermarks(s, dir),
+        latestWm(s, dir),
         java.time.Instant.ofEpochSecond(Snapshots.Epoch0 + Snapshots.Step * Snapshots.NumScans))),
     "q_partition_deltas" -> ((s, dir) =>
       Deltas.partitionDeltas(Snapshots.watermarks(s, dir))
@@ -155,6 +158,9 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       Relational.sessionize(Relational.eventsWithEpoch(s, dir))
         .orderBy(col("user_id"))))
+
+  private def latestWm(s: SparkSession, dir: String): DataFrame =
+    Snapshots.watermarks(s, dir).filter(col("s") === Snapshots.NumScans)
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")

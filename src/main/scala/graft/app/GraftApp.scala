@@ -1,0 +1,82 @@
+package graft.app
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import graft.metrics.MetricsExposition
+import graft.operators._
+import graft.report.ClusterReporting
+import graft.sources.Snapshots
+
+/** Service entry point — the engine's equivalent of
+  * `kafka-overwatch -c config.yaml` (reference: kafka_overwatch/cli/
+  * __init__.py:71-99 -> overwatch.py:58-120). One SparkSession replaces
+  * the reference's process-per-cluster + pickle/mmap plumbing; per-cluster
+  * isolation is a column, parallelism is task scheduling.
+  *
+  * Each scheduler tick: refresh snapshots -> run the metric queries ->
+  * write the Prometheus exposition; on the evaluation period: assemble the
+  * cluster report JSON + DataFrame exports. Snapshot ingestion here reads
+  * the deterministic fixture derivation; a live deployment swaps in an
+  * AdminClient collector producing the same tables.
+  *
+  * Usage: GraftApp <config.yaml> <sfDir> <outDir> [ticks]
+  */
+object GraftApp {
+  def main(args: Array[String]): Unit = {
+    val Array(configPath, sfDir, outDir) = args.take(3)
+    val ticks = args.lift(3).map(_.toInt).getOrElse(1)
+    val config = GraftConfig.parse(Files.readString(Paths.get(configPath)))
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Files.createDirectories(Paths.get(outDir))
+    try config.clusters.foreach(c => runCluster(spark, c, sfDir, outDir, ticks))
+    finally spark.stop()
+  }
+
+  def runCluster(spark: SparkSession, cluster: ClusterConfig, sfDir: String,
+                 outDir: String, ticks: Int): Unit = {
+    val loop = new Scheduler.ClusterLoop(cluster,
+      sleeper = _ => (), // fixture mode: don't actually wait between ticks
+      onOverrun = ms => System.err.println(
+        s"[graft] ${cluster.name}: scan overran interval by ${ms}ms"))
+
+    def scan(): Unit = {
+      val wm = Scheduler.applyTopicFilters(Snapshots.watermarks(spark, sfDir),
+        cluster.topicIncludeRegexes, cluster.topicExcludeRegexes)
+      val text = MetricsExposition.exposition(
+        TopicAnalytics.clusterTotals(wm, Snapshots.groupsDim(spark, sfDir)),
+        GroupAnalytics.groupTopicLag(wm, Snapshots.groupOffsets(spark, sfDir)),
+        SchemaRegistryOps.counts(Snapshots.srSubjects(spark, sfDir),
+          wm.filter(org.apache.spark.sql.functions.col("s") === Snapshots.NumScans)),
+        Deltas.partitionDeltas(wm))
+      Files.writeString(Paths.get(s"$outDir/metrics_${cluster.name}.prom"), text)
+    }
+
+    def report(): Unit = {
+      val wm = Scheduler.applyTopicFilters(Snapshots.watermarks(spark, sfDir),
+        cluster.topicIncludeRegexes, cluster.topicExcludeRegexes)
+      val go = Snapshots.groupOffsets(spark, sfDir)
+      val gd = Snapshots.groupsDim(spark, sfDir)
+      val topics = TopicAnalytics.topicsDf(wm, go, gd)
+      val groups = GroupAnalytics.groupsDf(wm, go, gd)
+      val rpt = ClusterReporting.clusterReport(cluster.name, topics, groups,
+        Snapshots.srSubjects(spark, sfDir),
+        wm.filter(org.apache.spark.sql.functions.col("s") === Snapshots.NumScans),
+        java.time.Instant.now())
+      Files.writeString(Paths.get(s"$outDir/report_${cluster.name}.json"),
+        ClusterReporting.reportJson(rpt))
+      ClusterReporting.exportDf(topics, outDir, s"topics_${cluster.name}",
+        cluster.reporting.exportsFormats)
+      ClusterReporting.exportDf(groups, outDir, s"groups_${cluster.name}",
+        cluster.reporting.exportsFormats)
+    }
+
+    loop.loop(() => scan(), () => report(), Some(ticks))
+  }
+}

@@ -1,0 +1,127 @@
+package graft.app
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+import scala.jdk.CollectionConverters._
+
+/** Typed engine configuration — the reference's YAML config surface
+  * (kafka_overwatch/specs/config.json -> specs/config.py dataclasses,
+  * loaded+validated at config/__init__.py:21-32), re-expressed as case
+  * classes with explicit validation. Only the analytics-relevant subset is
+  * modeled; connection/secret plumbing belongs to the collector layer.
+  *
+  * Defaults mirror the reference: cluster scan interval 60s
+  * (specs/config.py:458) with a 30s global fallback (config/config.py:38),
+  * evaluation period 60s (specs/config.py:287), SR scan interval 300s
+  * (specs/config.py:417).
+  *
+  * topic_include_regexes / topic_exclude_regexes implement quirk Q7: the
+  * reference declares them but never applies them; here they are an
+  * ingest-time filter (Scheduler.applyTopicFilters) — documented
+  * extension.
+  */
+final case class GovernanceConfig(
+    topicCompliantRegexes: Seq[String] = Seq.empty,
+    topicExcludedRegexes: Seq[String] = Seq.empty,
+    groupCompliantRegexes: Seq[String] = Seq.empty,
+    groupExcludedRegexes: Seq[String] = Seq.empty)
+
+final case class ReportingConfig(
+    evaluationPeriodSeconds: Long = 60L,
+    exportsFormats: Seq[String] = Seq("json"),
+    outputDirectory: String = "reports")
+
+final case class ClusterConfig(
+    name: String,
+    scanIntervalSeconds: Long = 60L,
+    topicIncludeRegexes: Seq[String] = Seq.empty,
+    topicExcludeRegexes: Seq[String] = Seq.empty,
+    governance: GovernanceConfig = GovernanceConfig(),
+    reporting: ReportingConfig = ReportingConfig(),
+    schemaRegistry: Option[String] = None)
+
+final case class SchemaRegistryConfig(
+    name: String,
+    scanIntervalSeconds: Long = 300L)
+
+final case class GraftConfig(
+    globalScanIntervalSeconds: Long = 30L,
+    clusters: Seq[ClusterConfig] = Seq.empty,
+    schemaRegistries: Seq[SchemaRegistryConfig] = Seq.empty)
+
+object GraftConfig {
+  private val mapper = new ObjectMapper(new YAMLFactory())
+
+  /** Parse + validate a YAML config document. Unknown keys are ignored
+    * (the reference validates against JSON Schema; here validation is the
+    * explicit checks below). */
+  def parse(yaml: String): GraftConfig = {
+    val root = mapper.readTree(yaml)
+    def strings(n: com.fasterxml.jackson.databind.JsonNode, f: String): Seq[String] =
+      Option(n.get(f)).map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+    def longOr(n: com.fasterxml.jackson.databind.JsonNode, f: String, d: Long): Long =
+      Option(n.get(f)).map(_.asLong()).getOrElse(d)
+
+    val globalInterval = Option(root.get("global"))
+      .map(g => longOr(g, "cluster_scan_interval_in_seconds", 30L)).getOrElse(30L)
+
+    val clusters = Option(root.get("clusters")).map { cs =>
+      cs.properties().asScala.toSeq.map { e =>
+        val (name, c) = (e.getKey, e.getValue)
+        val gov = Option(c.get("governance")).map { g =>
+          def conv(f: String) = Option(g.get(f))
+            .map(n => strings(n, "regexes")).getOrElse(Seq.empty)
+          GovernanceConfig(
+            conv("topic_naming_convention"), conv("topic_exclude_convention"),
+            conv("consumer_groups_naming_convention"), conv("consumer_groups_exclude_convention"))
+        }.getOrElse(GovernanceConfig())
+        val rep = Option(c.get("reporting_config")).map { r =>
+          ReportingConfig(
+            longOr(r, "evaluation_period_in_seconds", 60L),
+            Option(r.get("exports")).map(x => strings(x, "formats"))
+              .getOrElse(Seq("json")),
+            Option(r.get("output_directory")).map(_.asText()).getOrElse("reports"))
+        }.getOrElse(ReportingConfig())
+        ClusterConfig(
+          name,
+          longOr(c, "cluster_scan_interval_in_seconds", globalInterval.max(1L)),
+          strings(c, "topic_include_regexes"),
+          strings(c, "topic_exclude_regexes"),
+          gov, rep,
+          Option(c.get("schema_registry")).map(_.asText()))
+      }
+    }.getOrElse(Seq.empty)
+
+    val registries = Option(root.get("schema_registries")).map { rs =>
+      rs.properties().asScala.toSeq.map { e =>
+        SchemaRegistryConfig(e.getKey,
+          longOr(e.getValue, "schema_registry_scan_interval", 300L))
+      }
+    }.getOrElse(Seq.empty)
+
+    validate(GraftConfig(globalInterval, clusters, registries))
+  }
+
+  def validate(c: GraftConfig): GraftConfig = {
+    require(c.globalScanIntervalSeconds > 0, "global scan interval must be > 0")
+    c.clusters.foreach { cl =>
+      require(cl.name.nonEmpty, "cluster name must not be empty")
+      require(cl.scanIntervalSeconds > 0, s"${cl.name}: scan interval must be > 0")
+      require(cl.reporting.evaluationPeriodSeconds > 0,
+        s"${cl.name}: evaluation period must be > 0")
+      val known = Set("csv", "json")
+      val bad = cl.reporting.exportsFormats.filterNot(known)
+      require(bad.isEmpty, s"${cl.name}: unsupported export formats $bad")
+      cl.schemaRegistry.foreach { sr =>
+        require(c.schemaRegistries.exists(_.name == sr),
+          s"${cl.name}: schema_registry '$sr' not defined")
+      }
+      (cl.topicIncludeRegexes ++ cl.topicExcludeRegexes ++
+        cl.governance.topicCompliantRegexes ++ cl.governance.topicExcludedRegexes)
+        .foreach(r => java.util.regex.Pattern.compile(r))
+    }
+    val dup = c.clusters.groupBy(_.name).collect { case (n, cs) if cs.size > 1 => n }
+    require(dup.isEmpty, s"duplicate cluster names: $dup")
+    c
+  }
+}

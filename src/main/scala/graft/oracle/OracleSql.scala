@@ -233,7 +233,7 @@ FROM gov""",
          replace(replace(subject, '-value', ''), '-key', '') AS base_name
   FROM sr_subjects)
 SELECT registry, subject, version, schema_id, schema_type FROM sru
-WHERE base_name NOT IN (SELECT DISTINCT topic FROM watermarks)
+WHERE base_name NOT IN (SELECT DISTINCT topic FROM wm_latest)
 ORDER BY subject""",
     "q_sr_counts" ->
       s"""$base, sru AS (
@@ -245,9 +245,22 @@ SELECT s.registry, count(DISTINCT s.subject) AS subjects_count,
        COALESCE(u.unused_subjects_count, 0) AS unused_subjects_count
 FROM sr_subjects s
 LEFT JOIN (SELECT registry, count(DISTINCT subject) AS unused_subjects_count
-           FROM sru WHERE base_name NOT IN (SELECT DISTINCT topic FROM watermarks)
+           FROM sru WHERE base_name NOT IN (SELECT DISTINCT topic FROM wm_latest)
            GROUP BY 1) u ON s.registry = u.registry
 GROUP BY s.registry, u.unused_subjects_count""",
+    "q_topic_churn" ->
+      s"""$base, present AS (SELECT DISTINCT cluster, topic, s FROM watermarks),
+prev_shifted AS (SELECT cluster, topic, s + 1 AS s FROM present)
+SELECT cluster, s, change, topic FROM (
+  SELECT p.cluster, p.s, 'deleted' AS change, p.topic
+  FROM prev_shifted p WHERE p.s <= $NumScans AND NOT EXISTS (
+    SELECT 1 FROM present c
+    WHERE c.cluster = p.cluster AND c.topic = p.topic AND c.s = p.s)
+  UNION ALL
+  SELECT c.cluster, c.s, 'added', c.topic FROM present c WHERE c.s > 1 AND NOT EXISTS (
+    SELECT 1 FROM prev_shifted p
+    WHERE p.cluster = c.cluster AND p.topic = c.topic AND p.s = c.s))
+ORDER BY s, change, topic""",
     "q_sr_backup_index" ->
       s"""$base SELECT subject || '::' || version || '::' || schema_type || '::' || schema_id || '.txt' AS file_name,
        registry, subject, version, schema_id, schema_type, schema_string

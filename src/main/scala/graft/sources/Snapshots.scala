@@ -38,12 +38,16 @@ object Snapshots {
   val Step     = 60L
   val Cluster  = "c1"
   /** Topics injected as literal edge cases (not derived from events). */
-  val InjectedTopics: Seq[String] = Seq("t_empty", "t_empty1", "t_stale", "t_nop0")
+  val InjectedTopics: Seq[String] =
+    Seq("t_empty", "t_empty1", "t_stale", "t_nop0", "t_gone")
 
   /** Shared literal rows — the single source of truth for both the Spark
     * derivation below and the DuckDB oracle (graft.oracle.OracleSql builds
     * VALUES clauses from these same Seqs). */
   // (topic, partition_id, s, low, high)
+  // t_gone exists only in scans 1-2: exercises the deleted-topic tidy
+  // (P9) as a change feed, and keeps its SR subject "unused" vs the
+  // current topic list.
   val InjectedWatermarkRows: Seq[(String, Long, Long, Long, Long)] =
     (1 to NumScans).flatMap { s =>
       Seq(
@@ -53,7 +57,9 @@ object Snapshots {
         ("t_stale", 0L, s.toLong, 0L, 100L),
         ("t_nop0", 1L, s.toLong, 0L, 10L * s),
         ("t_nop0", 2L, s.toLong, 0L, 20L * s))
-    }
+    } ++ Seq(
+      ("t_gone", 0L, 1L, 0L, 50L),
+      ("t_gone", 0L, 2L, 0L, 55L))
   // (grp, topic, partition_id, committed, s)
   val InjectedGroupOffsetRows: Seq[(String, String, Long, Long, Long)] =
     (1 to NumScans).flatMap { s =>

@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.app.{GraftConfig, Scheduler}
+import graft.metrics.MetricsExposition
+import graft.operators.{ChangeFeed, Deltas, GroupAnalytics, TopicAnalytics}
+import graft.sources.Snapshots
+
+class AppSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val yaml =
+    """global:
+      |  cluster_scan_interval_in_seconds: 20
+      |clusters:
+      |  prod:
+      |    cluster_scan_interval_in_seconds: 45
+      |    topic_include_regexes: ["^prod"]
+      |    topic_exclude_regexes: ["^prod_internal"]
+      |    governance:
+      |      topic_naming_convention:
+      |        regexes: ["^[a-z]+$"]
+      |    reporting_config:
+      |      evaluation_period_in_seconds: 90
+      |      exports:
+      |        formats: [csv, json]
+      |    schema_registry: main-sr
+      |  staging: {}
+      |schema_registries:
+      |  main-sr:
+      |    schema_registry_scan_interval: 120
+      |""".stripMargin
+
+  test("yaml config parses with reference defaults and validation") {
+    val c = GraftConfig.parse(yaml)
+    assert(c.globalScanIntervalSeconds === 20L)
+    val prod = c.clusters.find(_.name == "prod").get
+    assert(prod.scanIntervalSeconds === 45L)
+    assert(prod.topicIncludeRegexes === Seq("^prod"))
+    assert(prod.governance.topicCompliantRegexes === Seq("^[a-z]+$"))
+    assert(prod.reporting.evaluationPeriodSeconds === 90L)
+    assert(prod.reporting.exportsFormats === Seq("csv", "json"))
+    // staging inherits the global fallback (reference config/config.py:38)
+    assert(c.clusters.find(_.name == "staging").get.scanIntervalSeconds === 20L)
+    assert(c.schemaRegistries === Seq(app.SchemaRegistryConfig("main-sr", 120L)))
+  }
+
+  test("config validation rejects bad input") {
+    intercept[IllegalArgumentException](
+      GraftConfig.parse("clusters:\n  c1:\n    cluster_scan_interval_in_seconds: 0\n"))
+    intercept[IllegalArgumentException](
+      GraftConfig.parse("clusters:\n  c1:\n    schema_registry: missing\n"))
+    intercept[Exception](
+      GraftConfig.parse("clusters:\n  c1:\n    topic_include_regexes: [\"[\"]\n"))
+  }
+
+  test("Q7: topic include/exclude filters apply at ingest") {
+    import spark.implicits._
+    val wm = Seq(("c1", "prod_a", 0L), ("c1", "prod_internal_x", 0L), ("c1", "other", 0L))
+      .toDF("cluster", "topic", "partition_id")
+    val got = Scheduler.applyTopicFilters(wm, Seq("^prod"), Seq("^prod_internal"))
+      .select("topic").as[String].collect().toSet
+    assert(got === Set("prod_a"))
+  }
+
+  test("scheduler: report fires on evaluation period, sleep fills the interval, overrun warns") {
+    val cfg = app.ClusterConfig("c1", scanIntervalSeconds = 10L,
+      reporting = app.ReportingConfig(evaluationPeriodSeconds = 25L))
+    var now = 0L
+    var slept = Vector.empty[Long]
+    var overruns = Vector.empty[Long]
+    var scans = 0; var reports = 0
+    val loop = new Scheduler.ClusterLoop(cfg, () => now,
+      ms => { slept :+= ms; now += ms }, o => overruns :+= o)
+    def scan(): Unit = { scans += 1; now += 2000 } // scan takes 2s
+    def report(): Unit = reports += 1
+    loop.loop(() => scan(), () => report(), Some(4))
+    assert(scans === 4)
+    // reports at t=0 and t=30s (evaluation period 25s, scans every 10s)
+    assert(reports === 2)
+    assert(slept === Vector(8000L, 8000L, 8000L, 8000L))
+    assert(overruns.isEmpty)
+    // a slow scan overruns: no sleep, warning invoked
+    def slowScan(): Unit = { scans += 1; now += 12000 }
+    val r = loop.tick(() => slowScan(), () => report())
+    assert(r.overrunMillis === 2000L && r.sleptMillis === 0L)
+    assert(overruns === Vector(2000L))
+  }
+
+  test("prometheus exposition renders the reference gauge catalog") {
+    val dir = TestSpark.Sf0001
+    val wm = Snapshots.watermarks(spark, dir)
+    val go = Snapshots.groupOffsets(spark, dir)
+    val text = MetricsExposition.exposition(
+      TopicAnalytics.clusterTotals(wm, Snapshots.groupsDim(spark, dir)),
+      GroupAnalytics.groupTopicLag(wm, go),
+      graft.operators.SchemaRegistryOps.counts(Snapshots.srSubjects(spark, dir),
+        wm.filter(org.apache.spark.sql.functions.col("s") === Snapshots.NumScans)),
+      Deltas.partitionDeltas(wm))
+    assert(text.contains("# TYPE kafka_overwatch_cluster_topics_count gauge"))
+    assert(text.contains("""kafka_overwatch_cluster_topics_count{cluster="c1"} 9"""))
+    assert(text.contains("""kafka_overwatch_consumer_group_lag{cluster="c1",grp="g_active""""))
+    assert(text.contains("""kafka_overwatch_subjects_count{registry="sr1"} 9"""))
+    assert(text.contains("kafka_overwatch_topic_partition_new_messages{"))
+  }
+
+  test("churn feed reports the deleted topic") {
+    import spark.implicits._
+    val churn = ChangeFeed.topicChurn(Snapshots.watermarks(spark, TestSpark.Sf0001))
+      .select("s", "change", "topic").as[(Long, String, String)].collect().toSet
+    assert(churn === Set((3L, "deleted", "t_gone")))
+  }
+}
