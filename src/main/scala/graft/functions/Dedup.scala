@@ -50,7 +50,11 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, n: Int = 5, maxDocFreq: Int = 100,
                    threshold: Double = 0.5): DataFrame = {
     val sh = charShingles(docs, n)
-    // Inverted index: one shuffle groups the postings per shingle; the
+    // Inverted index: at true corpus scale this index would be
+    // materialized once as a table (it feeds both the sizes and the pairs
+    // branch below); here it is recomputed per branch, which static
+    // planning may or may not dedupe via ReuseExchange.
+    // One shuffle groups the postings per shingle; the
     // candidate pairs are then exploded from each (capped) posting list
     // in-task. Equivalent to the textbook shingle self-join but with one
     // exchange instead of three (the identical index subtree below is
