@@ -103,6 +103,8 @@ object SparkEntry {
       TextAnalytics.docStats(docs(s, dir)).orderBy(col("doc_id"))),
     "q_token_freq" -> ((s, dir) =>
       TextAnalytics.tokenFrequency(docs(s, dir))),
+    "q_token_counts" -> ((s, dir) =>
+      TextAnalytics.tokenCounts(docs(s, dir)).orderBy(col("doc_id"))),
     "q_quality" -> ((s, dir) =>
       TextAnalytics.qualityScores(docs(s, dir)).orderBy(col("doc_id"))),
     "q_langid" -> ((s, dir) =>

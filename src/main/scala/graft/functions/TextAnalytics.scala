@@ -35,6 +35,24 @@ object TextAnalytics {
         .as("avg_token_len"))
   }
 
+  /** BPE-ish tokenization regex: letter runs, digit runs, and single
+    * non-alphanumeric marks — the standard pre-tokenizer shape, written to
+    * behave identically under Java regex and RE2 (DuckDB). */
+  val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** Per-document token counting: whitespace tokens vs BPE-ish regex
+    * tokens + the chars-per-token compression signal LLM pipelines use for
+    * budgeting. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpeishPattern), lit(0))).cast("long")
+        .as("bpeish_tokens"),
+      (length(col("text")).cast("double") /
+        size(regexp_extract_all(col("text"), lit(BpeishPattern), lit(0))))
+        .as("chars_per_token"))
+
   /** Global token frequency, top-k by count (desc, token asc tiebreak). */
   def tokenFrequency(docs: DataFrame, k: Int = 50): DataFrame =
     docs.select(explode(tokens(col("text"))).as("token"))

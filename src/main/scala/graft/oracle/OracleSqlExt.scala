@@ -29,6 +29,14 @@ SELECT token, count(*) AS cnt
 FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
 GROUP BY 1 ORDER BY cnt DESC, token LIMIT 50""",
 
+    "q_token_counts" -> """
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpeish_tokens,
+  CAST(length(text) AS DOUBLE)
+    / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS chars_per_token
+FROM documents ORDER BY doc_id""",
+
     "q_quality" -> s"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,

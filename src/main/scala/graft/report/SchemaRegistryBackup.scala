@@ -1,0 +1,75 @@
+package graft.report
+
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Schema-registry backup / restore (K7/K8), preserving the reference's
+  * archive contract so archives are interchangeable:
+  *  - per-version files `subject::version::type::id.txt` containing the
+  *    schema string,
+  *  - `index.json` = {subject: {version: file_name}} with sorted keys,
+  *  - everything in one tar.gz
+  * (reference: kafka_overwatch/overwatch_resources/schema_registry/
+  * __init__.py:95-129; restore: schemas_restore.py:18-96).
+  *
+  * Registry metadata is small (thousands of subjects), so the archive is
+  * assembled on the driver from the collected index DataFrame; the query
+  * side (backupIndex) stays distributed.
+  */
+object SchemaRegistryBackup {
+
+  private def jsonEsc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  /** Build the tar.gz archive bytes from sr_subjects. */
+  def writeArchive(sr: DataFrame): Array[Byte] = {
+    val rows = graft.operators.SchemaRegistryOps.backupIndex(sr)
+      .select("file_name", "subject", "version", "schema_string")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    val files: Seq[(String, Array[Byte])] =
+      rows.toSeq.map { case (fn, _, _, schema) => fn -> schema.getBytes(UTF_8) }
+    val index = rows.groupBy(_._2).toSeq.sortBy(_._1).map { case (subject, vs) =>
+      val versions = vs.sortBy(_._3).map { case (fn, _, v, _) =>
+        s""""$v": "${jsonEsc(fn)}"""" }.mkString("{", ", ", "}")
+      s""""${jsonEsc(subject)}": $versions"""
+    }.mkString("{", ", ", "}")
+    TarGz.writeBytes(files :+ ("index.json" -> index.getBytes(UTF_8)))
+  }
+
+  /** Read an archive back into a DataFrame with the restore-relevant
+    * columns (the engine-side equivalent of the reference's restore walk;
+    * the live-registry PUT loop plugs in where `restorePlan` ends). */
+  def readArchive(spark: SparkSession, archive: Array[Byte]): DataFrame = {
+    import spark.implicits._
+    val entries = TarGz.read(new java.io.ByteArrayInputStream(archive))
+    val rows = entries.filter(_._1 != "index.json").map { case (name, data) =>
+      val parts = name.stripSuffix(".txt").split("::")
+      (name, parts(0), parts(1).toLong, parts(2), parts(3).toLong,
+        new String(data, UTF_8))
+    }
+    rows.toDF("file_name", "subject", "version", "schema_type", "schema_id",
+      "schema_string")
+  }
+
+  /** K8: the ordered restore plan — one row per (subject, version) in
+    * IMPORT-mode order, skipping versions already present in the target. */
+  def restorePlan(archive: DataFrame, existing: DataFrame): DataFrame =
+    archive.join(existing.select(col("subject"), col("version")).distinct()
+        .withColumn("already", lit(true)),
+      Seq("subject", "version"), "left")
+      .filter(col("already").isNull)
+      .select(col("subject"), col("version"), col("schema_type"),
+        col("schema_id"), col("schema_string"))
+      .orderBy(col("subject"), col("version"))
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.UTF_8
+import graft.report.{SchemaRegistryBackup, TarGz}
+import graft.sources.Snapshots
+
+class BackupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("tar.gz round-trips entries byte-exactly") {
+    val entries = Seq(
+      "a.txt" -> "hello".getBytes(UTF_8),
+      "sub::1::AVRO::101.txt" -> ("x" * 1000).getBytes(UTF_8),
+      "empty.txt" -> Array.empty[Byte])
+    val got = TarGz.read(new java.io.ByteArrayInputStream(TarGz.writeBytes(entries)))
+    assert(got.map(_._1) === entries.map(_._1))
+    assert(got.map(_._2.toSeq) === entries.map(_._2.toSeq))
+  }
+
+  test("tar.gz is readable by system tar (ustar compliance)") {
+    val bytes = TarGz.writeBytes(Seq("f.txt" -> "data123".getBytes(UTF_8)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-tar")
+    val p = dir.resolve("t.tar.gz")
+    java.nio.file.Files.write(p, bytes)
+    val proc = new ProcessBuilder("tar", "-xzf", p.toString, "-C", dir.toString)
+      .redirectErrorStream(true).start()
+    assert(proc.waitFor() === 0)
+    assert(new String(java.nio.file.Files.readAllBytes(dir.resolve("f.txt")), UTF_8)
+      === "data123")
+  }
+
+  test("SR backup archive round-trips and carries the index contract") {
+    import spark.implicits._
+    val sr = Snapshots.srSubjects(spark, TestSpark.Sf0001)
+    val archive = SchemaRegistryBackup.writeArchive(sr)
+    val entries = TarGz.read(new java.io.ByteArrayInputStream(archive))
+    val index = new String(entries.find(_._1 == "index.json").get._2, UTF_8)
+    assert(index.contains("\"orphan-value\": {\"1\": \"orphan-value::1::JSON::202.txt\"}"))
+    val back = SchemaRegistryBackup.readArchive(spark, archive)
+    val orig = sr.select("subject", "version", "schema_type", "schema_id", "schema_string")
+      .as[(String, Long, String, Long, String)].collect().toSet
+    val rt = back.select("subject", "version", "schema_type", "schema_id", "schema_string")
+      .as[(String, Long, String, Long, String)].collect().toSet
+    assert(rt === orig)
+  }
+
+  test("restore plan skips versions already in the target registry") {
+    import spark.implicits._
+    val sr = Snapshots.srSubjects(spark, TestSpark.Sf0001)
+    val archive = SchemaRegistryBackup.readArchive(spark,
+      SchemaRegistryBackup.writeArchive(sr))
+    val existing = sr.filter($"subject" === "orphan-value")
+    val plan = SchemaRegistryBackup.restorePlan(archive, existing)
+    assert(plan.count() === sr.count() - 1)
+    assert(plan.filter($"subject" === "orphan-value").count() === 0)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+import graft.app.{LogRedaction, Notifications, Secrets}
+import graft.expressions.PolyHash
+import graft.report.TarGz
+
+/** Property-based invariants over the pure kernels (SURVEY §5.3). The
+  * Spark-level invariants live in InvariantSparkProps with a reduced case
+  * count. */
+object InvariantProps extends Properties("graft.pure") {
+
+  property("polyhash stays in [0, mod) and is deterministic") =
+    forAll { (s: String) =>
+      val h1 = PolyHash.hash(s.getBytes("UTF-8"))
+      val h2 = PolyHash.hash(s.getBytes("UTF-8"))
+      h1 == h2 && h1 >= 0 && h1 < PolyHash.Mod
+    }
+
+  private val entryGen: Gen[(String, Array[Byte])] = for {
+    name <- Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(80))
+    data <- Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+  } yield (name, data)
+
+  property("tar.gz round-trips arbitrary entries") =
+    forAll(Gen.listOfN(3, entryGen)) { entries =>
+      val named = entries.zipWithIndex.map { case ((n, d), i) => (s"$i-$n", d) }
+      val got = TarGz.read(new java.io.ByteArrayInputStream(TarGz.writeBytes(named)))
+      got.map(_._1) == named.map(_._1) &&
+        got.map(_._2.toSeq) == named.map(_._2.toSeq)
+    }
+
+  property("sketch mix is deterministic") =
+    forAll { (x: Long, s: Long) =>
+      graft.functions.Sketches.mix(x, s) == graft.functions.Sketches.mix(x, s)
+    }
+
+  property("log redaction masks passwords and JWTs, never grows secrets") =
+    forAll(Gen.alphaNumStr.suchThat(_.nonEmpty)) { secret =>
+      val line = s"connecting with password=$secret to broker"
+      val red = LogRedaction.redact(line)
+      !red.contains(s"password=$secret") && red.contains("password=******")
+    }
+
+  property("secret interpolation substitutes every placeholder") =
+    forAll(Gen.identifier.suchThat(_.nonEmpty), Gen.alphaNumStr) { (ref, v) =>
+      val out = Secrets.interpolate(
+        s"user:{{resolve:vault:$ref}}:rest",
+        Map("vault" -> (_ => v)))
+      out == s"user:$v:rest"
+    }
+
+  property("template render binds all vars") =
+    forAll(Gen.alphaNumStr, Gen.alphaNumStr) { (c, u) =>
+      val body = Notifications.render(Notifications.DefaultTemplate,
+        Map("cluster_name" -> c, "timestamp" -> "t", "report_url" -> u))
+      body.contains(c) && body.contains(u)
+    }
+
+  property("template render fails loudly on unbound vars") =
+    Prop.throws(classOf[IllegalArgumentException]) {
+      Notifications.render("${missing}", Map.empty)
+    }
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(60)
+}
