@@ -121,6 +121,9 @@ object SparkEntry {
     "q_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(docs(s, dir), threshold = 0.3)
         .orderBy(col("doc_a"), col("doc_b"))),
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.dedupClusters(Dedup.jaccardPairs(docs(s, dir), threshold = 0.3))
+        .orderBy(col("doc_id"))),
     "q_minhash_pairs" -> ((s, dir) =>
       Sketches.minHashPairs(docs(s, dir), threshold = 0.3)
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -131,6 +134,8 @@ object SparkEntry {
       Similarity.knnExact(emb(s, dir)).orderBy(col("query_id"), col("rank"))),
     "q_knn_lsh" -> ((s, dir) =>
       Similarity.knnLsh(emb(s, dir)).orderBy(col("query_id"), col("rank"))),
+    "q_knn_ivf" -> ((s, dir) =>
+      functions.Ivf.knnIvf(emb(s, dir)).orderBy(col("query_id"), col("rank"))),
     "q_cosine_neardups" -> ((s, dir) =>
       Similarity.cosineNearDups(emb(s, dir), threshold = 0.4)
         .orderBy(col("vec_a"), col("vec_b"))),

@@ -22,6 +22,50 @@ object Dedup {
     df.groupBy(md5(content).as("content_hash"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Connected-component clustering of near-dup pairs: every document
+    * gets the minimum doc_id of its component as cluster label, via
+    * iterative min-label propagation (each round one join + groupBy;
+    * converges in O(diameter) rounds — dup clusters are shallow, and the
+    * loop stops early when no label changes). The scalable alternative to
+    * driver-side union-find: state stays distributed.
+    */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // localCheckpoint (not persist): an iterative loop must TRUNCATE the
+    // logical plan each round, or Catalyst re-analyzes a plan that doubles
+    // per iteration — execution stays cached but planning time explodes.
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("label")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels.withColumn("keep", col("doc_id") === col("label"))
+      .select(col("doc_id"), col("label").as("cluster_id"), col("keep"))
+  }
+
+  /** The deduplicated corpus: drop every non-representative member of a
+    * near-dup cluster (documents in no cluster are kept). */
+  def dedupedCorpus(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val drop = dedupClusters(pairs).filter(!col("keep")).select(col("doc_id"))
+    docs.join(drop, Seq("doc_id"), "left_anti")
+  }
+
   /** Exact record dedup on a key subset: keep the minimum id per key
     * group (the other columns are the payload being deduplicated). */
   def recordGroups(df: DataFrame, keys: Seq[String], id: Column): DataFrame =

@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Similarity.dot
+
+/** IVF (inverted-file) approximate nearest neighbor — the second ANN
+  * path next to hyperplane LSH (Similarity.knnLsh).
+  *
+  * Index build: k centroids trained with a few Lloyd iterations, entirely
+  * as DataFrame aggregations (seeded deterministically from the first k
+  * vectors, so runs reproduce without a stored model). Every vector is
+  * assigned to its nearest centroid — the inverted list.
+  *
+  * Query: probe the `nprobe` nearest centroids, exact-rerank only the
+  * vectors in those lists. At 100 TB the lists are the partition layout
+  * (cluster-by-centroid), so a query touches nprobe/k of the corpus; the
+  * centroid table (k x dim doubles) broadcasts everywhere.
+  */
+object Ivf {
+
+  /** argmin over centroids: returns the centroid id with max dot (vectors
+    * are compared by cosine; norms divided out per side). */
+  private def nearestCentroid(centroids: Seq[(Int, Array[Double])],
+                              v: Column, vNorm: Column): Column = {
+    val scored = centroids.map { case (cid, c) =>
+      val cNorm = math.sqrt(c.map(x => x * x).sum)
+      struct((dot(v, array(c.map(lit): _*)) / (vNorm * lit(cNorm))).as("score"),
+        lit(cid).as("cid"))
+    }
+    // array_max on struct(score, cid) picks max score, then max cid on ties
+    array_max(array(scored: _*)).getField("cid")
+  }
+
+  /** Train k centroids with `iters` Lloyd iterations. Returns the final
+    * centroid vectors, collected (k x dim doubles — broadcast-sized by
+    * construction). */
+  def trainCentroids(emb: DataFrame, k: Int = 16, iters: Int = 3): Seq[(Int, Array[Double])] = {
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"),
+      Similarity.l2Norm(col("embedding")).as("nrm"))
+    // deterministic seeds: the first k vectors by vec_id
+    var centroids: Seq[(Int, Array[Double])] = base.orderBy(col("vec_id")).limit(k)
+      .collect().zipWithIndex.map { case (r, i) =>
+        (i, r.getAs[scala.collection.Seq[Double]]("v").toArray)
+      }.toSeq
+    (1 to iters).foreach { _ =>
+      val assigned = base.withColumn("cid", nearestCentroid(centroids, col("v"), col("nrm")))
+      val means = assigned
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cid"))
+        .agg(map_from_entries(collect_list(struct(col("pos"), col("m")))).as("byPos"))
+        .collect()
+        .map { r =>
+          val m = r.getAs[Map[Int, Double]]("byPos")
+          r.getInt(0) -> Array.tabulate(m.size)(m)
+        }.toMap
+      centroids = centroids.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    centroids
+  }
+
+  /** The inverted list: every vector tagged with its centroid id. */
+  def assign(emb: DataFrame, centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"),
+      col("embedding").cast("array<double>").as("v"),
+      Similarity.l2Norm(col("embedding")).as("nrm"))
+    base.withColumn("cid", nearestCentroid(centroids, col("v"), col("nrm")))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+  }
+
+  /** IVF top-k: probe the nprobe nearest centroids per query, exact cosine
+    * re-rank within the probed lists. */
+  def knnIvf(emb: DataFrame, k: Int = 10, nQueries: Int = 10,
+             nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val centroids = trainCentroids(emb, nCentroids)
+    val lists = assign(emb, centroids)
+    // nprobe nearest centroid ids per query vector
+    val probes = (q: Column, qn: Column) => {
+      val scored = centroids.map { case (cid, c) =>
+        val cNorm = math.sqrt(c.map(x => x * x).sum)
+        struct((dot(q, array(c.map(lit): _*)) / (qn * lit(cNorm))).as("score"),
+          lit(cid).as("cid"))
+      }
+      slice(reverse(array_sort(array(scored: _*))), 1, nprobe)
+    }
+    val queries = lists.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("nrm").as("qnrm"),
+        explode(probes(col("embedding").cast("array<double>"), col("nrm")))
+          .as("probe"))
+      .select(col("query_id"), col("qvec"), col("qnrm"),
+        col("probe.cid").as("cid"))
+    val scored = lists.join(broadcast(queries), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("qvec"), col("embedding")) / (col("qnrm") * col("nrm")), 9)
+          .as("score"))
+      .dropDuplicates("query_id", "vec_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("score"))
+  }
+}

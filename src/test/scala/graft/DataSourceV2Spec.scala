@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Snapshots
+
+/** The kafka-metadata DataSourceV2: same rows as the fixture derivation,
+  * filter pushdown prunes input partitions, column pruning reaches the
+  * reader. */
+class DataSourceV2Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def src = spark.read.format("kafka-metadata")
+    .option("dir", TestSpark.Sf0001).load()
+
+  test("source rows equal the snapshot derivation") {
+    import spark.implicits._
+    val viaSource = src.as[(String, String, Long, Long, Long, Long, Long)]
+      .collect().toSet
+    val direct = Snapshots.watermarks(spark, TestSpark.Sf0001)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(viaSource === direct)
+    assert(viaSource.nonEmpty)
+  }
+
+  test("topic equality filter is pushed into partition planning") {
+    import spark.implicits._
+    val filtered = src.filter($"topic" === "t_stale")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("RuntimeFilters") || plan.contains("kafka_metadata"),
+      s"unexpected plan: $plan")
+    // partition pruning: the scan's RDD has exactly 1 partition for 1 topic
+    assert(filtered.rdd.getNumPartitions === 1)
+    assert(filtered.count() === Snapshots.NumScans)
+  }
+
+  test("unsupported filters still evaluate correctly post-scan") {
+    import spark.implicits._
+    val n = src.filter($"high" > 0 && $"s" === 3L).count()
+    val expect = Snapshots.watermarks(spark, TestSpark.Sf0001)
+      .filter($"high" > 0 && $"s" === 3L).count()
+    assert(n === expect)
+  }
+
+  test("column pruning reaches the reader") {
+    import spark.implicits._
+    val two = src.select($"topic", $"high")
+    assert(two.schema.fieldNames.toSeq === Seq("topic", "high"))
+    assert(two.count() === Snapshots.watermarks(spark, TestSpark.Sf0001).count())
+  }
+}

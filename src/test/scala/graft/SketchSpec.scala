@@ -55,6 +55,37 @@ class SketchSpec extends AnyFunSuite {
     assert(recall >= 0.25, s"ANN recall $recall < 0.25")
   }
 
+  test("knnIvf recall against knnExact") {
+    val exact = Similarity.knnExact(emb, nQueries = 10, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = graft.functions.Ivf.knnIvf(emb, k = 10, nQueries = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.25, s"IVF recall $recall < 0.25")
+  }
+
+  test("dedup clustering finds connected components and keeps one representative") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11}, singleton edges only
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val clusters = Dedup.dedupClusters(pairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(clusters === Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false)))
+  }
+
+  test("dedupedCorpus drops near-dup cluster members, keeps everything else") {
+    import spark.implicits._
+    val pairs = Dedup.jaccardPairs(docs, threshold = 0.5)
+    val kept = Dedup.dedupedCorpus(docs, pairs)
+    val dropped = docs.count() - kept.count()
+    val clusters = Dedup.dedupClusters(pairs)
+    assert(dropped === clusters.filter(!$"keep").count())
+    assert(dropped > 0, "fixture has planted near-dups, some must drop")
+  }
+
   test("exact dedup groups: one group per distinct content") {
     val d = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "text")
     val g = Dedup.exactGroups(d, $"text", $"doc_id")
