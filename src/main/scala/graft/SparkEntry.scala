@@ -156,6 +156,14 @@ object SparkEntry {
     "q_top_customers" -> ((s, dir) =>
       Relational.topCustomers(tbl(s, dir, "lineitem"), tbl(s, dir, "orders"),
         tbl(s, dir, "customer"))),
+    "q_revenue_rollup" -> ((s, dir) =>
+      Relational.revenueRollup(tbl(s, dir, "lineitem"), tbl(s, dir, "orders"),
+        tbl(s, dir, "customer"), tbl(s, dir, "nation"))
+        .orderBy(col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)),
+    "q_top_suppliers" -> ((s, dir) =>
+      Relational.topSuppliersPerNation(tbl(s, dir, "lineitem"),
+        tbl(s, dir, "supplier"), tbl(s, dir, "nation"))
+        .orderBy(col("n_name"), col("rnk"))),
     "q_order_priority" -> ((s, dir) =>
       Relational.orderPriorityCheck(tbl(s, dir, "lineitem"), tbl(s, dir, "orders"))
         .orderBy(col("o_orderpriority"))),

@@ -65,10 +65,19 @@ object GraftApp {
       val gd = Snapshots.groupsDim(spark, sfDir)
       val topics = TopicAnalytics.topicsDf(wm, go, gd)
       val groups = GroupAnalytics.groupsDf(wm, go, gd)
+      val gov = cluster.governance
       val rpt = ClusterReporting.clusterReport(cluster.name, topics, groups,
         Snapshots.srSubjects(spark, sfDir),
         wm.filter(org.apache.spark.sql.functions.col("s") === Snapshots.NumScans),
-        java.time.Instant.now())
+        java.time.Instant.now(),
+        topicCompliant = if (gov.topicCompliantRegexes.nonEmpty)
+          gov.topicCompliantRegexes else graft.operators.Governance.DefaultCompliant,
+        topicExcluded = if (gov.topicExcludedRegexes.nonEmpty)
+          gov.topicExcludedRegexes else graft.operators.Governance.DefaultExcluded,
+        groupCompliant = if (gov.groupCompliantRegexes.nonEmpty)
+          gov.groupCompliantRegexes else Seq("^[a-z]+$"),
+        groupExcluded = if (gov.groupExcludedRegexes.nonEmpty)
+          gov.groupExcludedRegexes else Seq("^g_dead"))
       Files.writeString(Paths.get(s"$outDir/report_${cluster.name}.json"),
         ClusterReporting.reportJson(rpt))
       ClusterReporting.exportDf(topics, outDir, s"topics_${cluster.name}",

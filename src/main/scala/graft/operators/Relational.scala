@@ -70,6 +70,43 @@ object Relational {
       .limit(k)
   }
 
+  /** Revenue rollup over (nation, market segment) — grouping-sets surface.
+    * Subtotal rows carry NULL dimension values, as in ANSI ROLLUP. */
+  def revenueRollup(li: DataFrame, orders: DataFrame, customer: DataFrame,
+                    nation: DataFrame): DataFrame = {
+    val orderRev = li.groupBy(col("l_orderkey"))
+      .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        .as("order_rev"))
+    orderRev.join(broadcast(orders.select(col("o_orderkey"), col("o_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"),
+        col("c_mktsegment"))), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(sum(col("order_rev")).cast("double").as("revenue"),
+        count(lit(1)).as("orders"))
+  }
+
+  /** Top-k suppliers by revenue within each nation — ranking-window
+    * surface (row_number with a deterministic tiebreak). */
+  def topSuppliersPerNation(li: DataFrame, supplier: DataFrame,
+                            nation: DataFrame, k: Int = 3): DataFrame = {
+    val supRev = li.groupBy(col("l_suppkey"))
+      .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        .as("rev_d"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("rev_d").desc, col("s_suppkey"))
+    supRev.join(broadcast(supplier.select(col("s_suppkey"), col("s_name"),
+        col("s_nationkey"))), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("n_name"), col("s_suppkey"), col("s_name"),
+        col("rev_d").cast("double").as("revenue"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Orders with at least one lineitem (left-semi / EXISTS shape), counted
     * per priority. */
   def orderPriorityCheck(li: DataFrame, orders: DataFrame): DataFrame =

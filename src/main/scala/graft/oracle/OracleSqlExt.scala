@@ -169,6 +169,25 @@ SELECT c_custkey, c_name, CAST(rev_d AS DOUBLE) AS revenue, orders
 FROM cr JOIN customer ON o_custkey = c_custkey
 ORDER BY revenue DESC, c_custkey LIMIT 10""",
 
+    "q_revenue_rollup" -> s"""
+WITH $orev
+SELECT n_name, c_mktsegment, CAST(sum(order_rev) AS DOUBLE) AS revenue,
+       count(*) AS orders
+FROM orev JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment)
+ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""",
+
+    "q_top_suppliers" -> s"""
+WITH srev AS (SELECT l_suppkey, sum($decPrice) AS rev_d FROM lineitem GROUP BY 1)
+SELECT n_name, s_suppkey, s_name, CAST(rev_d AS DOUBLE) AS revenue, rnk
+FROM (SELECT n_name, s_suppkey, s_name, rev_d,
+             row_number() OVER (PARTITION BY n_name ORDER BY rev_d DESC, s_suppkey) AS rnk
+      FROM srev JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey)
+WHERE rnk <= 3 ORDER BY n_name, rnk""",
+
     "q_order_priority" -> """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders WHERE o_orderkey IN (SELECT DISTINCT l_orderkey FROM lineitem)

@@ -142,12 +142,17 @@ object ClusterReporting {
     * report generation is reproducible (the reference scatters utcnow()
     * across call sites — SURVEY §7.4). */
   def clusterReport(clusterName: String, topics: DataFrame, groups: DataFrame,
-                    sr: DataFrame, wmTopics: DataFrame, now: java.time.Instant): DataFrame = {
+                    sr: DataFrame, wmTopics: DataFrame, now: java.time.Instant,
+                    topicCompliant: Seq[String] = Governance.DefaultCompliant,
+                    topicExcluded: Seq[String] = Governance.DefaultExcluded,
+                    groupCompliant: Seq[String] = Seq("^[a-z]+$"),
+                    groupExcluded: Seq[String] = Seq("^g_dead")): DataFrame = {
     val ts = java.time.LocalDateTime.ofInstant(now, java.time.ZoneOffset.UTC)
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
     statistics(topics, groups)
       .crossJoin(estimatedWaste(topics))
-      .crossJoin(governance(topics, groups))
+      .crossJoin(governance(topics, groups, topicCompliant, topicExcluded,
+        groupCompliant, groupExcluded))
       .crossJoin(schemaRegistry(sr, wmTopics))
       .select(struct(
         lit(clusterName).as("cluster_name"),
