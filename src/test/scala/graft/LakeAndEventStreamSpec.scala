@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.sources.{SnapshotLake, Snapshots}
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+class LakeAndEventStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("partitioned lake round-trips and prunes partitions at the scan") {
+    import spark.implicits._
+    val wm = Snapshots.watermarks(spark, TestSpark.Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lake").toString
+    SnapshotLake.writeWatermarks(wm, dir)
+    // round trip (column order differs: partition cols move last)
+    val back = SnapshotLake.readWatermarks(spark, dir)
+      .select("cluster", "topic", "partition_id", "low", "high", "scan_ts", "s")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSet
+    val orig = wm.select("cluster", "topic", "partition_id", "low", "high", "scan_ts", "s")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(back === orig)
+    // pruning: the physical plan carries the partition filter
+    val lat = SnapshotLake.latest(spark, dir)
+    val plan = lat.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("s#"),
+      s"no partition filter in: $plan")
+    assert(lat.count() === wm.filter($"s" === Snapshots.NumScans).count())
+  }
+
+  test("streaming minute rollup with watermark equals the batch rollup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000L
+    val events = Seq(
+      Event(1, base + 10, 1, "click", 1.5),
+      Event(2, base + 20, 2, "click", 2.0),
+      Event(3, base + 70, 1, "view", 3.25),
+      Event(4, base + 80, 3, "click", 0.5),
+      Event(5, base + 130, 2, "view", 1.0))
+    val batch = EventStream.minuteRollup(spark.createDataset(events))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+
+    val input = MemoryStream[Event]
+    val q = EventStream.minuteRollup(input.toDS())
+      .writeStream.format("memory").queryName("minute_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      // two micro-batches, second one partially late but within watermark
+      input.addData(events.take(3)); q.processAllAvailable()
+      input.addData(events.drop(3)); q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT minute_start, event_type, events, value_sum FROM minute_out")
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+      assert(streamed === batch)
+      assert(batch.size === 4) // (min0:click), (min1:view), (min1:click), (min2:view)
+    } finally q.stop()
+  }
+}
