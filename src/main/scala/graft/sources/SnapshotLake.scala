@@ -30,4 +30,26 @@ object SnapshotLake {
     val df = readWatermarks(spark, path)
     df.filter(col("s") === Snapshots.NumScans)
   }
+
+  /** History compaction (SURVEY §7.4): fold every scan older than
+    * `keepFrom` into one synthetic baseline row per partition, carrying
+    *  - the first observed high (the frozen init_end_offset baseline, W2),
+    *  - the max low seen (the monotone log-start, W3),
+    * tagged with the oldest scan's ordinal/timestamp. Recent scans stay
+    * as-is. Baseline-vs-latest analytics (topics_df, waste, most-active)
+    * are invariant under compaction — asserted in LakeAndEventStreamSpec —
+    * while storage drops from O(scans) to O(keep window).
+    */
+  def compact(wm: DataFrame, keepFrom: Long): DataFrame = {
+    val old = wm.filter(col("s") < keepFrom)
+    val baseline = old.groupBy(col("cluster"), col("topic"), col("partition_id"))
+      .agg(
+        min_by(col("high"), col("s")).as("high"),
+        max(col("low")).as("low"),
+        min(col("scan_ts")).as("scan_ts"),
+        min(col("s")).as("s"))
+      .select(col("cluster"), col("topic"), col("partition_id"), col("low"),
+        col("high"), col("scan_ts"), col("s"))
+    baseline.unionByName(wm.filter(col("s") >= keepFrom))
+  }
 }

@@ -63,7 +63,7 @@ class MetadataTable(dir: String) extends Table with SupportsRead {
   override def name(): String = s"kafka_metadata($dir)"
   override def schema(): StructType = KafkaMetadataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MetadataScanBuilder(dir)
 }
@@ -93,13 +93,16 @@ class MetadataScan(dir: String, filters: Array[Filter], required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new MetadataMicroBatchStream(dir, this, required)
 
-  private def topicAllowed(t: String): Boolean = filters.forall {
+  private[v2] def topicAllowed(t: String): Boolean = filters.forall {
     case EqualTo("topic", v) => t == v
     case In("topic", vs) => vs.contains(t)
     case _ => true
   }
-  private def clusterAllowed(c: String): Boolean = filters.forall {
+  private[v2] def clusterAllowed(c: String): Boolean = filters.forall {
     case EqualTo("cluster", v) => c == v
     case In("cluster", vs) => vs.contains(c)
     case _ => true
@@ -118,6 +121,50 @@ class MetadataScan(dir: String, filters: Array[Filter], required: StructType)
 }
 
 case class MetadataInputPartition(rows: Array[WmRow]) extends InputPartition
+
+/** Streaming offset = scan ordinal: micro-batch (start, end] delivers the
+  * rows of scans start+1..end, the way each poll of a live cluster
+  * delivers one new snapshot. latestOffset advances one scan per trigger
+  * (a live source would return "now"); the fixture history is finite so
+  * the stream drains after NumScans micro-batches. */
+case class ScanOffset(s: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s.toString
+}
+
+class MetadataMicroBatchStream(dir: String, scan: MetadataScan,
+                               required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private var emitted = 0L
+
+  override def initialOffset(): Offset = ScanOffset(0L)
+  override def latestOffset(): Offset = {
+    if (emitted < graft.sources.Snapshots.NumScans) emitted += 1
+    ScanOffset(emitted)
+  }
+  override def deserializeOffset(json: String): Offset = ScanOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[ScanOffset].s
+    val s1 = end.asInstanceOf[ScanOffset].s
+    KafkaMetadataSource.topicRows(dir).toSeq.sortBy(_._1)
+      .filter { case (t, _) => scan.topicAllowed(t) }
+      .map { case (_, rows) =>
+        MetadataInputPartition(rows.filter(r =>
+          scan.clusterAllowed(r.cluster) && r.s > s0 && r.s <= s1))
+          : InputPartition
+      }
+      .filter(_.asInstanceOf[MetadataInputPartition].rows.nonEmpty)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MetadataReaderFactory(required.fieldNames)
+}
 
 class MetadataReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {

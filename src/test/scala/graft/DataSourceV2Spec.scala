@@ -41,6 +41,29 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(n === expect)
   }
 
+  test("micro-batch stream delivers the full history scan-by-scan into the stateful pipeline") {
+    import spark.implicits._
+    val stream = spark.readStream.format("kafka-metadata")
+      .option("dir", TestSpark.Sf0001).load()
+      .select("cluster", "topic", "partition_id", "low", "high", "scan_ts")
+      .as[graft.streaming.OffsetStream.WatermarkScan]
+    val q = graft.streaming.OffsetStream.deltas(stream)
+      .writeStream.format("memory").queryName("dsv2_stream_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT cluster, topic, partition_id, scan_ts, delta FROM dsv2_stream_out")
+        .as[(String, String, Long, Long, Long)].collect().toSet
+      val batch = graft.operators.Deltas
+        .partitionDeltas(Snapshots.watermarks(spark, TestSpark.Sf0001))
+        .as[(String, String, Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+      // one micro-batch per scan: the query saw NumScans batches
+      assert(q.recentProgress.count(_.numInputRows > 0) === Snapshots.NumScans)
+    } finally q.stop()
+  }
+
   test("column pruning reaches the reader") {
     import spark.implicits._
     val two = src.select($"topic", $"high")

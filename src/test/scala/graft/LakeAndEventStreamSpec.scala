@@ -30,6 +30,26 @@ class LakeAndEventStreamSpec extends AnyFunSuite {
     assert(lat.count() === wm.filter($"s" === Snapshots.NumScans).count())
   }
 
+  test("compaction preserves baseline-vs-latest analytics") {
+    import spark.implicits._
+    val dir = TestSpark.Sf0001
+    val wm = Snapshots.watermarks(spark, dir)
+    val compacted = SnapshotLake.compact(wm, keepFrom = Snapshots.NumScans)
+    assert(compacted.count() < wm.count())
+    val go = Snapshots.groupOffsets(spark, dir)
+    val gd = Snapshots.groupsDim(spark, dir)
+    def topicsOf(w: org.apache.spark.sql.DataFrame) =
+      graft.operators.TopicAnalytics.topicsDf(w, go, gd)
+        .as[(String, String, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().toSet
+    assert(topicsOf(compacted) === topicsOf(wm))
+    def wasteOf(w: org.apache.spark.sql.DataFrame) =
+      graft.operators.TopicAnalytics.wasteSummary(
+        graft.operators.TopicAnalytics.topicsDf(w, go, gd))
+        .as[(String, Long, Long, Long)].collect().toSet
+    assert(wasteOf(compacted) === wasteOf(wm))
+  }
+
   test("streaming minute rollup with watermark equals the batch rollup") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
