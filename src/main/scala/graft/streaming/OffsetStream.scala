@@ -19,7 +19,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * topics age out via the event-time timeout (the reference's P9/P10 tidy
   * logic, reborn as state TTL).
   */
-object OffsetStream {
+object OffsetStream extends Serializable {
 
   case class WatermarkScan(cluster: String, topic: String, partition_id: Long,
                            low: Long, high: Long, scan_ts: Long)
@@ -59,6 +59,39 @@ object OffsetStream {
     import scans.sparkSession.implicits._
     scans.groupByKey(w => (w.cluster, w.topic, w.partition_id))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(updateKey)
+  }
+
+  /** TTL variant — the reference's deleted-topic tidy (P9/P10,
+    * kafka_overwatch/kafka_resources/topics.py:64-72) as event-time state
+    * timeout: a partition unseen for `ttlSeconds` of event time has its
+    * state evicted, so a later reappearance starts a fresh baseline
+    * (and state size tracks the LIVE topic set, not history). */
+  def deltasWithTtl(scans: Dataset[WatermarkScan],
+                    watermarkDelay: String = "60 seconds",
+                    ttlSeconds: Long = 180L): Dataset[PartitionDelta] = {
+    import scans.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    val withTs = scans
+      .withColumn("event_ts", timestamp_seconds(col("scan_ts")))
+      .withWatermark("event_ts", watermarkDelay)
+      .as[WatermarkScan]
+    def update(key: (String, String, Long), it: Iterator[WatermarkScan],
+               state: GroupState[OffsetState]): Iterator[PartitionDelta] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val scans = it.toSeq
+        val out = updateKey(key, scans.iterator, state)
+        if (state.exists && scans.nonEmpty)
+          // anchor the TTL on this key's own latest observation: it fires
+          // once the watermark moves ttl past the last time we saw it
+          state.setTimeoutTimestamp(scans.map(_.scan_ts).max * 1000 + ttlSeconds * 1000)
+        out
+      }
+    }
+    withTs.groupByKey(w => (w.cluster, w.topic, w.partition_id))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
   /** Typed view over the snapshot watermarks table. */

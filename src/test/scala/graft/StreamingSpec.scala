@@ -39,6 +39,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("state TTL evicts partitions unseen past the timeout (P9 as timeout)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[WatermarkScan]
+    val q = OffsetStream.deltasWithTtl(input.toDS(),
+      watermarkDelay = "10 seconds", ttlSeconds = 60L)
+      .writeStream.format("memory").queryName("ttl_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t0 = 1700000000L
+      // both topics seen at t0
+      input.addData(Seq(WatermarkScan("c1", "keep", 0L, 0L, 10L, t0),
+        WatermarkScan("c1", "gone", 0L, 0L, 10L, t0)))
+      q.processAllAvailable()
+      // 'keep' advances; 'gone' is silent while the watermark passes its TTL
+      input.addData(Seq(WatermarkScan("c1", "keep", 0L, 0L, 20L, t0 + 300)))
+      q.processAllAvailable()
+      input.addData(Seq(WatermarkScan("c1", "keep", 0L, 0L, 30L, t0 + 600)))
+      q.processAllAvailable()
+      // 'gone' reappears: state was evicted, so this is a FRESH baseline
+      // and emits no delta
+      input.addData(Seq(WatermarkScan("c1", "gone", 0L, 0L, 50L, t0 + 610),
+        WatermarkScan("c1", "keep", 0L, 0L, 40L, t0 + 610)))
+      q.processAllAvailable()
+      val byTopic = spark.sql("SELECT topic, count(*) FROM ttl_out GROUP BY 1")
+        .as[(String, Long)].collect().toMap
+      assert(byTopic("keep") === 3L)         // three deltas after baseline
+      assert(!byTopic.contains("gone"))      // rebaselined, no delta emitted
+    } finally q.stop()
+  }
+
   test("stream state tracks the moving log-start offset (W3)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
