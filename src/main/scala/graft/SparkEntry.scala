@@ -124,6 +124,11 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, dir) =>
       Dedup.dedupClusters(Dedup.jaccardPairs(docs(s, dir), threshold = 0.3))
         .orderBy(col("doc_id"))),
+    "q_dedup_corpus" -> ((s, dir) =>
+      Dedup.dedupedCorpus(docs(s, dir),
+        Dedup.jaccardPairs(docs(s, dir), threshold = 0.3))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))),
     "q_minhash_pairs" -> ((s, dir) =>
       Sketches.minHashPairs(docs(s, dir), threshold = 0.3)
         .orderBy(col("doc_a"), col("doc_b"))),

@@ -35,8 +35,31 @@ object GraftApp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
-    try config.clusters.foreach(c => runCluster(spark, c, sfDir, outDir, ticks))
-    finally spark.stop()
+    try {
+      config.clusters.foreach(c => runCluster(spark, c, sfDir, outDir, ticks))
+      if (args.contains("--streaming")) runStreaming(spark, sfDir, outDir)
+    } finally spark.stop()
+  }
+
+  /** Streaming mode: the kafka-metadata DSv2 source replayed scan-by-scan
+    * through the stateful delta operator, metric rows appended to a
+    * memory sink and exported — the M6 wiring (a live deployment swaps
+    * the fixture-backed source for one polling AdminClient). */
+  def runStreaming(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    import spark.implicits._
+    val scans = spark.readStream.format("kafka-metadata")
+      .option("dir", sfDir).load()
+      .select("cluster", "topic", "partition_id", "low", "high", "scan_ts")
+      .as[graft.streaming.OffsetStream.WatermarkScan]
+    val q = graft.streaming.OffsetStream.deltas(scans)
+      .writeStream.format("memory").queryName("graft_stream_deltas")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql(
+      "SELECT cluster, topic, partition_id, scan_ts, delta FROM graft_stream_deltas")
+    out.coalesce(1).write.mode("overwrite").json(s"$outDir/stream_deltas.json")
+    System.err.println(s"[graft] streaming mode: ${out.count()} delta rows")
   }
 
   def runCluster(spark: SparkSession, cluster: ClusterConfig, sfDir: String,
