@@ -175,6 +175,8 @@ object SparkEntry {
     "q_events_minute" -> ((s, dir) =>
       Relational.eventsMinuteRollup(Relational.eventsWithEpoch(s, dir))
         .orderBy(col("event_type"), col("minute"))),
+    "q_funnel" -> ((s, dir) =>
+      Relational.signupPurchaseFunnel(Relational.eventsWithEpoch(s, dir))),
     "q_sessionize" -> ((s, dir) =>
       Relational.sessionize(Relational.eventsWithEpoch(s, dir))
         .orderBy(col("user_id"))))

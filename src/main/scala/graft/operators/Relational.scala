@@ -129,6 +129,25 @@ object Relational {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"),
         countDistinct(col("user_id")).as("users"))
 
+  /** Two-stage funnel: users who signed up, and of those, users with a
+    * purchase at-or-after their first signup. Stage joins stay on
+    * user_id — one shuffle key end to end. */
+  def signupPurchaseFunnel(ev: DataFrame): DataFrame = {
+    val total = ev.agg(countDistinct(col("user_id")).as("total_users"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("epoch_s")).as("signup_ts"))
+    val converted = su.join(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("epoch_s")), Seq("user_id"))
+      .filter(col("epoch_s") >= col("signup_ts"))
+      .select(col("user_id")).distinct()
+    total
+      .crossJoin(su.agg(count(lit(1)).as("signed_up")))
+      .crossJoin(converted.agg(count(lit(1)).as("converted")))
+      .withColumn("conversion_pct",
+        col("converted") * lit(100.0) / nullif(col("signed_up"), lit(0L)))
+  }
+
   /** Sessionization: a session break is a >30min gap per user; returns
     * per-user session/event counts and mean session length in events.
     * One window over (user, time) — a single shuffle on user_id. */

@@ -228,6 +228,17 @@ SELECT event_type, epoch_ns(ts) // 1000000000 // 60 AS minute,
        count(DISTINCT user_id) AS users
 FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    "q_funnel" -> """
+WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS epoch_s FROM events),
+su AS (SELECT user_id, min(epoch_s) AS signup_ts FROM e WHERE event_type = 'signup' GROUP BY 1),
+conv AS (SELECT DISTINCT su.user_id
+         FROM su JOIN e ON su.user_id = e.user_id
+         WHERE e.event_type = 'purchase' AND e.epoch_s >= su.signup_ts)
+SELECT (SELECT count(DISTINCT user_id) FROM e) AS total_users,
+       (SELECT count(*) FROM su) AS signed_up,
+       (SELECT count(*) FROM conv) AS converted,
+       (SELECT count(*) FROM conv) * 100.0 / nullif((SELECT count(*) FROM su), 0) AS conversion_pct""",
+
     "q_sessionize" -> """
 WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS epoch_s FROM events),
 x AS (SELECT user_id, epoch_s,
