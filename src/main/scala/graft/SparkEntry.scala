@@ -145,6 +145,10 @@ object SparkEntry {
       Similarity.cosineNearDups(emb(s, dir), threshold = 0.4)
         .orderBy(col("vec_a"), col("vec_b"))),
 
+    "q_split_summary" -> ((s, dir) =>
+      TextAnalytics.splitSummary(docs(s, dir)).orderBy(col("lang"), col("split"))),
+    "q_quantize_report" -> ((s, dir) =>
+      Similarity.quantizationReport(emb(s, dir)).orderBy(col("vec_id"))),
     "q_multimodal_features" -> ((s, dir) =>
       functions.Multimodal.featureStats(
         functions.Multimodal.decodeFeatures(

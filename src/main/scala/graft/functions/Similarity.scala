@@ -53,6 +53,31 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("score"))
   }
 
+  /** Int8 symmetric quantization of an embedding column: per-vector scale
+    * = max|x|, q_i = round(x_i * 127 / scale) — the storage/serving form
+    * (4x smaller, SIMD-friendly dot products). Pure array expressions, so
+    * it runs inside codegen and mirrors exactly in the oracle. */
+  def quantizeInt8(emb: Column): Column = {
+    val scale = aggregate(emb, lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    struct(scale.as("scale"),
+      transform(emb, x =>
+        when(scale === 0.0, lit(0L))
+          .otherwise(round(x.cast("double") * 127.0 / scale, 0).cast("long")))
+        .as("q"))
+  }
+
+  /** Quantization error report: max abs reconstruction error per vector —
+    * the accept/reject gate before switching serving to int8. */
+  def quantizationReport(emb: DataFrame): DataFrame = {
+    val q = emb.withColumn("qz", quantizeInt8(col("embedding")))
+    q.select(col("vec_id"), col("qz.scale").as("scale"),
+      aggregate(
+        zip_with(col("embedding"), col("qz.q"),
+          (x, qi) => abs(x.cast("double") - qi.cast("double") * col("qz.scale") / 127.0)),
+        lit(0.0), (acc, e) => greatest(acc, e)).as("max_abs_err"))
+  }
+
   /** Multi-table LSH parameters: L tables of b hyperplane bits each.
     * Same-bucket in ANY table => candidate. At this corpus density
     * (hundreds-thousands of vectors) 8x4 keeps buckets populated; at

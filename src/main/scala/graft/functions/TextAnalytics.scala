@@ -53,6 +53,27 @@ object TextAnalytics {
         size(regexp_extract_all(col("text"), lit(BpeishPattern), lit(0))))
         .as("chars_per_token"))
 
+  /** Deterministic content-hash split assignment — the standard way a
+    * training pipeline carves reproducible train/val/test sets: the split
+    * follows the document CONTENT (stable under re-ingestion, dedup-safe),
+    * not row position or RNG. First md5 byte: 00-f5 train (~96%),
+    * f6-fa val (~2%), fb-ff test (~2%). */
+  def splitAssignment(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      substring(md5(col("text")), 1, 2).as("h2"))
+      .withColumn("split",
+        when(col("h2") < "f6", "train")
+          .when(col("h2") < "fb", "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("split"))
+
+  /** Split sizes per language — the sanity report a pipeline runs before
+    * training. */
+  def splitSummary(docs: DataFrame): DataFrame =
+    docs.join(splitAssignment(docs), "doc_id")
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+
   /** Global token frequency, top-k by count (desc, token asc tiebreak). */
   def tokenFrequency(docs: DataFrame, k: Int = 50): DataFrame =
     docs.select(explode(tokens(col("text"))).as("token"))

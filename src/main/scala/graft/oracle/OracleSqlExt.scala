@@ -170,6 +170,31 @@ r AS (SELECT query_id, vec_id AS neighbor_id, score,
 SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", score
 FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"""",
 
+    "q_split_summary" -> """
+WITH sa AS (SELECT doc_id, substr(md5(text), 1, 2) AS h2 FROM documents),
+sp AS (SELECT doc_id, CASE WHEN h2 < 'f6' THEN 'train'
+                           WHEN h2 < 'fb' THEN 'val'
+                           ELSE 'test' END AS split FROM sa)
+SELECT lang, split, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents JOIN sp USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_quantize_report" -> """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+        list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
+          (a, b) -> greatest(a, b)) AS scale FROM e),
+q AS (SELECT vec_id, v, scale,
+        list_transform(v, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(round(x * 127.0 / scale, 0) AS BIGINT) END) AS qv
+      FROM s)
+SELECT vec_id, scale,
+  list_reduce(list_prepend(0.0,
+    list_transform(list_zip(v, qv),
+      p -> abs(p[1] - p[2] * scale / 127.0))),
+    (a, b) -> greatest(a, b)) AS max_abs_err
+FROM q ORDER BY vec_id""",
+
     "q_pricing_summary" -> s"""
 SELECT l_returnflag, l_linestatus,
   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
