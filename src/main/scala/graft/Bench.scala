@@ -10,6 +10,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup outside the timed region (no input data touched)
+    spark.range(1000000L).selectExpr("sum(id * 2)").collect()
     // noop sink: materializes every output row/column (count() would let
     // Catalyst prune the query down to a row count)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

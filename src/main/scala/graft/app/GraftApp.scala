@@ -35,10 +35,12 @@ object GraftApp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
+    val http = sys.env.get("GRAFT_METRICS_PORT")
+      .map(p => new graft.metrics.MetricsHttpServer(p.toInt).start())
     try {
-      config.clusters.foreach(c => runCluster(spark, c, sfDir, outDir, ticks))
+      config.clusters.foreach(c => runCluster(spark, c, sfDir, outDir, ticks, http))
       if (args.contains("--streaming")) runStreaming(spark, sfDir, outDir)
-    } finally spark.stop()
+    } finally { http.foreach(_.stop()); spark.stop() }
   }
 
   /** Streaming mode: the kafka-metadata DSv2 source replayed scan-by-scan
@@ -63,7 +65,8 @@ object GraftApp {
   }
 
   def runCluster(spark: SparkSession, cluster: ClusterConfig, sfDir: String,
-                 outDir: String, ticks: Int): Unit = {
+                 outDir: String, ticks: Int,
+                 http: Option[graft.metrics.MetricsHttpServer] = None): Unit = {
     val loop = new Scheduler.ClusterLoop(cluster,
       sleeper = _ => (), // fixture mode: don't actually wait between ticks
       onOverrun = ms => System.err.println(
@@ -79,6 +82,7 @@ object GraftApp {
           wm.filter(org.apache.spark.sql.functions.col("s") === Snapshots.NumScans)),
         Deltas.partitionDeltas(wm))
       Files.writeString(Paths.get(s"$outDir/metrics_${cluster.name}.prom"), text)
+      http.foreach(_.update(text))
     }
 
     def report(): Unit = {

@@ -104,6 +104,19 @@ class AppSpec extends AnyFunSuite {
     assert(text.contains("kafka_overwatch_topic_partition_new_messages{"))
   }
 
+  test("metrics HTTP endpoint serves the latest exposition") {
+    val srv = new graft.metrics.MetricsHttpServer(0).start()
+    try {
+      srv.update("# HELP x\nx 1\n")
+      val url = new java.net.URI(s"http://localhost:${srv.boundPort}/metrics").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val body = new String(conn.getInputStream.readAllBytes())
+      assert(conn.getResponseCode === 200)
+      assert(conn.getContentType.startsWith("text/plain"))
+      assert(body === "# HELP x\nx 1\n")
+    } finally srv.stop()
+  }
+
   test("churn feed reports the deleted topic") {
     import spark.implicits._
     val churn = ChangeFeed.topicChurn(Snapshots.watermarks(spark, TestSpark.Sf0001))
