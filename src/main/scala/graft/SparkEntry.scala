@@ -145,6 +145,9 @@ object SparkEntry {
       Similarity.cosineNearDups(emb(s, dir), threshold = 0.4)
         .orderBy(col("vec_a"), col("vec_b"))),
 
+    "q_top_tokens_per_lang" -> ((s, dir) =>
+      TextAnalytics.topTokensPerLang(docs(s, dir))
+        .orderBy(col("lang"), col("rnk"))),
     "q_split_summary" -> ((s, dir) =>
       TextAnalytics.splitSummary(docs(s, dir)).orderBy(col("lang"), col("split"))),
     "q_quantize_report" -> ((s, dir) =>

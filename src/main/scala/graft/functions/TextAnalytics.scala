@@ -81,6 +81,20 @@ object TextAnalytics {
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
 
+  /** Per-language top-k tokens — grouped top-k via ranking window
+    * (deterministic count-desc, token-asc order). */
+  def topTokensPerLang(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("token"))
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("lang"), col("token"), col("cnt"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Quality scoring: stopword ratio, lexical diversity, length signal.
     * score = 0.4*(1 - stopword_ratio) + 0.3*min(1, n_tokens/100)
     *       + 0.3*(unique/n_tokens) — plain double arithmetic, identical

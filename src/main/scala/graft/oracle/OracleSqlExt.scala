@@ -170,6 +170,17 @@ r AS (SELECT query_id, vec_id AS neighbor_id, score,
 SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", score
 FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"""",
 
+    "q_top_tokens_per_lang" -> """
+WITH c AS (
+  SELECT lang, token, count(*) AS cnt
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY 1, 2)
+SELECT lang, token, cnt, rnk
+FROM (SELECT lang, token, cnt,
+             row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rnk
+      FROM c)
+WHERE rnk <= 5 ORDER BY lang, rnk""",
+
     "q_split_summary" -> """
 WITH sa AS (SELECT doc_id, substr(md5(text), 1, 2) AS h2 FROM documents),
 sp AS (SELECT doc_id, CASE WHEN h2 < 'f6' THEN 'train'
