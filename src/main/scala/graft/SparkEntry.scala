@@ -55,6 +55,10 @@ object SparkEntry {
       TopicAnalytics.mostActive(topicsDf(s, dir)).orderBy(col("name"))),
     "q_cluster_totals" -> ((s, dir) =>
       TopicAnalytics.clusterTotals(Snapshots.watermarks(s, dir), Snapshots.groupsDim(s, dir))),
+    "q_topic_flags" -> ((s, dir) =>
+      TopicAnalytics.topicFlags(Snapshots.watermarks(s, dir),
+        Snapshots.groupOffsets(s, dir), Snapshots.groupsDim(s, dir))
+        .orderBy(col("name"))),
     "q_governance_topics" -> ((s, dir) =>
       Governance.governed(topicsDf(s, dir)).orderBy(col("name"))),
     "q_governance_summary" -> ((s, dir) =>
@@ -99,6 +103,8 @@ object SparkEntry {
       TopicAnalytics.describeStats(topicsDf(s, dir)).orderBy(col("column"))),
 
     // --- text analysis / dedup / similarity (LLM training-data ops) ---
+    "q_doc_length_histogram" -> ((s, dir) =>
+      TextAnalytics.lengthHistogram(docs(s, dir)).orderBy(col("bucket"))),
     "q_doc_stats" -> ((s, dir) =>
       TextAnalytics.docStats(docs(s, dir)).orderBy(col("doc_id"))),
     "q_token_freq" -> ((s, dir) =>

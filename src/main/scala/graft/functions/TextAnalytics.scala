@@ -74,6 +74,13 @@ object TextAnalytics {
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
 
+  /** Corpus length distribution in fixed 100-char buckets — the standard
+    * pre-training length histogram (bucket = n_chars div 100). */
+  def lengthHistogram(docs: DataFrame): DataFrame =
+    docs.select(expr("n_chars div 100").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("docs"))
+
   /** Global token frequency, top-k by count (desc, token asc tiebreak). */
   def tokenFrequency(docs: DataFrame, k: Int = 50): DataFrame =
     docs.select(explode(tokens(col("text"))).as("token"))

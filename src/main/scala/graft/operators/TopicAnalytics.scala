@@ -77,6 +77,15 @@ object TopicAnalytics {
         countDistinct(when(col("is_active"), col("grp"))).as("active_groups"))
   }
 
+  /** A12: explicit existence aggregates per topic — has_new_messages =
+    * any partition advanced since baseline, has_active_groups = any
+    * attached group is active (reference Topic.has_* methods,
+    * overwatch_resources/topics.py:117-121,193-204). */
+  def topicFlags(wm: DataFrame, go: DataFrame, gd: DataFrame): DataFrame =
+    topicsDf(wm, go, gd).select(col("cluster"), col("name"),
+      (col("new_messages") > 0).as("has_new_messages"),
+      (col("active_groups") > 0).as("has_active_groups"))
+
   /** Waste-category predicates (reporting/topics.py:23-28, 43-47, 83-87). */
   val emptyPred: Column =
     col("total_messages") === 0

@@ -213,6 +213,8 @@ FROM (SELECT cluster, count(DISTINCT topic) AS topics_count, count(*) AS partiti
       FROM wm_latest GROUP BY 1) t
 JOIN (SELECT cluster, count(DISTINCT grp) AS consumer_groups_count
       FROM groups_dim WHERE s = $NumScans GROUP BY 1) g ON t.cluster = g.cluster""",
+    "q_topic_flags" ->
+      s"$base SELECT cluster, name, new_messages > 0 AS has_new_messages, active_groups > 0 AS has_active_groups FROM topics_df ORDER BY name",
     "q_governance_topics" ->
       s"$base, ${govCtes("topics_df", govTopic)} SELECT name, excluded_name, compliant_name FROM gov ORDER BY name",
     "q_governance_summary" ->

@@ -16,6 +16,10 @@ object OracleSqlExt {
     s"orev AS (SELECT l_orderkey, sum($decPrice) AS order_rev FROM lineitem GROUP BY 1)"
 
   val queries: Map[String, String] = Map(
+    "q_doc_length_histogram" -> """
+SELECT n_chars // 100 AS bucket, count(*) AS docs
+FROM documents GROUP BY 1 ORDER BY bucket""",
+
     "q_doc_stats" -> """
 SELECT doc_id, n_chars,
   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
