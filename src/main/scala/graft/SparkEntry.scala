@@ -32,9 +32,23 @@ object SparkEntry {
       TopicAnalytics.topicsDf(Snapshots.watermarks(s, dir),
         Snapshots.groupOffsets(s, dir), Snapshots.groupsDim(s, dir)).persist())
 
+  private val groupsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private def groupsDfOf(s: SparkSession, dir: String): DataFrame =
-    GroupAnalytics.groupsDf(Snapshots.watermarks(s, dir),
-      Snapshots.groupOffsets(s, dir), Snapshots.groupsDim(s, dir))
+    groupsMemo.getOrElseUpdate((s, dir),
+      GroupAnalytics.groupsDf(Snapshots.watermarks(s, dir),
+        Snapshots.groupOffsets(s, dir), Snapshots.groupsDim(s, dir)).persist())
+
+  /** The 0.3-threshold jaccard pair set feeds three queries
+    * (q_jaccard_pairs, q_dedup_clusters, q_dedup_corpus) — derive +
+    * persist once per (session, dir). */
+  private val jaccardMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def jaccardPairs03(s: SparkSession, dir: String): DataFrame =
+    jaccardMemo.getOrElseUpdate((s, dir),
+      functions.Dedup.jaccardPairs(docs(s, dir), threshold = 0.3).persist())
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topics_stats" -> ((s, dir) =>
@@ -125,14 +139,13 @@ object SparkEntry {
       Dedup.recordGroups(Snapshots.eventsRaw(s, dir), Seq("user_id", "event_type"),
         col("event_id")).orderBy(col("user_id"), col("event_type"))),
     "q_jaccard_pairs" -> ((s, dir) =>
-      Dedup.jaccardPairs(docs(s, dir), threshold = 0.3)
+      jaccardPairs03(s, dir)
         .orderBy(col("doc_a"), col("doc_b"))),
     "q_dedup_clusters" -> ((s, dir) =>
-      Dedup.dedupClusters(Dedup.jaccardPairs(docs(s, dir), threshold = 0.3))
+      Dedup.dedupClusters(jaccardPairs03(s, dir))
         .orderBy(col("doc_id"))),
     "q_dedup_corpus" -> ((s, dir) =>
-      Dedup.dedupedCorpus(docs(s, dir),
-        Dedup.jaccardPairs(docs(s, dir), threshold = 0.3))
+      Dedup.dedupedCorpus(docs(s, dir), jaccardPairs03(s, dir))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))),
     "q_minhash_pairs" -> ((s, dir) =>
