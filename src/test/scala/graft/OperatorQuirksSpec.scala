@@ -73,6 +73,18 @@ class OperatorQuirksSpec extends AnyFunSuite {
       Map("prod_orders" -> true, "xprod_orders" -> false))
   }
 
+  test("F2: subject normalization is literal replace (anywhere), not suffix-only") {
+    // reference uses str.replace: both markers removed wherever they occur
+    val sr = Seq(("r1", "a-value-b-key", 1L, 1L, "AVRO", "{}"),
+      ("r1", "orders-value", 1L, 2L, "AVRO", "{}"))
+      .toDF("registry", "subject", "version", "schema_id", "schema_type", "schema_string")
+    val bases = graft.operators.SchemaRegistryOps.withBaseName(sr)
+      .select($"subject", $"base").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(bases("a-value-b-key") === "a-b")
+    assert(bases("orders-value") === "orders")
+  }
+
   test("waste: empty category on empty input returns one zero row") {
     val empty = TopicAnalytics.topicsDf(microWm, microGo, microGd)
       .filter($"name" === "nope")
