@@ -134,16 +134,28 @@ case class ScanOffset(s: Long)
 
 class MetadataMicroBatchStream(dir: String, scan: MetadataScan,
                                required: StructType)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private var emitted = 0L
 
   override def initialOffset(): Offset = ScanOffset(0L)
-  override def latestOffset(): Offset = {
-    if (emitted < graft.sources.Snapshots.NumScans) emitted += 1
+
+  /** Admission-controlled latest offset: receives the RESTORED start
+    * offset, so a restarted query resumes after the committed scan instead
+    * of replaying from a fresh counter (which would regress the offset and
+    * re-serve scans as new batches). One scan per trigger, like a poll. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s0 = math.max(start.asInstanceOf[ScanOffset].s, emitted)
+    emitted = math.min(s0 + 1, graft.sources.Snapshots.NumScans.toLong)
     ScanOffset(emitted)
   }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
   override def deserializeOffset(json: String): Offset = ScanOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -64,6 +64,27 @@ class DataSourceV2Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("micro-batch stream restart from checkpoint emits no duplicates") {
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-out").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("kafka-metadata")
+        .option("dir", TestSpark.Sf0001).load()
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // consumes all three scans
+    val afterFirst = spark.read.parquet(out).count()
+    run() // restart from checkpoint: offset deserialized, nothing new
+    val afterSecond = spark.read.parquet(out).count()
+    assert(afterFirst === Snapshots.watermarks(spark, TestSpark.Sf0001).count())
+    assert(afterSecond === afterFirst, "restart must not re-emit consumed scans")
+  }
+
   test("column pruning reaches the reader") {
     import spark.implicits._
     val two = src.select($"topic", $"high")
