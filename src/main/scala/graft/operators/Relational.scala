@@ -33,16 +33,19 @@ object Relational {
         (sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"))
 
   /** Revenue per nation: lineitem joined through orders/customer/nation.
-    * Dimensions broadcast; revenue pre-aggregated per order before the
-    * customer join so the shuffle carries order-level rows, not line-level. */
+    * True dimensions (nation) broadcast; orders/customer are fact-sized and
+    * carry NO broadcast hint — AQE picks broadcast vs shuffle-hash from
+    * runtime sizes (a forced hint cannot be demoted and OOMs at 100x).
+    * Revenue is pre-aggregated per order before the customer join so the
+    * shuffle carries order-level rows, not line-level. */
   def revenueByNation(li: DataFrame, orders: DataFrame, customer: DataFrame,
                       nation: DataFrame): DataFrame = {
     val orderRev = li.groupBy(col("l_orderkey"))
       .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
         .as("order_rev"))
-    orderRev.join(broadcast(orders.select(col("o_orderkey"), col("o_custkey"))),
+    orderRev.join(orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
         col("c_nationkey") === col("n_nationkey"))
@@ -58,11 +61,11 @@ object Relational {
     val orderRev = li.groupBy(col("l_orderkey"))
       .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
         .as("order_rev"))
-    orderRev.join(broadcast(orders.select(col("o_orderkey"), col("o_custkey"))),
+    orderRev.join(orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"))
       .agg(sum(col("order_rev")).as("rev_d"), count(lit(1)).as("orders"))
-      .join(broadcast(customer.select(col("c_custkey"), col("c_name"))),
+      .join(customer.select(col("c_custkey"), col("c_name")),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("rev_d").cast("double").as("revenue"),
         col("orders"))
@@ -77,10 +80,10 @@ object Relational {
     val orderRev = li.groupBy(col("l_orderkey"))
       .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
         .as("order_rev"))
-    orderRev.join(broadcast(orders.select(col("o_orderkey"), col("o_custkey"))),
+    orderRev.join(orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"),
-        col("c_mktsegment"))), col("o_custkey") === col("c_custkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey"),
+        col("c_mktsegment")), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
         col("c_nationkey") === col("n_nationkey"))
       .rollup(col("n_name"), col("c_mktsegment"))
