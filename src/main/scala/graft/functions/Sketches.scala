@@ -132,15 +132,32 @@ object Sketches {
       .groupBy(col("doc_id"))
       .agg(simHashUdaf(col("h")).as("simhash"))
 
-  /** Near-dup pairs by SimHash: band the 64-bit fingerprint into 4x16-bit
-    * keys (any hamming<=3 pair must agree on >= 1 band), verify with
-    * bit_count(xor) <= maxHamming. */
+  /** Near-dup pairs by SimHash, banding the 64-bit fingerprint into
+    * `maxHamming + 1` contiguous bit ranges: if two fingerprints differ in
+    * at most maxHamming positions, pigeonhole guarantees at least one band
+    * with zero differing bits, so every true pair shares >= 1 band key —
+    * recall 1.0 within the radius (candidates verified exactly with
+    * bit_count(xor) <= maxHamming).
+    *
+    * Scale note: band keys are 64/(maxHamming+1) bits wide, so large radii
+    * produce weak keys (maxHamming=10 -> ~6-bit keys -> fat candidate
+    * buckets). Radii <= 7 keep keys >= 8 bits; beyond that prefer the
+    * MinHash path, whose bucket selectivity does not shrink with radius. */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
     val sh = simHashes(docs)
+    val numBands = maxHamming + 1
+    val bandCols = (0 until numBands).map { i =>
+      val start = i * 64 / numBands
+      val width = (i + 1) * 64 / numBands - start
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      struct(lit(i).as("band"),
+        shiftrightunsigned(col("simhash"), start).bitwiseAND(lit(mask)).as("band_key"))
+    }
     val bands = sh.select(col("doc_id"), col("simhash"),
-      explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("band_key",
-        expr("shiftrightunsigned(simhash, band * 16)").bitwiseAND(lit(0xFFFFL)))
+      explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.band_key").as("band_key"))
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&

@@ -44,6 +44,24 @@ class SketchSpec extends AnyFunSuite {
     assert(sh(1L) !== sh(3L))
   }
 
+  test("simhash banding recall is 1.0 within the guaranteed hamming radius") {
+    // Brute-force oracle: ALL pairs with hamming <= maxHamming over the
+    // real doc fingerprints, compared against the banded path.
+    for (maxHamming <- Seq(3, 10)) {
+      val sh = Sketches.simHashes(docs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      val truth = (for {
+        (ia, fa) <- sh; (ib, fb) <- sh
+        if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= maxHamming
+      } yield (ia, ib)).toSet
+      val banded = Sketches.simHashPairs(docs, maxHamming)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      assert(banded === truth,
+        s"maxHamming=$maxHamming: banded ${banded.size} != brute-force ${truth.size}")
+      assert(truth.nonEmpty || maxHamming < 10, s"radius-10 truth set empty on fixture")
+    }
+  }
+
   test("knnLsh recall against knnExact") {
     val exact = Similarity.knnExact(emb, nQueries = 10, k = 10)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
