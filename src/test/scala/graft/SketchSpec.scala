@@ -82,6 +82,21 @@ class SketchSpec extends AnyFunSuite {
     assert(recall >= 0.25, s"IVF recall $recall < 0.25")
   }
 
+  test("native quantization report is bit-identical to the HOF form") {
+    val native = Similarity.quantizationReport(emb)
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    val hof = Similarity.quantizationReportHof(emb)
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(native.length === hof.length && native.nonEmpty)
+    native.zip(hof).foreach { case ((id1, s1, e1), (id2, s2, e2)) =>
+      assert(id1 === id2)
+      assert(java.lang.Double.doubleToLongBits(s1) === java.lang.Double.doubleToLongBits(s2),
+        s"scale mismatch for vec $id1")
+      assert(java.lang.Double.doubleToLongBits(e1) === java.lang.Double.doubleToLongBits(e2),
+        s"max_abs_err mismatch for vec $id1")
+    }
+  }
+
   test("dedup clustering finds connected components and keeps one representative") {
     import spark.implicits._
     // components: {1,2,3,4} (chain), {10,11}, singleton edges only
