@@ -151,8 +151,11 @@ object SparkEntry {
     "q_minhash_pairs" -> ((s, dir) =>
       Sketches.minHashPairs(docs(s, dir), threshold = 0.3)
         .orderBy(col("doc_a"), col("doc_b"))),
+    // radius 4 -> 5 bands of ~13-bit keys: recall 1.0 within the radius
+    // (SketchSpec) with selective buckets; radius 10 would need 11 bands
+    // of ~6-bit keys whose fan-out grows quadratically per bucket.
     "q_simhash_pairs" -> ((s, dir) =>
-      Sketches.simHashPairs(docs(s, dir), maxHamming = 10)
+      Sketches.simHashPairs(docs(s, dir), maxHamming = 4)
         .orderBy(col("doc_a"), col("doc_b"))),
     "q_knn_exact" -> ((s, dir) =>
       Similarity.knnExact(emb(s, dir)).orderBy(col("query_id"), col("rank"))),

@@ -94,7 +94,9 @@ sr_topics AS (
   SELECT DISTINCT topic FROM watermarks WHERE topic NOT IN $injectedTopicsIn),
 sr_derived AS (
   SELECT 'sr1' AS registry, topic || '-value' AS subject, CAST(1 AS BIGINT) AS version,
-         100 + dense_rank() OVER (ORDER BY topic) AS schema_id,
+         1000 + (list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(topic) + 1), i -> CAST(ascii(topic[i:i]) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 1000000007) % 100000) AS schema_id,
          'AVRO' AS schema_type, '{"type":"record","name":"r"}' AS schema_string
   FROM sr_topics),
 sr_subjects AS (

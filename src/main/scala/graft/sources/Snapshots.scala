@@ -210,12 +210,15 @@ object Snapshots {
 
   private def srSubjectsUncached(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val topics = watermarks(spark, dir)
       .filter(!$"topic".isin(InjectedTopics: _*))
       .select($"topic").distinct()
+    // schema_id from a row-local content hash, not dense_rank over an
+    // unpartitioned window (which serializes the stage to one partition);
+    // offset 1000 keeps the derived id range clear of the injected 201-204.
     val derived = topics
-      .withColumn("schema_id", lit(100L) + dense_rank().over(Window.orderBy($"topic")))
+      .withColumn("schema_id",
+        lit(1000L) + graft.expressions.PolyHash.polyhash($"topic") % lit(100000L))
       .select(lit("sr1").as("registry"), concat($"topic", lit("-value")).as("subject"),
         lit(1L).as("version"), $"schema_id", lit("AVRO").as("schema_type"),
         lit("""{"type":"record","name":"r"}""").as("schema_string"))
