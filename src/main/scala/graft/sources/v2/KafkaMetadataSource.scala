@@ -1,7 +1,6 @@
 package graft.sources.v2
 
 import java.util
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -16,12 +15,12 @@ import scala.jdk.CollectionConverters._
   * `spark.read.format("kafka-metadata").option("dir", ...).load()` surfaces
   * the partition-watermark snapshot as a first-class table.
   *
-  * Planning mirrors a production AdminClient collector: the DRIVER lists
-  * topics (cheap metadata RPC), plans one input partition per topic, and
-  * EXECUTORS produce the per-partition watermark rows — here from the
-  * deterministic fixture derivation, in production from
-  * consumer.get_watermark_offsets with the reference's batching/retry
-  * behavior (kafka_overwatch/kafka_resources/topics.py:134-209).
+  * Planning mirrors a production AdminClient collector: the DRIVER holds
+  * only the topic LIST (WatermarkFetcher.listTopics — a cheap metadata
+  * RPC) and plans one input partition per topic; row data is fetched by
+  * EXECUTORS inside PartitionReader (WatermarkFetcher.fetch — the
+  * get_watermark_offsets loop, kafka_overwatch/kafka_resources/topics.py:134-209).
+  * No watermark row ever materializes on the driver.
   *
   * Pushdown: cluster/topic EqualTo and In filters prune input partitions
   * at the source — the reference's declared-but-unused
@@ -43,17 +42,6 @@ object KafkaMetadataSource {
     StructField("partition_id", LongType), StructField("low", LongType),
     StructField("high", LongType), StructField("scan_ts", LongType),
     StructField("s", LongType)))
-
-  /** Driver-side snapshot fetch, grouped per topic — the planning input.
-    * (A live implementation returns lazily-fetched per-topic thunks; the
-    * fixture derivation needs a SparkSession so rows are gathered here.) */
-  def topicRows(dir: String): Map[String, Array[WmRow]] = {
-    val spark = SparkSession.active
-    graft.sources.Snapshots.watermarks(spark, dir).collect()
-      .map(r => WmRow(r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5), r.getLong(6)))
-      .groupBy(_.topic)
-  }
 }
 
 case class WmRow(cluster: String, topic: String, partitionId: Long, low: Long,
@@ -65,10 +53,10 @@ class MetadataTable(dir: String) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MetadataScanBuilder(dir)
+    new MetadataScanBuilder(new FixtureFetcher(dir))
 }
 
-class MetadataScanBuilder(dir: String)
+class MetadataScanBuilder(fetcher: WatermarkFetcher)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
   private var pushed: Array[Filter] = Array.empty
@@ -86,41 +74,51 @@ class MetadataScanBuilder(dir: String)
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new MetadataScan(dir, pushed, required)
+  override def build(): Scan = new MetadataScan(fetcher, pushed, required)
 }
 
-class MetadataScan(dir: String, filters: Array[Filter], required: StructType)
+class MetadataScan(fetcher: WatermarkFetcher, filters: Array[Filter],
+                   required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new MetadataMicroBatchStream(dir, this, required)
+    new MetadataMicroBatchStream(fetcher, this, required)
 
   private[v2] def topicAllowed(t: String): Boolean = filters.forall {
     case EqualTo("topic", v) => t == v
     case In("topic", vs) => vs.contains(t)
     case _ => true
   }
-  private[v2] def clusterAllowed(c: String): Boolean = filters.forall {
-    case EqualTo("cluster", v) => c == v
-    case In("cluster", vs) => vs.contains(c)
-    case _ => true
+  /** Cluster values allowed by pushed filters; None = all. Evaluated
+    * driver-side into plain data so partitions stay small and
+    * serializable. */
+  private[v2] def allowedClusters: Option[Set[String]] = {
+    val sets = filters.collect {
+      case EqualTo("cluster", v) => Set(v.toString)
+      case In("cluster", vs) => vs.map(_.toString).toSet
+    }
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
   }
 
+  /** One partition per allowed topic — built from the topic list alone. */
   override def planInputPartitions(): Array[InputPartition] =
-    KafkaMetadataSource.topicRows(dir).toSeq.sortBy(_._1)
-      .filter { case (t, _) => topicAllowed(t) }             // partition pruning
-      .map { case (_, rows) =>
-        MetadataInputPartition(rows.filter(r => clusterAllowed(r.cluster)))
-          : InputPartition
-      }.toArray
+    fetcher.listTopics()
+      .filter(topicAllowed)                                 // partition pruning
+      .map(t => MetadataInputPartition(fetcher, t, allowedClusters,
+        0L, Long.MaxValue): InputPartition)
+      .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new MetadataReaderFactory(required.fieldNames)
 }
 
-case class MetadataInputPartition(rows: Array[WmRow]) extends InputPartition
+/** A planned unit of work: fetch one topic's rows on the executor,
+  * keeping scans in (minS, maxS] and rows of the allowed clusters. */
+case class MetadataInputPartition(fetcher: WatermarkFetcher, topic: String,
+                                  clusters: Option[Set[String]],
+                                  minS: Long, maxS: Long) extends InputPartition
 
 /** Streaming offset = scan ordinal: micro-batch (start, end] delivers the
   * rows of scans start+1..end, the way each poll of a live cluster
@@ -132,7 +130,7 @@ case class ScanOffset(s: Long)
   override def json(): String = s.toString
 }
 
-class MetadataMicroBatchStream(dir: String, scan: MetadataScan,
+class MetadataMicroBatchStream(fetcher: WatermarkFetcher, scan: MetadataScan,
                                required: StructType)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
@@ -163,14 +161,10 @@ class MetadataMicroBatchStream(dir: String, scan: MetadataScan,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s0 = start.asInstanceOf[ScanOffset].s
     val s1 = end.asInstanceOf[ScanOffset].s
-    KafkaMetadataSource.topicRows(dir).toSeq.sortBy(_._1)
-      .filter { case (t, _) => scan.topicAllowed(t) }
-      .map { case (_, rows) =>
-        MetadataInputPartition(rows.filter(r =>
-          scan.clusterAllowed(r.cluster) && r.s > s0 && r.s <= s1))
-          : InputPartition
-      }
-      .filter(_.asInstanceOf[MetadataInputPartition].rows.nonEmpty)
+    fetcher.listTopics()
+      .filter(scan.topicAllowed)
+      .map(t => MetadataInputPartition(fetcher, t, scan.allowedClusters, s0, s1)
+        : InputPartition)
       .toArray
   }
 
@@ -181,8 +175,12 @@ class MetadataMicroBatchStream(dir: String, scan: MetadataScan,
 class MetadataReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val rows = p.asInstanceOf[MetadataInputPartition].rows
+    val part = p.asInstanceOf[MetadataInputPartition]
     new PartitionReader[InternalRow] {
+      // executor-side fetch: rows first materialize here, not at planning
+      private lazy val rows: Array[WmRow] = part.fetcher.fetch(part.topic)
+        .filter(r => part.clusters.forall(_.contains(r.cluster)) &&
+          r.s > part.minS && r.s <= part.maxS)
       private var i = -1
       override def next(): Boolean = { i += 1; i < rows.length }
       override def get(): InternalRow = {
