@@ -45,14 +45,17 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("label")).as("nmin"))
+      // carry a per-row changed flag instead of re-joining old vs new
+      // labels for the convergence check: the check becomes a scan of the
+      // just-checkpointed result, not an extra join job per round.
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (coalesce(col("nmin"), col("label")) < col("label")).as("changed"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels = next
-      converged = changed == 0
+      converged = !next.agg(coalesce(max(col("changed")), lit(false)))
+        .first().getBoolean(0)
+      labels = next.drop("changed")
       i += 1
     }
     labels.withColumn("keep", col("doc_id") === col("label"))

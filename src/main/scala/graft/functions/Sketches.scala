@@ -37,7 +37,15 @@ object Sketches {
 
   /** MinHash signature aggregator: IN = shingle hash, BUF = running mins
     * for all permutations (fixed 64*8 bytes per group — constant state, no
-    * per-row growth), OUT = signature. */
+    * per-row growth), OUT = signature.
+    *
+    * Deliberately the classic 64-permutation scheme. One-permutation
+    * hashing (bin by top bits + rotation densification) was measured on
+    * this corpus and REJECTED: with one realized hash draw, shared
+    * stop-shingles dominate bins and densification correlates agreements,
+    * inflating est_jaccard (mean 0.21 vs 0.14 true; 8093 vs 299 pairs
+    * >= 0.3 on sf0.01) — a bias rows-only checks would never catch. The
+    * 64 mixes per shingle are a constant factor the band join amortizes. */
   class MinHashAgg extends Aggregator[Long, Array[Long], Seq[Long]] {
     def zero: Array[Long] = Array.fill(NumHashes)(Long.MaxValue)
     def reduce(b: Array[Long], x: Long): Array[Long] = {
