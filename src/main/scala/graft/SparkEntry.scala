@@ -93,11 +93,51 @@ object SparkEntry {
     "q_sr_backup_index" -> ((s, dir) =>
       SchemaRegistryOps.backupIndex(Snapshots.srSubjects(s, dir))
         .orderBy(col("file_name"))),
-    "q_cluster_report" -> ((s, dir) =>
-      report.ClusterReporting.clusterReport(Snapshots.Cluster, topicsDf(s, dir),
+    // the assembled report, flattened to its scalar fields so the DuckDB
+    // oracle can hash-check the whole document end-to-end (the nested
+    // JSON shape itself is contract-tested byte-exactly in ReportSpec)
+    "q_cluster_report" -> ((s, dir) => {
+      val rpt = report.ClusterReporting.clusterReport(Snapshots.Cluster, topicsDf(s, dir),
         groupsDfOf(s, dir), Snapshots.srSubjects(s, dir),
         latestWm(s, dir),
-        java.time.Instant.ofEpochSecond(Snapshots.Epoch0 + Snapshots.Step * Snapshots.NumScans))),
+        java.time.Instant.ofEpochSecond(Snapshots.Epoch0 + Snapshots.Step * Snapshots.NumScans))
+      val c = col("cluster")
+      rpt.select(
+        c.getField("cluster_name").as("cluster_name"),
+        c.getField("metadata").getField("timestamp").as("report_ts"),
+        c.getField("statistics").getField("topics").as("topics"),
+        c.getField("statistics").getField("partitions").as("partitions"),
+        c.getField("statistics").getField("consumer_groups").getField("total").as("cg_total"),
+        c.getField("statistics").getField("consumer_groups").getField("active").as("cg_active"),
+        c.getField("statistics").getField("consumer_groups").getField("inactive").as("cg_inactive"),
+        size(c.getField("statistics").getField("most_active_topics")).cast("long")
+          .as("most_active_count"),
+        c.getField("estimated_waste").getField("topics").as("waste_topics"),
+        c.getField("estimated_waste").getField("partitions").as("waste_partitions"),
+        c.getField("estimated_waste").getField("topic_categories")
+          .getItem("no_messages").getField("topics_count").as("empty_topics"),
+        c.getField("estimated_waste").getField("topic_categories")
+          .getItem("no_messages").getField("cluster_percentage").as("empty_pct"),
+        c.getField("estimated_waste").getField("topic_categories")
+          .getItem("no_active_cg_no_messages_topics_with_multiple_partitions")
+          .getField("topics_count").as("dead_weight_topics"),
+        c.getField("estimated_waste").getField("topic_categories")
+          .getItem("no_cgs_and_no_new_messages").getField("topics_count").as("stale_topics"),
+        c.getField("governance").getField("topic_naming_convention")
+          .getField("total").as("t_gov_total"),
+        c.getField("governance").getField("topic_naming_convention")
+          .getField("total_ignored").as("t_gov_ignored"),
+        c.getField("governance").getField("topic_naming_convention")
+          .getField("total_measured").as("t_gov_measured"),
+        c.getField("governance").getField("topic_naming_convention")
+          .getField("compliant_percentage").as("t_gov_pct"),
+        c.getField("governance").getField("consumer_group_naming_convention")
+          .getField("compliant_percentage").as("g_gov_pct"),
+        c.getField("schema_registry").getField("subjects_count").as("subjects_count"),
+        c.getField("schema_registry").getField("schemas_count").as("schemas_count"),
+        c.getField("schema_registry").getField("schemas_estimates")
+          .getField("detected_unused_count").as("detected_unused_count"))
+    }),
     "q_partition_deltas" -> ((s, dir) =>
       Deltas.partitionDeltas(Snapshots.watermarks(s, dir))
         .orderBy(col("topic"), col("partition_id"), col("scan_ts"))),

@@ -23,7 +23,7 @@ object Multimodal {
   case class Asset(asset_id: Long, kind: String, payload: Array[Byte],
                    width: Int, height: Int, sample_rate: Int)
   case class AssetFeatures(asset_id: Long, kind: String, n_bytes: Long,
-                           features: Array[Double])
+                           counts: Array[Long], features: Array[Double])
 
   val FeatureBins = 16
 
@@ -43,17 +43,14 @@ object Multimodal {
   }
 
   /** THE STUB: a real decoder would turn payload bytes into pixels/samples
-    * here. Deterministic stand-in: normalized 16-bin byte histogram. */
-  def stubDecode(payload: Array[Byte]): Array[Double] = {
-    val hist = new Array[Double](FeatureBins)
+    * here. Deterministic stand-in: a 16-bin byte histogram, returned as
+    * raw counts (exact integers — the oracle-checkable form). */
+  def stubDecode(payload: Array[Byte]): Array[Long] = {
+    val hist = new Array[Long](FeatureBins)
     var i = 0
     while (i < payload.length) {
-      hist((payload(i) & 0xff) / (256 / FeatureBins)) += 1.0
+      hist((payload(i) & 0xff) / (256 / FeatureBins)) += 1L
       i += 1
-    }
-    if (payload.length > 0) {
-      var b = 0
-      while (b < FeatureBins) { hist(b) /= payload.length; b += 1 }
     }
     hist
   }
@@ -66,8 +63,10 @@ object Multimodal {
     assets.mapPartitions { batch =>
       // real impl: initialize codec once per batch here
       batch.map { a =>
-        AssetFeatures(a.asset_id, a.kind, a.payload.length.toLong,
-          stubDecode(a.payload))
+        val counts = stubDecode(a.payload)
+        val n = a.payload.length
+        val feats = counts.map(c => if (n > 0) c.toDouble / n else 0.0)
+        AssetFeatures(a.asset_id, a.kind, n.toLong, counts, feats)
       }
     }
   }
@@ -89,13 +88,18 @@ object Multimodal {
         slice(sequence(lit(0), lit(everyN * (cap - 1)), lit(everyN)), 1, cap)
           .as("frame_indexes"))
 
-  /** Per-kind feature rollup (the downstream consumer of decode): mean
-    * feature vector per modality. */
-  def featureStats(features: Dataset[AssetFeatures]): DataFrame = {
-    import features.sparkSession.implicits._
+  /** Per-kind feature rollup (the downstream consumer of decode): pooled
+    * byte distribution per modality from EXACT integer sums — the mean is
+    * one double division at the end, so the result is order-independent
+    * and bit-reproducible (an avg over per-asset doubles would depend on
+    * accumulation order and could never hash-match an oracle). */
+  def featureStats(features: Dataset[AssetFeatures]): DataFrame =
     features.toDF()
-      .select(col("kind"), col("n_bytes"), posexplode(col("features")))
+      .select(col("kind"), col("n_bytes"), posexplode(col("counts")))
       .groupBy(col("kind"), col("pos"))
-      .agg(avg(col("col")).as("mean_feature"), count(lit(1)).as("n_assets"))
-  }
+      .agg(
+        sum(col("col")).as("bin_count"),
+        sum(col("n_bytes")).as("total_bytes"),
+        (sum(col("col")).cast("double") / sum(col("n_bytes"))).as("pooled_feature"),
+        count(lit(1)).as("n_assets"))
 }

@@ -300,6 +300,62 @@ SELECT p.cluster, p.topic,
          || COALESCE(f.config_flags, '') AS command
 FROM parts p LEFT JOIN flags f ON p.cluster = f.cluster AND p.topic = f.topic
 ORDER BY p.topic""",
+    "q_cluster_report" ->
+      s"""$base,
+q AS (SELECT quantile_cont(new_messages, 0.75) AS q_new,
+             quantile_cont(total_messages, 0.75) AS q_total FROM topics_df),
+tgov AS (
+  SELECT count(*) AS cnt,
+         CAST(sum(CASE WHEN regexp_matches(name, ${govTopic._2}) THEN 1 ELSE 0 END) AS BIGINT) AS excl,
+         CAST(sum(CASE WHEN NOT regexp_matches(name, ${govTopic._1})
+                        AND NOT regexp_matches(name, ${govTopic._2}) THEN 1 ELSE 0 END) AS BIGINT) AS nc
+  FROM topics_df),
+ggov AS (
+  SELECT count(*) AS cnt,
+         CAST(sum(CASE WHEN regexp_matches(name, ${govGroup._2}) THEN 1 ELSE 0 END) AS BIGINT) AS excl,
+         CAST(sum(CASE WHEN NOT regexp_matches(name, ${govGroup._1})
+                        AND NOT regexp_matches(name, ${govGroup._2}) THEN 1 ELSE 0 END) AS BIGINT) AS nc
+  FROM groups_df),
+wc AS (
+  SELECT count(*) AS t_total, CAST(sum(partitions) AS BIGINT) AS t_partitions,
+         CAST(sum(CASE WHEN total_messages = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_topics,
+         CAST(COALESCE(sum(CASE WHEN total_messages = 0 THEN partitions END), 0) AS BIGINT) AS empty_parts,
+         CAST(sum(CASE WHEN total_messages = 0 AND partitions > 1 AND active_groups = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dw_topics,
+         CAST(COALESCE(sum(CASE WHEN total_messages = 0 AND partitions > 1 AND active_groups = 0 THEN partitions END), 0) AS BIGINT) AS dw_parts,
+         CAST(sum(CASE WHEN total_messages > 0 AND new_messages = 0 AND active_groups = 0 THEN 1 ELSE 0 END) AS BIGINT) AS stale_topics,
+         CAST(COALESCE(sum(CASE WHEN total_messages > 0 AND new_messages = 0 AND active_groups = 0 THEN partitions END), 0) AS BIGINT) AS stale_parts
+  FROM topics_df),
+cg AS (
+  SELECT count(*) AS cg_total,
+         CAST(sum(CASE WHEN overall_lag = 0 AND members > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cg_active,
+         CAST(sum(CASE WHEN overall_lag > 0 OR members = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cg_inactive
+  FROM groups_df),
+ma AS (
+  SELECT count(*) AS most_active_count FROM topics_df, q
+  WHERE new_messages > q_new AND total_messages > q_total AND active_groups > 0),
+sr AS (SELECT count(DISTINCT subject) AS subjects_count,
+              count(DISTINCT schema_id) AS schemas_count FROM sr_subjects),
+un AS (
+  SELECT count(DISTINCT subject) AS detected_unused_count
+  FROM (SELECT subject, replace(replace(subject, '-value', ''), '-key', '') AS base_name
+        FROM sr_subjects)
+  WHERE base_name NOT IN (SELECT DISTINCT topic FROM wm_latest))
+SELECT 'c1' AS cluster_name, '2023-11-14T22:16:20.000000' AS report_ts,
+       wc.t_total AS topics, wc.t_partitions AS partitions,
+       cg.cg_total, cg.cg_active, cg.cg_inactive,
+       ma.most_active_count,
+       wc.empty_topics + wc.dw_topics + wc.stale_topics AS waste_topics,
+       wc.empty_parts + wc.dw_parts + wc.stale_parts AS waste_partitions,
+       wc.empty_topics,
+       CASE WHEN wc.t_total = 0 THEN NULL
+            ELSE CAST((wc.empty_topics * 100) // wc.t_total AS DOUBLE) END AS empty_pct,
+       wc.dw_topics AS dead_weight_topics, wc.stale_topics AS stale_topics,
+       CAST(tgov.cnt AS DOUBLE) AS t_gov_total, CAST(tgov.excl AS DOUBLE) AS t_gov_ignored,
+       CAST(tgov.cnt - tgov.excl AS DOUBLE) AS t_gov_measured,
+       100.0 - tgov.nc * 100.0 / nullif(tgov.cnt - tgov.excl, 0) AS t_gov_pct,
+       100.0 - ggov.nc * 100.0 / nullif(ggov.cnt - ggov.excl, 0) AS g_gov_pct,
+       sr.subjects_count, sr.schemas_count, un.detected_unused_count
+FROM wc, cg, ma, tgov, ggov, sr, un""",
     "q_describe_stats" ->
       s"""$base, num AS (
   SELECT 'total_messages' AS "column", count(*) AS cnt,

@@ -16,6 +16,29 @@ object OracleSqlExt {
     s"orev AS (SELECT l_orderkey, sum($decPrice) AS order_rev FROM lineitem GROUP BY 1)"
 
   val queries: Map[String, String] = Map(
+    "q_multimodal_features" -> """
+WITH a AS (
+  SELECT doc_id AS asset_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+         text, length(text) AS n
+  FROM documents),
+bins AS (
+  SELECT kind, unnest(list_transform(range(1, n + 1), i -> ascii(text[i:i]) // 16)) AS bin
+  FROM a),
+bincnt AS (SELECT kind, bin, count(*) AS cnt FROM bins GROUP BY 1, 2),
+ka AS (SELECT kind, CAST(sum(n) AS BIGINT) AS total_bytes, count(*) AS n_assets
+       FROM a GROUP BY 1),
+grid AS (SELECT kind, CAST(p AS INT) AS pos
+         FROM (SELECT DISTINCT kind FROM a), range(0, 16) t(p))
+SELECT g.kind, g.pos,
+       CAST(COALESCE(b.cnt, 0) AS BIGINT) AS bin_count,
+       ka.total_bytes,
+       CAST(COALESCE(b.cnt, 0) AS DOUBLE) / ka.total_bytes AS pooled_feature,
+       ka.n_assets
+FROM grid g JOIN ka ON g.kind = ka.kind
+LEFT JOIN bincnt b ON b.kind = g.kind AND b.bin = g.pos
+ORDER BY g.kind, g.pos""",
+
     "q_doc_length_histogram" -> """
 SELECT n_chars // 100 AS bucket, count(*) AS docs
 FROM documents GROUP BY 1 ORDER BY bucket""",
