@@ -25,6 +25,28 @@ object Sketches {
     Array.fill(NumHashes)(r.nextLong())
   }
 
+  /** Carter-Wegman universal permutation family h_i(x) = (a_i*x + b_i)
+    * mod p over the Mersenne prime p = 2^31-1 — the textbook minhash
+    * family. With x < 2^30 (polyhash) and a_i < p the product stays below
+    * 2^62, so the SAME arithmetic runs wrap-free in engines without
+    * 128-bit multiply (the DuckDB oracle) — which is what makes the
+    * minhash pair query hash-checkable — while a*x spans ~2^31 multiples
+    * of p, so the mod genuinely scrambles order (a 2^61-modulus variant
+    * was tried and REJECTED: products wrap at most twice, the map stays
+    * piecewise order-preserving, and correlated argmins inflated
+    * est_jaccard ~20x). Constants are the single source of truth for both
+    * engines (graft.oracle.OracleSqlExt embeds them as literals). */
+  val P31: Long = (1L << 31) - 1
+  val UnivA: Array[Long] = {
+    val r = new scala.util.Random(20240612L)
+    Array.fill(NumHashes)(math.floorMod(r.nextLong(), P31 - 1) + 1)
+  }
+  val UnivB: Array[Long] = {
+    val r = new scala.util.Random(20240613L)
+    Array.fill(NumHashes)(math.floorMod(r.nextLong(), P31))
+  }
+  @inline def univ(x: Long, i: Int): Long = (UnivA(i) * x + UnivB(i)) % P31
+
   /** 64-bit mix (murmur3 finalizer) of a pre-hashed value with a seed —
     * the permutation family h_i(x). */
   @inline def mix(x: Long, seed: Long): Long = {
@@ -51,7 +73,7 @@ object Sketches {
     def reduce(b: Array[Long], x: Long): Array[Long] = {
       var i = 0
       while (i < NumHashes) {
-        val v = mix(x, Seeds(i))
+        val v = univ(x, i)
         if (v < b(i)) b(i) = v
         i += 1
       }
@@ -100,23 +122,28 @@ object Sketches {
   private lazy val minHashUdaf = udaf(new MinHashAgg, Encoders.scalaLong)
   private lazy val simHashUdaf = udaf(new SimHashAgg, Encoders.scalaLong)
 
-  /** MinHash signatures per document from its character shingles. */
+  /** MinHash signatures per document from its character shingles. The
+    * shingle hash is polyhash (< 2^30 — within the univ() input bound and
+    * reproducible in the oracle). */
   def minHashSignatures(docs: DataFrame, n: Int = 5): DataFrame =
     Dedup.charShingles(docs, n)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .select(col("doc_id"),
+        graft.expressions.PolyHash.polyhash(col("shingle")).as("h"))
       .groupBy(col("doc_id"))
       .agg(minHashUdaf(col("h")).as("sig"))
 
   /** Banded-LSH candidate pairs + signature-estimated Jaccard.
     * Pairs sharing >= 1 of the 16 bands are candidates; est_jaccard =
-    * fraction of agreeing signature positions. */
+    * fraction of agreeing signature positions. The band join key is the
+    * signature SLICE itself (array equi-join), not a 32-bit re-hash of
+    * it: identical semantics to "all 4 positions agree", with no
+    * hash-collision candidates an external checker couldn't reproduce. */
   def minHashPairs(docs: DataFrame, threshold: Double = 0.5, n: Int = 5): DataFrame = {
     val sigs = minHashSignatures(docs, n)
     val bands = sigs.select(col("doc_id"), col("sig"),
       explode(sequence(lit(0), lit(MinHashBands - 1))).as("band"))
       .select(col("doc_id"), col("sig"), col("band"),
-        hash(col("band"), expr(s"slice(sig, band * $RowsPerBand + 1, $RowsPerBand)"))
-          .as("band_key"))
+        expr(s"slice(sig, band * $RowsPerBand + 1, $RowsPerBand)").as("band_key"))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
@@ -132,11 +159,24 @@ object Sketches {
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
   }
 
-  /** SimHash fingerprints per document from its tokens. */
+  /** SimHash fingerprints per document from its tokens.
+    *
+    * The token hash is a 60-bit combination of two independent polynomial
+    * hashes (h2 * 2^30 + h1, graft.expressions.PolyHash) rather than
+    * xxhash64: every intermediate stays below 2^63 WITHOUT wrapping
+    * multiplication, so an external engine (the DuckDB oracle) reproduces
+    * the exact fingerprints and the pair query gets a full hash-match
+    * oracle instead of a rows-only check. Bits 60-63 are constant zero;
+    * banding over the 64-bit value is unaffected. */
+  def tokenHash(token: Column): Column =
+    graft.expressions.PolyHash.polyhashWith(token,
+      graft.expressions.PolyHash.Base2, graft.expressions.PolyHash.Mod2) *
+      lit(1L << 30) + graft.expressions.PolyHash.polyhash(token)
+
   def simHashes(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       explode(TextAnalytics.tokens(col("text"))).as("token"))
-      .select(col("doc_id"), xxhash64(col("token")).as("h"))
+      .select(col("doc_id"), tokenHash(col("token")).as("h"))
       .groupBy(col("doc_id"))
       .agg(simHashUdaf(col("h")).as("simhash"))
 

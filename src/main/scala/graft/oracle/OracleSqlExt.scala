@@ -15,7 +15,74 @@ object OracleSqlExt {
   private val orev =
     s"orev AS (SELECT l_orderkey, sum($decPrice) AS order_rev FROM lineitem GROUP BY 1)"
 
+  /** Polynomial token hash mirrors (graft.expressions.PolyHash): fold
+    * over byte values, every intermediate below 2^63 — the reason the
+    * engine's SimHash is oracle-reproducible at all. */
+  private def polyFold(base: Long, mod: Long) =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(range(1, length(token) + 1), " +
+      s"i -> CAST(ascii(token[i:i]) AS BIGINT))), (acc, c) -> (acc * $base + c) % $mod)"
+
+  /** 60-bit combined token hash: h2 * 2^30 + h1 (mirror of Sketches.tokenHash). */
+  private val tokenHashSql =
+    s"(${polyFold(131, 998244353L)} * 1073741824 + ${polyFold(31, 1000000007L)})"
+
+  /** Per-bit majority vote -> fingerprint, as one generated 60-term sum. */
+  private val simhashBitsSql = (0 until 60).map(i =>
+    s"CASE WHEN sum(CASE WHEN (ch >> $i) & 1 = 1 THEN 1 ELSE -1 END) > 0" +
+      s" THEN CAST(${1L << i} AS BIGINT) ELSE 0 END").mkString(" + ")
+
+  /** MinHash mirror: signature position i = min over shingle hashes x of
+    * (a_i * x + b_i) mod p — constants shared with Sketches.univ. */
+  private val minhashSigSql = {
+    import graft.functions.Sketches.{NumHashes, P31, UnivA, UnivB}
+    "[" + (0 until NumHashes).map(i =>
+      s"list_min(list_transform(xs, x -> (${UnivA(i)} * x + ${UnivB(i)}) % $P31))")
+      .mkString(", ") + "]"
+  }
+
+  /** >= 1 of the 16 bands fully agrees (4 consecutive positions each). */
+  private val minhashBandShareSql = {
+    import graft.functions.Sketches.{MinHashBands, RowsPerBand}
+    (0 until MinHashBands).map(g => "(" + (1 to RowsPerBand).map(r =>
+      s"a.sig[${g * RowsPerBand + r}] = b.sig[${g * RowsPerBand + r}]")
+      .mkString(" AND ") + ")").mkString(" OR ")
+  }
+
   val queries: Map[String, String] = Map(
+    "q_minhash_pairs" -> s"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(text) - 4, 0) + 1),
+           i -> text[i:i+4])) AS shingles
+  FROM documents),
+xs AS (
+  SELECT doc_id,
+         list_transform(shingles, sgl -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(sgl) + 1), i -> CAST(ascii(sgl[i:i]) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 1000000007)) AS xs
+  FROM sh),
+f AS (SELECT doc_id, $minhashSigSql AS sig FROM xs),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 64
+           AS est_jaccard,
+         ($minhashBandShareSql) AS band_share
+  FROM f a JOIN f b ON a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, est_jaccard FROM p
+WHERE band_share AND est_jaccard >= 0.3
+ORDER BY doc_a, doc_b""",
+
+    "q_simhash_pairs" -> s"""
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+h AS (SELECT doc_id, $tokenHashSql AS ch FROM t),
+f AS (SELECT doc_id, $simhashBitsSql AS simhash FROM h GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM f a JOIN f b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+ORDER BY doc_a, doc_b""",
+
     "q_multimodal_features" -> """
 WITH a AS (
   SELECT doc_id AS asset_id,
