@@ -99,12 +99,25 @@ object Similarity {
   val BitsPerTable = 4
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a
-    * mixed hash of (p, j) scaled to [-1, 1]. Seeded by Sketches.mix, so
-    * runs are reproducible without any stored model. */
+    * double-round affine hash of the flat index scaled to [-1, 1]. Two
+    * DIFFERENT prime moduli make the composition non-affine (a genuine
+    * scramble), while every intermediate stays below 2^62 — so the DuckDB
+    * oracle regenerates the exact same planes and the LSH queries become
+    * hash-checkable (constants mirrored in graft.oracle.OracleSqlExt).
+    * Reproducible without any stored model. */
+  val PlaneA1 = 1103515245L
+  val PlaneB1 = 12345L
+  val PlaneP1 = 2147483647L  // 2^31 - 1
+  val PlaneA2 = 747796405L
+  val PlaneB2 = 277803737L
+  val PlaneP2 = 998244353L
+
   def hyperplane(p: Int, dim: Int): Array[Double] =
     Array.tabulate(dim) { j =>
-      Sketches.mix(p.toLong << 32 | j.toLong, 0x9e3779b97f4a7c15L).toDouble /
-        Long.MaxValue.toDouble
+      val idx = p.toLong * dim + j
+      val g = (PlaneA1 * idx + PlaneB1) % PlaneP1
+      val h = (PlaneA2 * g + PlaneB2) % PlaneP2
+      h.toDouble / PlaneP2 * 2 - 1
     }
 
   /** Bucket key for one LSH table: bit i set iff dot(v, plane_{table,i}) > 0. */

@@ -49,7 +49,57 @@ object OracleSqlExt {
       .mkString(" AND ") + ")").mkString(" OR ")
   }
 
+  /** Hyperplane-LSH mirrors (graft.functions.Similarity): plane component
+    * j of plane p regenerated from the same double-round affine constants;
+    * bucket key = 4 sign bits per table. */
+  private def planeSql(planeIdx: Int): String = {
+    import graft.functions.Similarity._
+    val base = planeIdx * 64
+    s"list_transform(range(0, 64), j -> (CAST(($PlaneA2 * (($PlaneA1 * ($base + j) + $PlaneB1) % $PlaneP1) + $PlaneB2) % $PlaneP2 AS DOUBLE) / $PlaneP2) * 2 - 1)"
+  }
+
+  private def lshKeySql(t: Int): String = {
+    import graft.functions.Similarity.BitsPerTable
+    (0 until BitsPerTable).map(i =>
+      s"CASE WHEN list_dot_product(v, ${planeSql(t * BitsPerTable + i)}) > 0" +
+        s" THEN CAST(${1L << i} AS BIGINT) ELSE 0 END").mkString(" + ")
+  }
+
+  private val lshBucketsCte = {
+    import graft.functions.Similarity.NumTables
+    "b AS (" + (0 until NumTables).map(t =>
+      s"SELECT vec_id, v, nrm, $t AS tbl, ${lshKeySql(t)} AS key FROM n")
+      .mkString(" UNION ALL ") + ")"
+  }
+
   val queries: Map[String, String] = Map(
+    "q_cosine_neardups" -> s"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+$lshBucketsCte,
+c AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+  FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.key = b2.key AND a.vec_id < b2.vec_id),
+s AS (
+  SELECT vec_a, vec_b, round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 9) AS score
+  FROM c JOIN n x ON c.vec_a = x.vec_id JOIN n y ON c.vec_b = y.vec_id)
+SELECT vec_a, vec_b, score FROM s WHERE score >= 0.4 ORDER BY vec_a, vec_b""",
+
+    "q_knn_lsh" -> s"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+$lshBucketsCte,
+qb AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, tbl, key FROM b WHERE vec_id < 10),
+cand AS (
+  SELECT DISTINCT query_id, vec_id,
+         round(list_dot_product(qv, b.v) / (qnrm * b.nrm), 9) AS score
+  FROM b JOIN qb USING (tbl, key) WHERE vec_id <> query_id),
+r AS (SELECT query_id, vec_id AS neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+      FROM cand)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", score
+FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"""",
+
     "q_minhash_pairs" -> s"""
 WITH sh AS (
   SELECT doc_id,
