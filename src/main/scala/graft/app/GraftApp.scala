@@ -72,15 +72,37 @@ object GraftApp {
       onOverrun = ms => System.err.println(
         s"[graft] ${cluster.name}: scan overran interval by ${ms}ms"))
 
+    // collector-latency Summaries (reference monitoring/prometheus.py:17-28):
+    // observed around the snapshot fetch/derivation of each scan
+    val topicsLatency = new graft.metrics.LatencySummary(
+      "kafka_overwatch_topics_describe_latency",
+      "Time spent fetching topic watermarks per scan")
+    val groupsLatency = new graft.metrics.LatencySummary(
+      "kafka_overwatch_groups_describe_latency",
+      "Time spent fetching consumer group offsets per scan")
+
     def scan(): Unit = {
-      val wm = Scheduler.applyTopicFilters(Snapshots.watermarks(spark, sfDir),
-        cluster.topicIncludeRegexes, cluster.topicExcludeRegexes)
+      val wm = topicsLatency.time {
+        val f = Scheduler.applyTopicFilters(Snapshots.watermarks(spark, sfDir),
+          cluster.topicIncludeRegexes, cluster.topicExcludeRegexes)
+        f.count() // force the fetch/derivation inside the timed section
+        f
+      }
+      val (go, gd) = groupsLatency.time {
+        val go = Snapshots.groupOffsets(spark, sfDir)
+        val gd = Snapshots.groupsDim(spark, sfDir)
+        go.count(); gd.count()
+        (go, gd)
+      }
+      val labels = Seq("cluster" -> cluster.name)
       val text = MetricsExposition.exposition(
-        TopicAnalytics.clusterTotals(wm, Snapshots.groupsDim(spark, sfDir)),
-        GroupAnalytics.groupTopicLag(wm, Snapshots.groupOffsets(spark, sfDir)),
+        TopicAnalytics.clusterTotals(wm, gd),
+        GroupAnalytics.groupTopicLag(wm, go),
         SchemaRegistryOps.counts(Snapshots.srSubjects(spark, sfDir),
           wm.filter(org.apache.spark.sql.functions.col("s") === Snapshots.NumScans)),
-        Deltas.partitionDeltas(wm))
+        Deltas.partitionDeltas(wm)) +
+        topicsLatency.render(labels) + "\n" +
+        groupsLatency.render(labels) + "\n"
       Files.writeString(Paths.get(s"$outDir/metrics_${cluster.name}.prom"), text)
       http.foreach(_.update(text))
     }

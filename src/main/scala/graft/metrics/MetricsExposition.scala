@@ -32,6 +32,17 @@ object MetricsExposition {
     (s"# HELP $name $help" +: s"# TYPE $name gauge" +: lines).mkString("\n")
   }
 
+  /** Prometheus Summary exposition (count + sum), the format of the
+    * reference's collector-latency metrics
+    * (kafka_overwatch/monitoring/prometheus.py:17-28). */
+  def summary(name: String, help: String, labels: Seq[(String, String)],
+              count: Long, sum: Double): String = {
+    val ls = labels.map { case (k, v) => s"""$k="${esc(v)}"""" }.mkString(",")
+    val lbl = if (ls.isEmpty) "" else s"{$ls}"
+    Seq(s"# HELP $name $help", s"# TYPE $name summary",
+      s"${name}_count$lbl $count", s"${name}_sum$lbl $sum").mkString("\n")
+  }
+
   /** The reference's full cluster gauge catalog in one exposition document:
     * cluster totals (A5), per-(group, topic) lag (A3), SR counts (A11),
     * per-partition new-message deltas (W1, exposed as a gauge of the last

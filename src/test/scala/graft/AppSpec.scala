@@ -104,6 +104,21 @@ class AppSpec extends AnyFunSuite {
     assert(text.contains("kafka_overwatch_topic_partition_new_messages{"))
   }
 
+  test("runCluster exposes collector latency summaries alongside the gauges") {
+    val out = java.nio.file.Files.createTempDirectory("graft-app").toString
+    graft.app.GraftApp.runCluster(spark, app.ClusterConfig("c1"),
+      TestSpark.Sf0001, out, ticks = 2)
+    val prom = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/metrics_c1.prom"))
+    assert(prom.contains("# TYPE kafka_overwatch_topics_describe_latency summary"))
+    assert(prom.contains("""kafka_overwatch_topics_describe_latency_count{cluster="c1"} 2"""))
+    assert(prom.contains("""kafka_overwatch_topics_describe_latency_sum{cluster="c1"}"""))
+    assert(prom.contains("""kafka_overwatch_groups_describe_latency_count{cluster="c1"} 2"""))
+    assert(prom.contains("# TYPE kafka_overwatch_cluster_topics_count gauge"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/report_c1.json")))
+  }
+
   test("metrics HTTP endpoint serves the latest exposition") {
     val srv = new graft.metrics.MetricsHttpServer(0).start()
     try {
