@@ -44,23 +44,28 @@ object GraftApp {
   }
 
   /** Streaming mode: the kafka-metadata DSv2 source replayed scan-by-scan
-    * through the stateful delta operator, metric rows appended to a
-    * memory sink and exported — the M6 wiring (a live deployment swaps
-    * the fixture-backed source for one polling AdminClient). */
-  def runStreaming(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    * through the stateful delta operator WITH state TTL (the deleted-topic
+    * tidy as event-time timeout) and a real checkpoint, writing delta rows
+    * to parquet — the M6 wiring (a live deployment swaps the
+    * fixture-backed source for one polling AdminClient). Restarting with
+    * the same outDir resumes from the checkpoint. */
+  def runStreaming(spark: SparkSession, sfDir: String, outDir: String,
+                   watermarkDelay: String = "60 seconds",
+                   ttlSeconds: Long = 180L): Unit = {
     import spark.implicits._
     val scans = spark.readStream.format("kafka-metadata")
       .option("dir", sfDir).load()
       .select("cluster", "topic", "partition_id", "low", "high", "scan_ts")
       .as[graft.streaming.OffsetStream.WatermarkScan]
-    val q = graft.streaming.OffsetStream.deltas(scans)
-      .writeStream.format("memory").queryName("graft_stream_deltas")
+    val q = graft.streaming.OffsetStream
+      .deltasWithTtl(scans, watermarkDelay, ttlSeconds)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", s"$outDir/stream_checkpoint")
+      .option("path", s"$outDir/stream_deltas")
       .outputMode("append").start()
     q.processAllAvailable()
     q.stop()
-    val out = spark.sql(
-      "SELECT cluster, topic, partition_id, scan_ts, delta FROM graft_stream_deltas")
-    out.coalesce(1).write.mode("overwrite").json(s"$outDir/stream_deltas.json")
+    val out = spark.read.parquet(s"$outDir/stream_deltas")
     System.err.println(s"[graft] streaming mode: ${out.count()} delta rows")
   }
 
