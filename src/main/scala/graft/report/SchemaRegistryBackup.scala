@@ -72,4 +72,48 @@ object SchemaRegistryBackup {
       .select(col("subject"), col("version"), col("schema_type"),
         col("schema_id"), col("schema_string"))
       .orderBy(col("subject"), col("version"))
+
+  /** The live-registry seam of K8: the reference switches each subject to
+    * IMPORT mode, PUTs its versions oldest-first with original schema ids,
+    * then restores normal mode (schemas_restore.py:18-96). A deployment
+    * implements this against the registry's REST API; tests use the
+    * recording implementation. */
+  trait RestoreClient {
+    def beginImport(subject: String): Unit
+    def putVersion(subject: String, version: Long, schemaType: String,
+                   schemaId: Long, schemaString: String): Unit
+    def endImport(subject: String): Unit
+  }
+
+  final class RecordingRestoreClient extends RestoreClient {
+    val ops = scala.collection.mutable.ArrayBuffer.empty[String]
+    override def beginImport(subject: String): Unit = ops += s"begin:$subject"
+    override def putVersion(subject: String, version: Long, schemaType: String,
+                            schemaId: Long, schemaString: String): Unit =
+      ops += s"put:$subject:$version:$schemaId"
+    override def endImport(subject: String): Unit = ops += s"end:$subject"
+  }
+
+  /** Drive a RestoreClient from the ordered restore plan: one IMPORT-mode
+    * window per subject, versions strictly ascending inside it. Registry
+    * metadata is driver-scale by definition (the reference walks it
+    * sequentially too), so the plan is collected. Returns the number of
+    * versions put. */
+  def executeRestore(plan: DataFrame, client: RestoreClient): Long = {
+    val rows = plan.select(col("subject"), col("version"), col("schema_type"),
+      col("schema_id"), col("schema_string")).collect()
+    var current: String = null
+    rows.foreach { r =>
+      val subj = r.getString(0)
+      if (subj != current) {
+        if (current != null) client.endImport(current)
+        client.beginImport(subj)
+        current = subj
+      }
+      client.putVersion(subj, r.getLong(1), r.getString(2), r.getLong(3),
+        r.getString(4))
+    }
+    if (current != null) client.endImport(current)
+    rows.length.toLong
+  }
 }

@@ -55,4 +55,22 @@ class BackupSpec extends AnyFunSuite {
     assert(plan.count() === sr.count() - 1)
     assert(plan.filter($"subject" === "orphan-value").count() === 0)
   }
+
+  test("executeRestore drives the client in IMPORT-mode windows, versions ascending") {
+    import spark.implicits._
+    val archive = Seq(
+      ("s1", 2L, "AVRO", 12L, "{}"),
+      ("s1", 1L, "AVRO", 11L, "{}"),
+      ("s2", 1L, "JSON", 21L, "{}"),
+      ("s3", 1L, "AVRO", 31L, "{}"))
+      .toDF("subject", "version", "schema_type", "schema_id", "schema_string")
+    val existing = Seq(("s3", 1L)).toDF("subject", "version")
+    val client = new SchemaRegistryBackup.RecordingRestoreClient
+    val n = SchemaRegistryBackup.executeRestore(
+      SchemaRegistryBackup.restorePlan(archive, existing), client)
+    assert(n === 3L) // s3 skipped (already present)
+    assert(client.ops.toSeq === Seq(
+      "begin:s1", "put:s1:1:11", "put:s1:2:12", "end:s1",
+      "begin:s2", "put:s2:1:21", "end:s2"))
+  }
 }
