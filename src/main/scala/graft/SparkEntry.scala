@@ -50,6 +50,16 @@ object SparkEntry {
     jaccardMemo.getOrElseUpdate((s, dir),
       functions.Dedup.jaccardPairs(docs(s, dir), threshold = 0.3).persist())
 
+  /** The cluster assignment over that pair set feeds both q_dedup_clusters
+    * and q_dedup_corpus — run label propagation once per (session, dir)
+    * (its result is already localCheckpoint-materialized internally). */
+  private val clustersMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def dedupClusters03(s: SparkSession, dir: String): DataFrame =
+    clustersMemo.getOrElseUpdate((s, dir),
+      functions.Dedup.dedupClusters(jaccardPairs03(s, dir)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topics_stats" -> ((s, dir) =>
       topicsDf(s, dir).orderBy(col("name"))),
@@ -182,10 +192,10 @@ object SparkEntry {
       jaccardPairs03(s, dir)
         .orderBy(col("doc_a"), col("doc_b"))),
     "q_dedup_clusters" -> ((s, dir) =>
-      Dedup.dedupClusters(jaccardPairs03(s, dir))
+      dedupClusters03(s, dir)
         .orderBy(col("doc_id"))),
     "q_dedup_corpus" -> ((s, dir) =>
-      Dedup.dedupedCorpus(docs(s, dir), jaccardPairs03(s, dir))
+      Dedup.dropClusterDuplicates(docs(s, dir), dedupClusters03(s, dir))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))),
     "q_minhash_pairs" -> ((s, dir) =>

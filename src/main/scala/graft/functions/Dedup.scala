@@ -64,8 +64,13 @@ object Dedup {
 
   /** The deduplicated corpus: drop every non-representative member of a
     * near-dup cluster (documents in no cluster are kept). */
-  def dedupedCorpus(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val drop = dedupClusters(pairs).filter(!col("keep")).select(col("doc_id"))
+  def dedupedCorpus(docs: DataFrame, pairs: DataFrame): DataFrame =
+    dropClusterDuplicates(docs, dedupClusters(pairs))
+
+  /** Same, from an already-computed cluster assignment (lets callers reuse
+    * one label-propagation run across queries). */
+  def dropClusterDuplicates(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val drop = clusters.filter(!col("keep")).select(col("doc_id"))
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
@@ -75,15 +80,18 @@ object Dedup {
     df.groupBy(keys.map(col): _*)
       .agg(min(id).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Distinct character 5-gram shingles per document:
+  /** Character 5-gram shingles per document, WITH positional duplicates:
     * substr(text, i, 5) for i in 1..len-4. Position-based so DuckDB can
     * mirror it with range() + array slicing (no WITH ORDINALITY needed). */
-  def charShingles(docs: DataFrame, n: Int = 5): DataFrame =
+  def charShinglesRaw(docs: DataFrame, n: Int = 5): DataFrame =
     docs.select(col("doc_id"), col("text"),
       explode(sequence(lit(1), greatest(length(col("text")) - (n - 1), lit(0))))
         .as("pos"))
       .select(col("doc_id"), expr(s"substring(text, pos, $n)").as("shingle"))
-      .distinct()
+
+  /** Distinct shingles per document (the set-semantics view). */
+  def charShingles(docs: DataFrame, n: Int = 5): DataFrame =
+    charShinglesRaw(docs, n).distinct()
 
   /** Pairwise n-gram Jaccard similarity over candidate pairs that share at
     * least one (non-hot) shingle.
@@ -96,19 +104,20 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, n: Int = 5, maxDocFreq: Int = 100,
                    threshold: Double = 0.5): DataFrame = {
-    val sh = charShingles(docs, n)
     // Inverted index: at true corpus scale this index would be
     // materialized once as a table (it feeds both the sizes and the pairs
     // branch below); here it is recomputed per branch, which static
     // planning may or may not dedupe via ReuseExchange.
-    // One shuffle groups the postings per shingle; the
-    // candidate pairs are then exploded from each (capped) posting list
-    // in-task. Equivalent to the textbook shingle self-join but with one
-    // exchange instead of three (the identical index subtree below is
-    // deduplicated by Spark's ReuseExchange). The maxDocFreq cap bounds
-    // the per-shingle pair fan-out (df^2) — the skew guard at scale.
-    val index = sh.groupBy(col("shingle"))
-      .agg(collect_list(col("doc_id")).as("ids"))
+    // collect_set over the RAW shingle stream builds the per-shingle
+    // posting set in ONE shuffle — the per-doc dedup rides the same
+    // exchange instead of a separate distinct() over the full shingle
+    // stream. The candidate pairs are then exploded from each (capped)
+    // posting list in-task. Equivalent to the textbook shingle self-join
+    // but with one exchange instead of three (the identical index subtree
+    // below is deduplicated by Spark's ReuseExchange). The maxDocFreq cap
+    // bounds the per-shingle pair fan-out (df^2) — the skew guard at scale.
+    val index = charShinglesRaw(docs, n).groupBy(col("shingle"))
+      .agg(collect_set(col("doc_id")).as("ids"))
       .filter(size(col("ids")) <= maxDocFreq)
       .select(col("ids"))
     val sizes = index.select(explode(col("ids")).as("doc_id"))
