@@ -37,8 +37,13 @@ object GraftApp {
     Files.createDirectories(Paths.get(outDir))
     val http = sys.env.get("GRAFT_METRICS_PORT")
       .map(p => new graft.metrics.MetricsHttpServer(p.toInt).start())
+    val channelDefs = config.notificationChannels
+      .map(ch => ch.name -> new Notifications.WebhookChannel(ch.name, ch.url)).toMap
     try {
-      config.clusters.foreach(c => runCluster(spark, c, sfDir, outDir, ticks, http))
+      config.clusters.foreach { c =>
+        val channels = c.reporting.notificationChannels.flatMap(channelDefs.get)
+        runCluster(spark, c, sfDir, outDir, ticks, http, channels)
+      }
       if (args.contains("--streaming")) runStreaming(spark, sfDir, outDir)
     } finally { http.foreach(_.stop()); spark.stop() }
   }
@@ -71,7 +76,8 @@ object GraftApp {
 
   def runCluster(spark: SparkSession, cluster: ClusterConfig, sfDir: String,
                  outDir: String, ticks: Int,
-                 http: Option[graft.metrics.MetricsHttpServer] = None): Unit = {
+                 http: Option[graft.metrics.MetricsHttpServer] = None,
+                 channels: Seq[Notifications.Channel] = Seq.empty): Unit = {
     val loop = new Scheduler.ClusterLoop(cluster,
       sleeper = _ => (), // fixture mode: don't actually wait between ticks
       onOverrun = ms => System.err.println(
@@ -132,12 +138,23 @@ object GraftApp {
           gov.groupCompliantRegexes else Seq("^[a-z]+$"),
         groupExcluded = if (gov.groupExcludedRegexes.nonEmpty)
           gov.groupExcludedRegexes else Seq("^g_dead"))
-      Files.writeString(Paths.get(s"$outDir/report_${cluster.name}.json"),
-        ClusterReporting.reportJson(rpt))
+      val json = ClusterReporting.reportJson(rpt)
+      val local = Paths.get(s"$outDir/report_${cluster.name}.json")
+      Files.writeString(local, json)
+      // scheme-qualified output_directory -> remote upload with retry
+      // (s3a:// in production, file:// in tests) — K3
+      val reportUrl = if (cluster.reporting.outputDirectory.contains("://")) {
+        val dest = s"${cluster.reporting.outputDirectory}/report_${cluster.name}.json"
+        graft.report.RemotePut.put(
+          json.getBytes(java.nio.charset.StandardCharsets.UTF_8), dest)
+        dest
+      } else local.toUri.toString
       ClusterReporting.exportDf(topics, outDir, s"topics_${cluster.name}",
         cluster.reporting.exportsFormats)
       ClusterReporting.exportDf(groups, outDir, s"groups_${cluster.name}",
         cluster.reporting.exportsFormats)
+      Notifications.notifyReport(channels, cluster.name,
+        java.time.Instant.now().toString, reportUrl)
     }
 
     loop.loop(() => scan(), () => report(), Some(ticks))

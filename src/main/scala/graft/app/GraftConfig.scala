@@ -29,7 +29,12 @@ final case class GovernanceConfig(
 final case class ReportingConfig(
     evaluationPeriodSeconds: Long = 60L,
     exportsFormats: Seq[String] = Seq("json"),
-    outputDirectory: String = "reports")
+    outputDirectory: String = "reports",
+    notificationChannels: Seq[String] = Seq.empty)
+
+/** A named live-delivery endpoint (the engine's analog of the
+  * reference's notification_channels.sns.<name>.topic_arn). */
+final case class WebhookChannelConfig(name: String, url: String)
 
 final case class ClusterConfig(
     name: String,
@@ -47,7 +52,8 @@ final case class SchemaRegistryConfig(
 final case class GraftConfig(
     globalScanIntervalSeconds: Long = 30L,
     clusters: Seq[ClusterConfig] = Seq.empty,
-    schemaRegistries: Seq[SchemaRegistryConfig] = Seq.empty)
+    schemaRegistries: Seq[SchemaRegistryConfig] = Seq.empty,
+    notificationChannels: Seq[WebhookChannelConfig] = Seq.empty)
 
 object GraftConfig {
   private val mapper = new ObjectMapper(new YAMLFactory())
@@ -80,7 +86,9 @@ object GraftConfig {
             longOr(r, "evaluation_period_in_seconds", 60L),
             Option(r.get("exports")).map(x => strings(x, "formats"))
               .getOrElse(Seq("json")),
-            Option(r.get("output_directory")).map(_.asText()).getOrElse("reports"))
+            Option(r.get("output_directory")).map(_.asText()).getOrElse("reports"),
+            Option(r.get("notification_channels"))
+              .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty))
         }.getOrElse(ReportingConfig())
         ClusterConfig(
           name,
@@ -92,6 +100,14 @@ object GraftConfig {
       }
     }.getOrElse(Seq.empty)
 
+    val channels = Option(root.get("notification_channels"))
+      .flatMap(n => Option(n.get("webhook"))).map { ws =>
+        ws.properties().asScala.toSeq.map { e =>
+          WebhookChannelConfig(e.getKey,
+            Option(e.getValue.get("url")).map(_.asText()).getOrElse(""))
+        }
+      }.getOrElse(Seq.empty)
+
     val registries = Option(root.get("schema_registries")).map { rs =>
       rs.properties().asScala.toSeq.map { e =>
         SchemaRegistryConfig(e.getKey,
@@ -99,11 +115,13 @@ object GraftConfig {
       }
     }.getOrElse(Seq.empty)
 
-    validate(GraftConfig(globalInterval, clusters, registries))
+    validate(GraftConfig(globalInterval, clusters, registries, channels))
   }
 
   def validate(c: GraftConfig): GraftConfig = {
     require(c.globalScanIntervalSeconds > 0, "global scan interval must be > 0")
+    c.notificationChannels.foreach(ch =>
+      require(ch.url.nonEmpty, s"notification channel ${ch.name}: url required"))
     c.clusters.foreach { cl =>
       require(cl.name.nonEmpty, "cluster name must not be empty")
       require(cl.scanIntervalSeconds > 0, s"${cl.name}: scan interval must be > 0")
@@ -115,6 +133,10 @@ object GraftConfig {
       cl.schemaRegistry.foreach { sr =>
         require(c.schemaRegistries.exists(_.name == sr),
           s"${cl.name}: schema_registry '$sr' not defined")
+      }
+      cl.reporting.notificationChannels.foreach { ch =>
+        require(c.notificationChannels.exists(_.name == ch),
+          s"${cl.name}: notification channel '$ch' not defined")
       }
       (cl.topicIncludeRegexes ++ cl.topicExcludeRegexes ++
         cl.governance.topicCompliantRegexes ++ cl.governance.topicExcludedRegexes)
