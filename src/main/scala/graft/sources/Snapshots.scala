@@ -127,12 +127,22 @@ object Snapshots {
     val mx    = ev.agg(max($"event_id").as("maxid"))
     val scans = scansDf(spark)
     val pairs = ev.select($"topic", $"partition_id").distinct()
-    val cnts = ev.crossJoin(broadcast(mx)).crossJoin(broadcast(scans))
-      .filter($"event_id" <= expr("maxid * s div 3"))
-      .groupBy($"topic", $"partition_id", $"s").agg(count(lit(1)).as("c"))
+    // Each event is visible from scan s_min = ceil(NumScans*e/maxid) on
+    // (equivalent to e <= maxid*s div NumScans), so per-scan highs are a
+    // cumulative sum over one grouped pass of events — no events x scans
+    // explosion. The DuckDB oracle keeps the crossJoin formulation; the
+    // two are arithmetically identical.
+    val byFirstScan = ev.crossJoin(broadcast(mx))
+      .withColumn("s_min",
+        greatest(expr(s"(event_id * $NumScans + maxid - 1) div maxid"), lit(1L)))
+      .groupBy($"topic", $"partition_id", $"s_min").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"topic", $"partition_id").orderBy($"s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val derived = pairs.crossJoin(broadcast(scans))
-      .join(cnts, Seq("topic", "partition_id", "s"), "left")
-      .withColumn("high", coalesce($"c", lit(0L)))
+      .join(byFirstScan.withColumnRenamed("s_min", "s"),
+        Seq("topic", "partition_id", "s"), "left")
+      .withColumn("high", sum(coalesce($"c", lit(0L))).over(w))
       .withColumn("low", expr("high div 8"))
       .select($"topic", $"partition_id", $"s", $"low", $"high")
     val injected = InjectedWatermarkRows
