@@ -11,61 +11,106 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 import scala.jdk.CollectionConverters._
 
-/** DataSourceV2 `kafka-metadata` batch source (SURVEY §4.2 candidate #1):
-  * `spark.read.format("kafka-metadata").option("dir", ...).load()` surfaces
-  * the partition-watermark snapshot as a first-class table.
+/** DataSourceV2 `kafka-metadata` source (SURVEY §4.2 candidate #1):
+  * `spark.read.format("kafka-metadata").option("dir", ...)` surfaces the
+  * collector's snapshot tables as first-class Spark tables, selected with
+  * `.option("table", ...)`:
+  *
+  *  - `watermarks` (default): per-partition low/high offsets, batch +
+  *    micro-batch streaming;
+  *  - `group_offsets`: committed offsets per (group, topic, partition);
+  *  - `groups`: consumer-group state/membership dimension.
   *
   * Planning mirrors a production AdminClient collector: the DRIVER holds
-  * only the topic LIST (WatermarkFetcher.listTopics — a cheap metadata
-  * RPC) and plans one input partition per topic; row data is fetched by
-  * EXECUTORS inside PartitionReader (WatermarkFetcher.fetch — the
-  * get_watermark_offsets loop, kafka_overwatch/kafka_resources/topics.py:134-209).
-  * No watermark row ever materializes on the driver.
+  * only the key LIST (topics, or group names — the cheap metadata RPCs,
+  * kafka_overwatch/kafka_resources/topics.py:134-156 / groups.py:111-132)
+  * and plans one input partition per key; row data is fetched by
+  * EXECUTORS inside PartitionReader (the get_watermark_offsets /
+  * committed-offset loops). No snapshot row ever materializes on the
+  * driver.
   *
-  * Pushdown: cluster/topic EqualTo and In filters prune input partitions
-  * at the source — the reference's declared-but-unused
-  * topic_include/exclude regexes (quirk Q7) get their intended effect
-  * here, before any row is produced.
+  * Pushdown: EqualTo/In filters on the partition key (topic, or grp) and
+  * on cluster prune input partitions at the source — the reference's
+  * declared-but-unused topic_include/exclude regexes (quirk Q7) get their
+  * intended effect here, before any row is produced.
   */
 class KafkaMetadataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "kafka-metadata"
+  private def tableOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("table")).getOrElse(KafkaMetadataSource.Watermarks)
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    KafkaMetadataSource.Schema
+    KafkaMetadataSource.schemaOf(tableOf(options))
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new MetadataTable(properties.get("dir"))
+    new MetadataTable(properties.get("dir"),
+      Option(properties.get("table")).getOrElse(KafkaMetadataSource.Watermarks))
 }
 
 object KafkaMetadataSource {
+  val Watermarks = "watermarks"
+  val GroupOffsets = "group_offsets"
+  val Groups = "groups"
+
   val Schema: StructType = StructType(Seq(
     StructField("cluster", StringType), StructField("topic", StringType),
     StructField("partition_id", LongType), StructField("low", LongType),
     StructField("high", LongType), StructField("scan_ts", LongType),
     StructField("s", LongType)))
+
+  val GroupOffsetsSchema: StructType = StructType(Seq(
+    StructField("cluster", StringType), StructField("grp", StringType),
+    StructField("topic", StringType), StructField("partition_id", LongType),
+    StructField("committed", LongType), StructField("scan_ts", LongType),
+    StructField("s", LongType)))
+
+  val GroupsSchema: StructType = StructType(Seq(
+    StructField("cluster", StringType), StructField("grp", StringType),
+    StructField("state", StringType), StructField("member_count", LongType),
+    StructField("scan_ts", LongType), StructField("s", LongType)))
+
+  def schemaOf(table: String): StructType = table match {
+    case Watermarks => Schema
+    case GroupOffsets => GroupOffsetsSchema
+    case Groups => GroupsSchema
+    case other => throw new IllegalArgumentException(
+      s"unknown kafka-metadata table '$other' " +
+        s"(expected $Watermarks, $GroupOffsets, or $Groups)")
+  }
+
+  /** The partition-pruning key column of each table. */
+  def keyColumn(table: String): String =
+    if (table == Groups) "grp" else "topic"
 }
 
 case class WmRow(cluster: String, topic: String, partitionId: Long, low: Long,
                  high: Long, scanTs: Long, s: Long)
+case class GoRow(cluster: String, grp: String, topic: String, partitionId: Long,
+                 committed: Long, scanTs: Long, s: Long)
+case class GdRow(cluster: String, grp: String, state: String, memberCount: Long,
+                 scanTs: Long, s: Long)
 
-class MetadataTable(dir: String) extends Table with SupportsRead {
-  override def name(): String = s"kafka_metadata($dir)"
-  override def schema(): StructType = KafkaMetadataSource.Schema
+class MetadataTable(dir: String, table: String) extends Table with SupportsRead {
+  override def name(): String = s"kafka_metadata($dir, $table)"
+  override def schema(): StructType = KafkaMetadataSource.schemaOf(table)
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    if (table == KafkaMetadataSource.Watermarks)
+      Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    else Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MetadataScanBuilder(new FixtureFetcher(dir))
+    new MetadataScanBuilder(new FixtureFetcher(dir), table)
 }
 
-class MetadataScanBuilder(fetcher: WatermarkFetcher)
+class MetadataScanBuilder(fetcher: WatermarkFetcher, table: String)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
+  private val keyCol = KafkaMetadataSource.keyColumn(table)
   private var pushed: Array[Filter] = Array.empty
-  private var required: StructType = KafkaMetadataSource.Schema
+  private var required: StructType = KafkaMetadataSource.schemaOf(table)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, rest) = filters.partition {
-      case EqualTo("topic" | "cluster", _) => true
-      case In("topic" | "cluster", _) => true
+      case EqualTo(c, _) => c == keyCol || c == "cluster"
+      case In(c, _) => c == keyCol || c == "cluster"
       case _ => false
     }
     pushed = supported
@@ -74,21 +119,25 @@ class MetadataScanBuilder(fetcher: WatermarkFetcher)
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new MetadataScan(fetcher, pushed, required)
+  override def build(): Scan = new MetadataScan(fetcher, table, pushed, required)
 }
 
-class MetadataScan(fetcher: WatermarkFetcher, filters: Array[Filter],
-                   required: StructType)
+class MetadataScan(fetcher: WatermarkFetcher, table: String,
+                   filters: Array[Filter], required: StructType)
     extends Scan with Batch {
+  private val keyCol = KafkaMetadataSource.keyColumn(table)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(table == KafkaMetadataSource.Watermarks,
+      s"only the watermarks table supports streaming, not '$table'")
     new MetadataMicroBatchStream(fetcher, this, required)
+  }
 
-  private[v2] def topicAllowed(t: String): Boolean = filters.forall {
-    case EqualTo("topic", v) => t == v
-    case In("topic", vs) => vs.contains(t)
+  private[v2] def keyAllowed(k: String): Boolean = filters.forall {
+    case EqualTo(c, v) if c == keyCol => k == v
+    case In(c, vs) if c == keyCol => vs.contains(k)
     case _ => true
   }
   /** Cluster values allowed by pushed filters; None = all. Evaluated
@@ -102,22 +151,25 @@ class MetadataScan(fetcher: WatermarkFetcher, filters: Array[Filter],
     if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
   }
 
-  /** One partition per allowed topic — built from the topic list alone. */
+  private def keys: Seq[String] =
+    if (table == KafkaMetadataSource.Groups) fetcher.listGroups()
+    else fetcher.listTopics()
+
+  /** One partition per allowed key — built from the key list alone. */
   override def planInputPartitions(): Array[InputPartition] =
-    fetcher.listTopics()
-      .filter(topicAllowed)                                 // partition pruning
-      .map(t => MetadataInputPartition(fetcher, t, allowedClusters,
+    keys.filter(keyAllowed)                                  // partition pruning
+      .map(k => MetadataInputPartition(fetcher, table, k, allowedClusters,
         0L, Long.MaxValue): InputPartition)
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new MetadataReaderFactory(required.fieldNames)
+    new MetadataReaderFactory(table, required.fieldNames)
 }
 
-/** A planned unit of work: fetch one topic's rows on the executor,
-  * keeping scans in (minS, maxS] and rows of the allowed clusters. */
-case class MetadataInputPartition(fetcher: WatermarkFetcher, topic: String,
-                                  clusters: Option[Set[String]],
+/** A planned unit of work: fetch one key's rows on the executor, keeping
+  * scans in (minS, maxS] and rows of the allowed clusters. */
+case class MetadataInputPartition(fetcher: WatermarkFetcher, table: String,
+                                  key: String, clusters: Option[Set[String]],
                                   minS: Long, maxS: Long) extends InputPartition
 
 /** Streaming offset = scan ordinal: micro-batch (start, end] delivers the
@@ -162,39 +214,49 @@ class MetadataMicroBatchStream(fetcher: WatermarkFetcher, scan: MetadataScan,
     val s0 = start.asInstanceOf[ScanOffset].s
     val s1 = end.asInstanceOf[ScanOffset].s
     fetcher.listTopics()
-      .filter(scan.topicAllowed)
-      .map(t => MetadataInputPartition(fetcher, t, scan.allowedClusters, s0, s1)
-        : InputPartition)
+      .filter(scan.keyAllowed)
+      .map(t => MetadataInputPartition(fetcher, KafkaMetadataSource.Watermarks,
+        t, scan.allowedClusters, s0, s1): InputPartition)
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new MetadataReaderFactory(required.fieldNames)
+    new MetadataReaderFactory(KafkaMetadataSource.Watermarks, required.fieldNames)
 }
 
-class MetadataReaderFactory(fields: Array[String])
+class MetadataReaderFactory(table: String, fields: Array[String])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[MetadataInputPartition]
+    // executor-side fetch: rows first materialize here, not at planning;
+    // each row is pre-projected to the required columns as a field map
+    def keep(cluster: String, s: Long): Boolean =
+      part.clusters.forall(_.contains(cluster)) && s > part.minS && s <= part.maxS
     new PartitionReader[InternalRow] {
-      // executor-side fetch: rows first materialize here, not at planning
-      private lazy val rows: Array[WmRow] = part.fetcher.fetch(part.topic)
-        .filter(r => part.clusters.forall(_.contains(r.cluster)) &&
-          r.s > part.minS && r.s <= part.maxS)
+      private lazy val rows: Array[Map[String, Any]] = table match {
+        case KafkaMetadataSource.Watermarks =>
+          part.fetcher.fetch(part.key).filter(r => keep(r.cluster, r.s)).map(r =>
+            Map[String, Any]("cluster" -> r.cluster, "topic" -> r.topic,
+              "partition_id" -> r.partitionId, "low" -> r.low, "high" -> r.high,
+              "scan_ts" -> r.scanTs, "s" -> r.s))
+        case KafkaMetadataSource.GroupOffsets =>
+          part.fetcher.fetchGroupOffsets(part.key).filter(r => keep(r.cluster, r.s)).map(r =>
+            Map[String, Any]("cluster" -> r.cluster, "grp" -> r.grp,
+              "topic" -> r.topic, "partition_id" -> r.partitionId,
+              "committed" -> r.committed, "scan_ts" -> r.scanTs, "s" -> r.s))
+        case KafkaMetadataSource.Groups =>
+          part.fetcher.fetchGroup(part.key).filter(r => keep(r.cluster, r.s)).map(r =>
+            Map[String, Any]("cluster" -> r.cluster, "grp" -> r.grp,
+              "state" -> r.state, "member_count" -> r.memberCount,
+              "scan_ts" -> r.scanTs, "s" -> r.s))
+      }
       private var i = -1
       override def next(): Boolean = { i += 1; i < rows.length }
-      override def get(): InternalRow = {
-        val r = rows(i)
-        InternalRow.fromSeq(fields.toSeq.map {
-          case "cluster" => UTF8String.fromString(r.cluster)
-          case "topic" => UTF8String.fromString(r.topic)
-          case "partition_id" => r.partitionId
-          case "low" => r.low
-          case "high" => r.high
-          case "scan_ts" => r.scanTs
-          case "s" => r.s
-        })
-      }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(fields.toSeq.map(rows(i)(_) match {
+          case s: String => UTF8String.fromString(s)
+          case other => other
+        }))
       override def close(): Unit = ()
     }
   }

@@ -23,8 +23,16 @@ import graft.sources.Snapshots
 trait WatermarkFetcher extends Serializable {
   /** Driver-side: the topic list only — no row data. */
   def listTopics(): Seq[String]
+  /** Driver-side: the consumer-group name list only. */
+  def listGroups(): Seq[String]
   /** Executor-side: all watermark rows of one topic. */
   def fetch(topic: String): Array[WmRow]
+  /** Executor-side: all committed-offset rows of one topic
+    * (kafka_resources/groups.py:149-170). */
+  def fetchGroupOffsets(topic: String): Array[GoRow]
+  /** Executor-side: the describe-history of one consumer group
+    * (kafka_resources/groups.py:74-108). */
+  def fetchGroup(grp: String): Array[GdRow]
 }
 
 /** Deterministic fixture implementation: derives the same rows as
@@ -37,8 +45,37 @@ class FixtureFetcher(dir: String) extends WatermarkFetcher {
   override def listTopics(): Seq[String] =
     (FixtureFetcher.distinctTopics(dir) ++ Snapshots.InjectedTopics).distinct.sorted
 
+  override def listGroups(): Seq[String] =
+    Snapshots.GroupDimRows.map(_._1).distinct.sorted
+
   override def fetch(topic: String): Array[WmRow] =
     FixtureFetcher.rowsByTopic(dir).getOrElse(topic, Array.empty)
+
+  /** Mirror of Snapshots.groupOffsetsUncached, per topic: the derived
+    * g_active/g_empty committed offsets ride the topic's own watermark
+    * rows; injected-offset rows attach to their injected topics. */
+  override def fetchGroupOffsets(topic: String): Array[GoRow] = {
+    val derived =
+      if (Snapshots.InjectedTopics.contains(topic)) Array.empty[GoRow]
+      else fetch(topic).flatMap { w =>
+        Seq(
+          GoRow(w.cluster, "g_active", w.topic, w.partitionId,
+            w.high * 3 / 4, w.scanTs, w.s),
+          GoRow(w.cluster, "g_empty", w.topic, w.partitionId,
+            w.high / 2, w.scanTs, w.s))
+      }
+    val injected = Snapshots.InjectedGroupOffsetRows
+      .filter(_._2 == topic)
+      .map { case (g, t, p, c, s) =>
+        GoRow(Snapshots.Cluster, g, t, p, c, Snapshots.Epoch0 + Snapshots.Step * s, s)
+      }
+    derived ++ injected
+  }
+
+  override def fetchGroup(grp: String): Array[GdRow] =
+    Snapshots.GroupDimRows.filter(_._1 == grp).map { case (g, st, m, s) =>
+      GdRow(Snapshots.Cluster, g, st, m, Snapshots.Epoch0 + Snapshots.Step * s, s)
+    }.toArray
 }
 
 object FixtureFetcher {

@@ -33,6 +33,31 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(filtered.count() === Snapshots.NumScans)
   }
 
+  test("group_offsets table equals the snapshot derivation, pruned per topic") {
+    import spark.implicits._
+    val src = spark.read.format("kafka-metadata")
+      .option("dir", TestSpark.Sf0001).option("table", "group_offsets").load()
+    val viaSource = src.as[(String, String, String, Long, Long, Long, Long)]
+      .collect().toSet
+    val direct = Snapshots.groupOffsets(spark, TestSpark.Sf0001)
+      .as[(String, String, String, Long, Long, Long, Long)].collect().toSet
+    assert(viaSource === direct && viaSource.nonEmpty)
+    // topic pushdown prunes to one input partition
+    assert(src.filter($"topic" === "t_nop0").rdd.getNumPartitions === 1)
+  }
+
+  test("groups table equals the snapshot dimension, one partition per group") {
+    import spark.implicits._
+    val src = spark.read.format("kafka-metadata")
+      .option("dir", TestSpark.Sf0001).option("table", "groups").load()
+    val viaSource = src.as[(String, String, String, Long, Long, Long)]
+      .collect().toSet
+    val direct = Snapshots.groupsDim(spark, TestSpark.Sf0001)
+      .as[(String, String, String, Long, Long, Long)].collect().toSet
+    assert(viaSource === direct && viaSource.nonEmpty)
+    assert(src.filter($"grp" === "g_active").rdd.getNumPartitions === 1)
+  }
+
   test("unsupported filters still evaluate correctly post-scan") {
     import spark.implicits._
     val n = src.filter($"high" > 0 && $"s" === 3L).count()
