@@ -10,20 +10,16 @@ import org.apache.spark.sql.functions._
   * aggregation (custom `Aggregator`s), and candidate pairs come from
   * equi-joins on band keys, never from the full shingle inverted index.
   *
-  * Everything is deterministic: permutation seeds derive from a fixed
-  * seed, and the underlying shingle hash is Spark's xxhash64.
+  * Everything is deterministic AND oracle-reproducible: shingle/token
+  * hashes are polynomial hashes, permutations are Carter-Wegman affine
+  * maps — all in wrap-free <2^63 integer arithmetic that the DuckDB
+  * mirror recomputes from the same constants.
   */
 object Sketches {
 
   val NumHashes = 64
   val MinHashBands = 16
   val RowsPerBand: Int = NumHashes / MinHashBands
-
-  /** Per-permutation seeds (fixed master seed -> reproducible runs). */
-  val Seeds: Array[Long] = {
-    val r = new scala.util.Random(42)
-    Array.fill(NumHashes)(r.nextLong())
-  }
 
   /** Carter-Wegman universal permutation family h_i(x) = (a_i*x + b_i)
     * mod p over the Mersenne prime p = 2^31-1 — the textbook minhash
