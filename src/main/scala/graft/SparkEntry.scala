@@ -217,6 +217,12 @@ object SparkEntry {
       Similarity.cosineNearDups(emb(s, dir), threshold = 0.4)
         .orderBy(col("vec_a"), col("vec_b"))),
 
+    "q_repetition" -> ((s, dir) =>
+      TextAnalytics.repetitionStats(docs(s, dir)).orderBy(col("doc_id"))),
+    "q_tfidf_terms" -> ((s, dir) =>
+      TextAnalytics.tfidfTerms(docs(s, dir)).orderBy(col("lang"), col("rnk"))),
+    "q_embedding_stats" -> ((s, dir) =>
+      Similarity.embeddingStats(emb(s, dir)).orderBy(col("label"))),
     "q_top_tokens_per_lang" -> ((s, dir) =>
       TextAnalytics.topTokensPerLang(docs(s, dir))
         .orderBy(col("lang"), col("rnk"))),

@@ -169,6 +169,22 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("score"))
   }
 
+  /** Per-label corpus statistics over vector L2 norms — the sanity
+    * report before quantization / index build. Every statistic here is
+    * ORDER-FREE (count, min, max, exact percentiles), so it is
+    * reproducible on any partitioning and mirrors bit-exactly in the
+    * oracle; a double sum/avg would not be. Norms are rounded to 9
+    * decimals before aggregation so both engines aggregate identical
+    * values (the knnExact convention). */
+  def embeddingStats(emb: DataFrame): DataFrame =
+    emb.select(col("label"), round(l2Norm(col("embedding")), 9).as("nrm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("nrm")).as("min_norm"), max(col("nrm")).as("max_norm"),
+        expr("percentile(nrm, 0.25)").as("p25_norm"),
+        expr("percentile(nrm, 0.5)").as("median_norm"),
+        expr("percentile(nrm, 0.75)").as("p75_norm"))
+
   /** Pairwise near-duplicate detection by embedding cosine: all pairs
     * above a similarity threshold among same-bucket candidates (the
     * scalable embedding-near-dup dedup path). */

@@ -102,6 +102,67 @@ object TextAnalytics {
       .select(col("lang"), col("token"), col("cnt"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Token bigrams as strings ("a b"), the unit of the repetition
+    * metrics. zip_with over two slices — no explode, runs in codegen. */
+  def bigrams(toks: Column): Column =
+    zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b))
+
+  /** Gopher-style repetition quality metrics per document: the fraction
+    * of bigrams that are repeats of an earlier bigram, and the share of
+    * the single most common bigram. High values flag boilerplate /
+    * template spam that per-token stats miss.
+    *
+    * Shape at scale: explode -> two-level hash aggregation keyed by
+    * (doc_id, bigram) then doc_id — partial aggregation halves the
+    * shuffle, and no row ever carries the full document. (A per-row HOF
+    * count would avoid the shuffle but costs O(len^2) per document —
+    * wrong trade at 100 TB document lengths.) */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"), explode(bigrams(tokens(col("text")))).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        count(lit(1)).as("distinct_bigrams"),
+        max(col("cnt")).as("top_cnt"))
+      .select(col("doc_id"), col("n_bigrams"), col("distinct_bigrams"),
+        (lit(1.0) - col("distinct_bigrams").cast("double") / col("n_bigrams"))
+          .as("dup_bigram_frac"),
+        (col("top_cnt").cast("double") / col("n_bigrams")).as("top_bigram_frac"))
+      .withColumn("passes_repetition",
+        col("dup_bigram_frac") <= 0.5 && col("top_bigram_frac") <= 0.1)
+  }
+
+  /** TF-IDF distinguishing terms per language. idf is kept RATIONAL
+    * (n_docs / df, no logarithm): integer-derived doubles and one IEEE
+    * division are bit-identical across engines, where ln() is only
+    * libm-identical by luck. Ranking (the actual product of this query)
+    * is unaffected — x -> x * ln-shape is monotone in df either way.
+    *
+    * df dedups per-document tokens map-side (array_distinct before the
+    * explode) so the shuffle carries one row per (doc, distinct token),
+    * not per token occurrence. */
+  def tfidfTerms(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = docs
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("tfidf").desc, col("token"))
+    tf.join(dfreq, "token").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast("double") * col("n_docs").cast("double")
+          / col("df").cast("double"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("lang"), col("token"), col("tf"), col("df"),
+        col("tfidf"), col("rnk").cast("long").as("rnk"))
+  }
+
   /** Quality scoring: stopword ratio, lexical diversity, length signal.
     * score = 0.4*(1 - stopword_ratio) + 0.3*min(1, n_tokens/100)
     *       + 0.3*(unique/n_tokens) — plain double arithmetic, identical

@@ -314,6 +314,47 @@ r AS (SELECT query_id, vec_id AS neighbor_id, score,
 SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", score
 FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"""",
 
+    "q_repetition" -> """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bg AS (SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+           i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+       FROM t),
+c AS (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2),
+a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+             count(*) AS distinct_bigrams, max(cnt) AS top_cnt
+      FROM c GROUP BY 1)
+SELECT doc_id, n_bigrams, distinct_bigrams,
+  1.0 - CAST(distinct_bigrams AS DOUBLE) / n_bigrams AS dup_bigram_frac,
+  CAST(top_cnt AS DOUBLE) / n_bigrams AS top_bigram_frac,
+  (1.0 - CAST(distinct_bigrams AS DOUBLE) / n_bigrams) <= 0.5
+    AND (CAST(top_cnt AS DOUBLE) / n_bigrams) <= 0.1 AS passes_repetition
+FROM a ORDER BY doc_id""",
+
+    "q_tfidf_terms" -> """
+WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT lang, token, count(*) AS tf FROM t GROUP BY 1, 2),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+s AS (SELECT lang, token, tf, df,
+        CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS tfidf
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+SELECT lang, token, tf, df, tfidf, rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, token) AS rnk
+      FROM s)
+WHERE rnk <= 5 ORDER BY lang, rnk""",
+
+    "q_embedding_stats" -> """
+WITH n AS (SELECT label,
+             round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))), 9) AS nrm
+           FROM embeddings)
+SELECT label, count(*) AS n_vecs, min(nrm) AS min_norm, max(nrm) AS max_norm,
+       quantile_cont(nrm, 0.25) AS p25_norm,
+       quantile_cont(nrm, 0.5) AS median_norm,
+       quantile_cont(nrm, 0.75) AS p75_norm
+FROM n GROUP BY 1 ORDER BY label""",
+
     "q_top_tokens_per_lang" -> """
 WITH c AS (
   SELECT lang, token, count(*) AS cnt

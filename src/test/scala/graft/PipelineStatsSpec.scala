@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{Similarity, TextAnalytics}
+
+/** Hand-computed cases for the repetition, TF-IDF, and embedding-stats
+  * operators (their corpus-level behavior is oracle-checked by the
+  * driver; these pin the per-row arithmetic). */
+class PipelineStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("repetitionStats counts bigram repeats and the top-bigram share") {
+    val docs = Seq(
+      (1L, "a b a b c"), // bigrams: "a b","b a","a b","b c" -> 4 total, 3 distinct, top 2
+      (2L, "x y z")      // bigrams: "x y","y z" -> all unique
+    ).toDF("doc_id", "text")
+    val r = TextAnalytics.repetitionStats(docs).orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_bigrams") === 4L)
+    assert(r(0).getAs[Long]("distinct_bigrams") === 3L)
+    assert(r(0).getAs[Double]("dup_bigram_frac") === 0.25)
+    assert(r(0).getAs[Double]("top_bigram_frac") === 0.5)
+    assert(!r(0).getAs[Boolean]("passes_repetition")) // top share 0.5 > 0.1
+    assert(r(1).getAs[Long]("n_bigrams") === 2L)
+    assert(r(1).getAs[Double]("dup_bigram_frac") === 0.0)
+  }
+
+  test("tfidfTerms ranks rare-in-corpus, frequent-in-lang tokens first") {
+    // "zz" appears 3x in en but only in one doc of 4 -> tfidf 3*4/1 = 12
+    // "the" appears everywhere (df 4) -> tf*4/4 = tf
+    val docs = Seq(
+      (1L, "en", "the zz zz zz"),
+      (2L, "en", "the cat"),
+      (3L, "de", "the hund"),
+      (4L, "de", "the hund")
+    ).toDF("doc_id", "lang", "text")
+    val top = TextAnalytics.tfidfTerms(docs, k = 1).orderBy("lang").collect()
+    assert(top(0).getAs[String]("lang") === "de")
+    assert(top(0).getAs[String]("token") === "hund")
+    assert(top(0).getAs[Double]("tfidf") === 2.0 * 4 / 2)
+    assert(top(1).getAs[String]("lang") === "en")
+    assert(top(1).getAs[String]("token") === "zz")
+    assert(top(1).getAs[Double]("tfidf") === 12.0)
+  }
+
+  test("embeddingStats: order-free stats over norms, exact percentile") {
+    val emb = Seq(
+      (1L, Array(3f, 4f), 0),  // norm 5
+      (2L, Array(6f, 8f), 0),  // norm 10
+      (3L, Array(0f, 2f), 1)   // norm 2
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.embeddingStats(emb).orderBy("label").collect()
+    assert(r(0).getAs[Long]("n_vecs") === 2L)
+    assert(r(0).getAs[Double]("min_norm") === 5.0)
+    assert(r(0).getAs[Double]("max_norm") === 10.0)
+    assert(r(0).getAs[Double]("median_norm") === 7.5) // linear interpolation
+    assert(r(1).getAs[Double]("median_norm") === 2.0)
+  }
+}
