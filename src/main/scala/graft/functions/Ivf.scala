@@ -33,6 +33,13 @@ object Ivf {
     array_max(array(scored: _*)).getField("cid")
   }
 
+  /** Mean quantization grid: components are floored onto a 2^-20 grid
+    * before summation so the centroid mean is an EXACT integer sum
+    * divided once — order-free on any partitioning, hence bit-identical
+    * in the DuckDB oracle (a double avg() is partition-order dependent).
+    * 2^-20 is far below any embedding's signal floor. */
+  val MeanQuantScale = 1048576.0 // 2^20
+
   /** Train k centroids with `iters` Lloyd iterations. Returns the final
     * centroid vectors, collected (k x dim doubles — broadcast-sized by
     * construction). */
@@ -48,9 +55,11 @@ object Ivf {
     (1 to iters).foreach { _ =>
       val assigned = base.withColumn("cid", nearestCentroid(centroids, col("v"), col("nrm")))
       val means = assigned
-        .select(col("cid"), posexplode(col("v")))
+        .select(col("cid"),
+          posexplode(transform(col("v"), x => floor(x * lit(MeanQuantScale)))))
         .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+        .agg((sum(col("col")).cast("double")
+          / (lit(MeanQuantScale) * count(lit(1)).cast("double"))).as("m"))
         .groupBy(col("cid"))
         .agg(map_from_entries(collect_list(struct(col("pos"), col("m")))).as("byPos"))
         .collect()

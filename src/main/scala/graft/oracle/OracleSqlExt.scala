@@ -72,7 +72,62 @@ object OracleSqlExt {
       .mkString(" UNION ALL ") + ")"
   }
 
+  /** Full IVF mirror (graft.functions.Ivf.knnIvf): deterministic seeds
+    * (first k by vec_id), three unrolled Lloyd iterations with the
+    * 2^-20-grid integer mean (the order-free trick that makes iterative
+    * k-means oracle-checkable at all), then probe + exact re-rank.
+    * Tie-breaks mirror the engine's struct array_max / sorted-slice:
+    * score DESC, cid DESC. */
+  private val ivfOracle: String = {
+    import graft.functions.Ivf.MeanQuantScale
+    val k = 16; val iters = 3; val nprobe = 4; val nq = 10; val topk = 10
+    def cosine(v: String, nrm: String, cv: String) =
+      s"list_dot_product($v, $cv) / ($nrm * sqrt(list_dot_product($cv, $cv)))"
+    def argTop(src: String, pred: String, keep: Int) =
+      s"""(SELECT vec_id, vq, cid FROM (
+    SELECT q.vec_id, q.vq, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY ${cosine("q.v", "q.nrm", "c.cv")} DESC, c.cid DESC) AS rn
+    FROM q CROSS JOIN $src c$pred) WHERE rn <= $keep)"""
+    val iterCtes = (1 to iters).map { t =>
+      s"""a$t AS ${argTop(s"c${t - 1}", "", 1)},
+m$t AS (
+  SELECT cid, list(m ORDER BY pos) AS mv FROM (
+    SELECT cid, pos,
+           CAST(sum(qc) AS DOUBLE) / ($MeanQuantScale * CAST(count(*) AS DOUBLE)) AS m
+    FROM (SELECT cid, unnest(vq) AS qc, generate_subscripts(vq, 1) AS pos FROM a$t)
+    GROUP BY 1, 2) GROUP BY 1),
+c$t AS (SELECT p.cid, COALESCE(m.mv, p.cv) AS cv
+        FROM c${t - 1} p LEFT JOIN m$t m USING (cid))"""
+    }.mkString(",\n")
+    s"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, nrm,
+        list_transform(v, x -> CAST(floor(x * $MeanQuantScale) AS BIGINT)) AS vq
+      FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)),
+q AS (SELECT vec_id, v, nrm, vq FROM n),
+c0 AS (SELECT cid, cv FROM (
+         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv FROM n)
+       WHERE cid < $k),
+$iterCtes,
+lists AS ${argTop(s"c$iters", "", 1)},
+probes AS (SELECT vec_id AS query_id, cid
+           FROM ${argTop(s"c$iters", s" WHERE q.vec_id < $nq", nprobe)}),
+cand AS (
+  SELECT p.query_id, l.vec_id,
+         round(list_dot_product(qn.v, xn.v) / (qn.nrm * xn.nrm), 9) AS score
+  FROM probes p JOIN lists l USING (cid)
+  JOIN n qn ON qn.vec_id = p.query_id JOIN n xn ON xn.vec_id = l.vec_id
+  WHERE l.vec_id <> p.query_id),
+r AS (SELECT query_id, vec_id AS neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+      FROM cand)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", score
+FROM r WHERE rnk <= $topk ORDER BY query_id, "rank""""
+  }
+
   val queries: Map[String, String] = Map(
+    "q_knn_ivf" -> ivfOracle,
     "q_cosine_neardups" -> s"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
