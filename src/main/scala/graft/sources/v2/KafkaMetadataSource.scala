@@ -41,9 +41,14 @@ class KafkaMetadataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     KafkaMetadataSource.schemaOf(tableOf(options))
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
+                        properties: util.Map[String, String]): Table = {
+    def longOpt(key: String, dflt: Long): Long =
+      Option(properties.get(key)).map(_.toLong).getOrElse(dflt)
     new MetadataTable(properties.get("dir"),
-      Option(properties.get("table")).getOrElse(KafkaMetadataSource.Watermarks))
+      Option(properties.get("table")).getOrElse(KafkaMetadataSource.Watermarks),
+      FetchPolicy(longOpt("fetch.retries", 10L).toInt,
+        longOpt("fetch.backoff.ms", 100L)))
+  }
 }
 
 object KafkaMetadataSource {
@@ -89,7 +94,9 @@ case class GoRow(cluster: String, grp: String, topic: String, partitionId: Long,
 case class GdRow(cluster: String, grp: String, state: String, memberCount: Long,
                  scanTs: Long, s: Long)
 
-class MetadataTable(dir: String, table: String) extends Table with SupportsRead {
+class MetadataTable(dir: String, table: String,
+                    policy: FetchPolicy = FetchPolicy())
+    extends Table with SupportsRead {
   override def name(): String = s"kafka_metadata($dir, $table)"
   override def schema(): StructType = KafkaMetadataSource.schemaOf(table)
   override def capabilities(): util.Set[TableCapability] =
@@ -97,7 +104,8 @@ class MetadataTable(dir: String, table: String) extends Table with SupportsRead 
       Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
     else Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MetadataScanBuilder(new FixtureFetcher(dir), table)
+    new MetadataScanBuilder(
+      new RetryingFetcher(new FixtureFetcher(dir), policy), table)
 }
 
 class MetadataScanBuilder(fetcher: WatermarkFetcher, table: String)

@@ -35,6 +35,33 @@ trait WatermarkFetcher extends Serializable {
   def fetchGroup(grp: String): Array[GdRow]
 }
 
+/** Collector fetch policy — the reference retries failed describe calls
+  * up to 10 times with backoff (kafka_overwatch/kafka_resources/
+  * topics.py:95-131 re-queues failed batches; groups.py:23-52 recurses on
+  * the failed remainder). Attempts include the first try. */
+case class FetchPolicy(attempts: Int = 10, baseMs: Long = 100L)
+
+/** Decorator adding the retry policy to ANY WatermarkFetcher — the
+  * fixture one here, an AdminClient-backed one in a live deployment.
+  * Runs wherever the wrapped call runs: listTopics/listGroups retry on
+  * the driver at planning, fetch* retries inside the executor's
+  * PartitionReader — so one flaky broker RPC fails a single input
+  * partition's attempt, not the whole scan. Backoff schedule is
+  * graft.report.RemotePut.backoffMs (exponential + deterministic
+  * jitter); `sleeper` is injectable so tests assert the schedule. */
+class RetryingFetcher(inner: WatermarkFetcher, policy: FetchPolicy,
+                      sleeper: Long => Unit = Thread.sleep(_))
+    extends WatermarkFetcher {
+  private def withRetry[T](body: => T): T =
+    graft.report.RemotePut.retrying(policy.attempts, policy.baseMs, sleeper)(() => body)
+  override def listTopics(): Seq[String] = withRetry(inner.listTopics())
+  override def listGroups(): Seq[String] = withRetry(inner.listGroups())
+  override def fetch(topic: String): Array[WmRow] = withRetry(inner.fetch(topic))
+  override def fetchGroupOffsets(topic: String): Array[GoRow] =
+    withRetry(inner.fetchGroupOffsets(topic))
+  override def fetchGroup(grp: String): Array[GdRow] = withRetry(inner.fetchGroup(grp))
+}
+
 /** Deterministic fixture implementation: derives the same rows as
   * Snapshots.watermarks, but WITHOUT a SparkSession — events.parquet is
   * read through parquet-hadoop directly, so `fetch` genuinely runs on
