@@ -74,6 +74,47 @@ object TextAnalytics {
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
 
+  /** Token n-grams as strings, empty below n tokens (sequence() would
+    * throw on a negative span). */
+  def tokenNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Benchmark decontamination: for every test-split document, how many
+    * of its distinct token n-grams also occur anywhere in the train
+    * split. The gate a training pipeline runs before trusting eval
+    * numbers.
+    *
+    * Plan at 100 TB: the train side is the corpus — it STREAMS map-side
+    * against a broadcast hash of the test-split n-grams (the test split
+    * is a few percent by construction), so the only shuffle carries the
+    * matched (test doc, ngram) pairs. Never the reverse join: semi-join
+    * with train as build side would shuffle the whole corpus. */
+  def contaminationWith(docs: DataFrame, splits: DataFrame, n: Int = 8): DataFrame = {
+    val ngrams = array_distinct(tokenNgrams(tokens(col("text")), n))
+    val withSplit = docs.join(splits, "doc_id")
+    val testNg = withSplit.filter(col("split") === "test")
+      .select(col("doc_id"), explode(ngrams).as("ngram"))
+    val trainNg = withSplit.filter(col("split") === "train")
+      .select(explode(ngrams).as("ngram"))
+    val hits = trainNg.join(broadcast(testNg), "ngram")
+      .select(col("doc_id"), col("ngram")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("contaminated"))
+    testNg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("contaminated"))
+      .select(col("doc_id"), col("n_ngrams"), col("contaminated"),
+        (col("contaminated").cast("double") / col("n_ngrams"))
+          .as("contamination_frac"))
+      .withColumn("flagged", col("contamination_frac") > 0.2)
+  }
+
+  /** Decontamination against the content-hash split assignment. */
+  def contamination(docs: DataFrame, n: Int = 8): DataFrame =
+    contaminationWith(docs, splitAssignment(docs), n)
+
   /** Corpus length distribution in fixed 100-char buckets — the standard
     * pre-training length histogram (bucket = n_chars div 100). */
   def lengthHistogram(docs: DataFrame): DataFrame =

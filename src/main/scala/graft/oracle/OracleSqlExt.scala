@@ -369,6 +369,31 @@ r AS (SELECT query_id, vec_id AS neighbor_id, score,
 SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", score
 FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"""",
 
+    "q_contamination" -> """
+WITH sp AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CASE WHEN substr(md5(text), 1, 2) < 'f6' THEN 'train'
+              WHEN substr(md5(text), 1, 2) < 'fb' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents),
+ng AS (
+  SELECT doc_id, split,
+         list_distinct(CASE WHEN len(toks) >= 8
+           THEN list_transform(range(1, len(toks) - 6),
+                  i -> array_to_string(toks[i:i+7], ' '))
+           ELSE [] END) AS ngrams
+  FROM sp),
+tng AS (SELECT doc_id, unnest(ngrams) AS ngram FROM ng WHERE split = 'test'),
+trn AS (SELECT DISTINCT unnest(ngrams) AS ngram FROM ng WHERE split = 'train'),
+hits AS (SELECT doc_id, count(*) AS contaminated
+         FROM tng WHERE ngram IN (SELECT ngram FROM trn) GROUP BY 1),
+tot AS (SELECT doc_id, count(*) AS n_ngrams FROM tng GROUP BY 1)
+SELECT t.doc_id, t.n_ngrams, COALESCE(h.contaminated, 0) AS contaminated,
+       CAST(COALESCE(h.contaminated, 0) AS DOUBLE) / t.n_ngrams
+         AS contamination_frac,
+       CAST(COALESCE(h.contaminated, 0) AS DOUBLE) / t.n_ngrams > 0.2 AS flagged
+FROM tot t LEFT JOIN hits h USING (doc_id) ORDER BY t.doc_id""",
+
     "q_repetition" -> """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 bg AS (SELECT doc_id,

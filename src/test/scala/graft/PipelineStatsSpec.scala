@@ -44,6 +44,33 @@ class PipelineStatsSpec extends AnyFunSuite {
     assert(top(1).getAs[Double]("tfidf") === 12.0)
   }
 
+  test("contamination counts test-split n-grams that occur in train") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),   // train
+      (2L, "a b c d e f g h x y"),   // test: shares the one 8-gram "a b c d e f g h" with train
+      (3L, "p q r s t u v w x y z")  // test: disjoint
+    ).toDF("doc_id", "text")
+    val splits = Seq((1L, "train"), (2L, "test"), (3L, "test"))
+      .toDF("doc_id", "split")
+    val r = TextAnalytics.contaminationWith(docs, splits, n = 8)
+      .orderBy("doc_id").collect()
+    // doc 2: 3 distinct 8-grams, the first one contaminated
+    assert(r(0).getAs[Long]("doc_id") === 2L)
+    assert(r(0).getAs[Long]("n_ngrams") === 3L)
+    assert(r(0).getAs[Long]("contaminated") === 1L)
+    assert(r(0).getAs[Boolean]("flagged")) // 1/3 > 0.2
+    // doc 3: 4 distinct 8-grams, none in train
+    assert(r(1).getAs[Long]("contaminated") === 0L)
+    assert(!r(1).getAs[Boolean]("flagged"))
+  }
+
+  test("tokenNgrams is empty below n tokens") {
+    val one = Seq((1L, "a b c")).toDF("doc_id", "text")
+      .select(TextAnalytics.tokenNgrams(split(col("text"), " "), 8).as("ng"))
+      .collect()(0).getSeq[String](0)
+    assert(one.isEmpty)
+  }
+
   test("embeddingStats: order-free stats over norms, exact percentile") {
     val emb = Seq(
       (1L, Array(3f, 4f), 0),  // norm 5
