@@ -217,6 +217,8 @@ object SparkEntry {
       Similarity.cosineNearDups(emb(s, dir), threshold = 0.4)
         .orderBy(col("vec_a"), col("vec_b"))),
 
+    "q_mixture" -> ((s, dir) =>
+      TextAnalytics.mixtureSummary(docs(s, dir)).orderBy(col("lang"))),
     "q_contamination" -> ((s, dir) =>
       TextAnalytics.contamination(docs(s, dir)).orderBy(col("doc_id"))),
     "q_repetition" -> ((s, dir) =>

@@ -224,6 +224,42 @@ object TextAnalytics {
           .as("quality_score"))
   }
 
+  /** Language mixing weights for corpus assembly — the up/down-sampling
+    * rates a pretraining mix applies per stratum. */
+  val MixRates: Seq[(String, Double)] = Seq(
+    "en" -> 1.0, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.5, "zh" -> 0.25)
+  val MixDefaultRate = 0.1
+
+  /** Content-keyed uniform in [0,1): the document's polynomial hash over
+    * its modulus. Like splitAssignment, the draw follows CONTENT — the
+    * same doc keeps the same fate across re-ingestions and engines. */
+  def sampleUniform(text: Column): Column =
+    graft.expressions.PolyHash.polyhash(text).cast("double") / lit(1000000007.0)
+
+  /** Deterministic stratified sampling: keep a doc iff its content-hash
+    * uniform falls under its language's mix rate. Row-local — at 100 TB
+    * this is a filter fused into the corpus scan, no shuffle at all. */
+  def stratifiedSample(docs: DataFrame): DataFrame = {
+    val rate = MixRates.foldLeft(lit(MixDefaultRate): Column) {
+      case (acc, (l, r)) => when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    docs.withColumn("u", sampleUniform(col("text")))
+      .withColumn("rate", rate)
+      .withColumn("kept", col("u") < col("rate"))
+  }
+
+  /** The mixture report: per language, the configured rate and the
+    * realized doc/char yield of the deterministic sample. */
+  def mixtureSummary(docs: DataFrame): DataFrame =
+    stratifiedSample(docs).groupBy(col("lang"))
+      .agg(max(col("rate")).as("rate"),
+        count(lit(1)).as("total_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .withColumn("kept_frac",
+        col("kept_docs").cast("double") / col("total_docs"))
+
   /** Marker-token sets per language for the n-gram/lexical language-ID
     * heuristic. The synthetic corpus is English-ish; real marker lists
     * would be larger. */

@@ -369,6 +369,23 @@ r AS (SELECT query_id, vec_id AS neighbor_id, score,
 SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", score
 FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"""",
 
+    "q_mixture" -> """
+WITH u AS (
+  SELECT lang, n_chars,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(text) + 1),
+             i -> CAST(ascii(text[i:i]) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 1000000007) AS DOUBLE) / 1000000007.0 AS u,
+         CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5 WHEN 'fr' THEN 0.5
+                   WHEN 'es' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 0.1 END AS rate
+  FROM documents)
+SELECT lang, max(rate) AS rate, count(*) AS total_docs,
+       CAST(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN u < rate THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+       CAST(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS kept_frac
+FROM u GROUP BY 1 ORDER BY lang""",
+
     "q_contamination" -> """
 WITH sp AS (
   SELECT doc_id, string_split(text, ' ') AS toks,

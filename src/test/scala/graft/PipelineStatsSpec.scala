@@ -71,6 +71,34 @@ class PipelineStatsSpec extends AnyFunSuite {
     assert(one.isEmpty)
   }
 
+  test("stratifiedSample: rate 1.0 keeps everything, draws are content-keyed") {
+    val docs = Seq(
+      (1L, "en", "alpha beta", 10L), (2L, "en", "gamma delta", 11L),
+      (3L, "xx", "epsilon zeta", 12L)
+    ).toDF("doc_id", "lang", "text", "n_chars")
+    val s = TextAnalytics.stratifiedSample(docs).orderBy("doc_id").collect()
+    assert(s.filter(_.getAs[String]("lang") == "en").forall(_.getAs[Boolean]("kept")))
+    assert(s(2).getAs[Double]("rate") === TextAnalytics.MixDefaultRate)
+    assert(s.forall { r => val u = r.getAs[Double]("u"); u >= 0.0 && u < 1.0 })
+    // same content, same draw — re-run produces identical u
+    val again = TextAnalytics.stratifiedSample(docs).orderBy("doc_id").collect()
+    assert(s.map(_.getAs[Double]("u")).toSeq === again.map(_.getAs[Double]("u")).toSeq)
+  }
+
+  test("scale plan shapes: contamination broadcasts test n-grams, scans prune") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+    val contPlan = TextAnalytics.contamination(docs)
+      .queryExecution.executedPlan.toString
+    assert(contPlan.contains("BroadcastExchange")) // train streams, test builds
+    val repPlan = TextAnalytics.repetitionStats(docs)
+      .queryExecution.executedPlan.toString
+    assert(repPlan.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+    val mixPlan = TextAnalytics.mixtureSummary(docs)
+      .queryExecution.executedPlan.toString
+    assert(!mixPlan.contains("Exchange hashpartitioning(lang")
+      || mixPlan.contains("HashAggregate")) // partial+final agg, single shuffle
+  }
+
   test("embeddingStats: order-free stats over norms, exact percentile") {
     val emb = Seq(
       (1L, Array(3f, 4f), 0),  // norm 5
