@@ -1,14 +1,15 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sketch-based near-duplicate detection: MinHash + banded LSH and
   * SimHash. This is the 100 TB dedup path — per-document state is a
-  * fixed-size signature built in one pass with map-side partial
-  * aggregation (custom `Aggregator`s), and candidate pairs come from
-  * equi-joins on band keys, never from the full shingle inverted index.
+  * fixed-size signature built row-locally inside the scan stage (native
+  * kernels graft.expressions.{MinHashSig, SimHashSig} — a signature is a
+  * pure function of one document, so no token/shingle row ever shuffles),
+  * and candidate pairs come from equi-joins on band keys, never from the
+  * full shingle inverted index.
   *
   * Everything is deterministic AND oracle-reproducible: shingle/token
   * hashes are polynomial hashes, permutations are Carter-Wegman affine
@@ -53,9 +54,12 @@ object Sketches {
     h
   }
 
-  /** MinHash signature aggregator: IN = shingle hash, BUF = running mins
-    * for all permutations (fixed 64*8 bytes per group — constant state, no
-    * per-row growth), OUT = signature.
+  /** MinHash signatures per document from its character shingles, as one
+    * row-local codegen kernel (graft.expressions.MinHashSig) — no explode,
+    * no shuffle: the signature is a pure function of the document, so it
+    * materializes inside the scan stage. Shingle hash is polyhash
+    * (< 2^30 — within the univ() input bound and reproducible in the
+    * oracle).
     *
     * Deliberately the classic 64-permutation scheme. One-permutation
     * hashing (bin by top bits + rotation densification) was measured on
@@ -63,70 +67,12 @@ object Sketches {
     * stop-shingles dominate bins and densification correlates agreements,
     * inflating est_jaccard (mean 0.21 vs 0.14 true; 8093 vs 299 pairs
     * >= 0.3 on sf0.01) — a bias rows-only checks would never catch. The
-    * 64 mixes per shingle are a constant factor the band join amortizes. */
-  class MinHashAgg extends Aggregator[Long, Array[Long], Seq[Long]] {
-    def zero: Array[Long] = Array.fill(NumHashes)(Long.MaxValue)
-    def reduce(b: Array[Long], x: Long): Array[Long] = {
-      var i = 0
-      while (i < NumHashes) {
-        val v = univ(x, i)
-        if (v < b(i)) b(i) = v
-        i += 1
-      }
-      b
-    }
-    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-      var i = 0
-      while (i < NumHashes) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
-      a
-    }
-    def finish(b: Array[Long]): Seq[Long] = b.toSeq
-    def bufferEncoder: Encoder[Array[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
-    def outputEncoder: Encoder[Seq[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
-  }
-
-  /** SimHash aggregator: IN = token hash, BUF = 64 signed bit counters,
-    * OUT = 64-bit fingerprint (bit set where counter > 0). */
-  class SimHashAgg extends Aggregator[Long, Array[Int], Long] {
-    def zero: Array[Int] = new Array[Int](64)
-    def reduce(b: Array[Int], h: Long): Array[Int] = {
-      var i = 0
-      while (i < 64) {
-        if (((h >>> i) & 1L) == 1L) b(i) += 1 else b(i) -= 1
-        i += 1
-      }
-      b
-    }
-    def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
-      var i = 0
-      while (i < 64) { a(i) += b(i); i += 1 }
-      a
-    }
-    def finish(b: Array[Int]): Long = {
-      var out = 0L
-      var i = 0
-      while (i < 64) { if (b(i) > 0) out |= (1L << i); i += 1 }
-      out
-    }
-    def bufferEncoder: Encoder[Array[Int]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
-    def outputEncoder: Encoder[Long] = Encoders.scalaLong
-  }
-
-  private lazy val minHashUdaf = udaf(new MinHashAgg, Encoders.scalaLong)
-  private lazy val simHashUdaf = udaf(new SimHashAgg, Encoders.scalaLong)
-
-  /** MinHash signatures per document from its character shingles. The
-    * shingle hash is polyhash (< 2^30 — within the univ() input bound and
-    * reproducible in the oracle). */
+    * 64 permutations per shingle are a constant factor the band join
+    * amortizes. */
   def minHashSignatures(docs: DataFrame, n: Int = 5): DataFrame =
-    Dedup.charShingles(docs, n)
+    docs.filter(length(col("text")) >= n)
       .select(col("doc_id"),
-        graft.expressions.PolyHash.polyhash(col("shingle")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(minHashUdaf(col("h")).as("sig"))
+        graft.expressions.MinHashSig.min_hash_sig(col("text"), n).as("sig"))
 
   /** Banded-LSH candidate pairs + signature-estimated Jaccard.
     * Pairs sharing >= 1 of the 16 bands are candidates; est_jaccard =
@@ -169,12 +115,12 @@ object Sketches {
       graft.expressions.PolyHash.Base2, graft.expressions.PolyHash.Mod2) *
       lit(1L << 30) + graft.expressions.PolyHash.polyhash(token)
 
+  /** Fingerprints via the row-local kernel (graft.expressions.SimHashSig):
+    * the explode -> udaf pipeline this replaces shuffled one row per token
+    * for a value that is a pure function of the document. */
   def simHashes(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      explode(TextAnalytics.tokens(col("text"))).as("token"))
-      .select(col("doc_id"), tokenHash(col("token")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(simHashUdaf(col("h")).as("simhash"))
+      graft.expressions.SimHashSig.sim_hash_sig(col("text")).as("simhash"))
 
   /** Near-dup pairs by SimHash, banding the 64-bit fingerprint into
     * `maxHamming + 1` contiguous bit ranges: if two fingerprints differ in

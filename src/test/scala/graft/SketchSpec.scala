@@ -36,6 +36,36 @@ class SketchSpec extends AnyFunSuite {
     assert(maxErr <= 0.35, s"worst |est - true| = $maxErr") // 64 perms => se ~ 1/8
   }
 
+  test("row-local kernels equal the compositional explode+aggregate forms") {
+    val sample = docs.limit(50).cache()
+    // MinHashSig vs: distinct shingles -> polyhash -> min per permutation
+    val viaKernel = Sketches.minHashSignatures(sample)
+      .as[(Long, Seq[Long])].collect().toMap
+    val hashes = Dedup.charShingles(sample)
+      .select($"doc_id", graft.expressions.PolyHash.polyhash($"shingle").as("h"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+    viaKernel.foreach { case (id, sig) =>
+      val hs = hashes(id).map(_._2)
+      val expected = (0 until Sketches.NumHashes).map(i => hs.map(Sketches.univ(_, i)).min)
+      assert(sig === expected, s"minhash signature mismatch for doc $id")
+    }
+    // SimHashSig vs: explode tokens -> tokenHash -> majority vote
+    val kernelSh = Sketches.simHashes(sample).as[(Long, Long)].collect().toMap
+    val tokenHashes = sample
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .select($"doc_id", Sketches.tokenHash($"token").as("h"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+    kernelSh.foreach { case (id, fp) =>
+      val hs = tokenHashes(id).map(_._2)
+      val expected = (0 until 64).map { i =>
+        val votes = hs.map(h => if (((h >>> i) & 1L) == 1L) 1 else -1).sum
+        if (votes > 0) 1L << i else 0L
+      }.sum
+      assert(fp === expected, s"simhash fingerprint mismatch for doc $id")
+    }
+    sample.unpersist()
+  }
+
   test("simhash of identical token multisets is identical") {
     val d = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "totally different words here")).toDF("doc_id", "text")
