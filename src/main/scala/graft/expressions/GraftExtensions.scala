@@ -8,35 +8,35 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   *   SparkSession.builder().withExtensions(new GraftExtensions)...
   *   // or on a live session:
   *   GraftExtensions.register(spark)
-  *   spark.sql("SELECT polyhash(text), dot_product(a, b) FROM t")
+  *   spark.sql("SELECT polyhash(text), min_hash_sig(text) FROM t")
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(GraftExtensions.polyhashDescriptor)
-    e.injectFunction(GraftExtensions.dotProductDescriptor)
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(e.injectFunction)
 }
 
 object GraftExtensions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-  private val polyhashDescriptor =
-    (FunctionIdentifier("polyhash"),
-      new ExpressionInfo(classOf[PolyHash].getName, "polyhash"),
-      (children: Seq[Expression]) => PolyHash(children.head))
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "polyhash" -> (children => PolyHash(children.head)),
+    "dot_product" -> (children => DotProduct(children(0), children(1))),
+    "min_hash_sig" -> (children => MinHashSig(children.head)),
+    "sim_hash_sig" -> (children => SimHashSig(children.head)),
+    "array_max_abs" -> (children => ArrayMaxAbs(children.head)),
+    "quantize_max_err" -> (children => QuantizeMaxErr(children.head)))
 
-  private val dotProductDescriptor =
-    (FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+  private val descriptors = builders.map { case (name, builder) =>
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name), builder)
+  }
 
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("polyhash",
-      (children: Seq[Expression]) => PolyHash(children.head), "built-in")
-    reg.createOrReplaceTempFunction("dot_product",
-      (children: Seq[Expression]) => DotProduct(children(0), children(1)), "built-in")
+    builders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

@@ -44,9 +44,19 @@ object Ivf {
     * centroid vectors, collected (k x dim doubles — broadcast-sized by
     * construction). */
   def trainCentroids(emb: DataFrame, k: Int = 16, iters: Int = 3): Seq[(Int, Array[Double])] = {
+    // The training set is scanned once per iteration (plus seeding) —
+    // persist the projected vectors instead of re-deriving from parquet
+    // each round. At 100 TB the training input is a sample, so caching it
+    // is the standard (and affordable) Lloyd setup.
     val base = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"),
       Similarity.l2Norm(col("embedding")).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try trainOn(base, k, iters)
+    finally base.unpersist()
+  }
+
+  private def trainOn(base: DataFrame, k: Int, iters: Int): Seq[(Int, Array[Double])] = {
     // deterministic seeds: the first k vectors by vec_id
     var centroids: Seq[(Int, Array[Double])] = base.orderBy(col("vec_id")).limit(k)
       .collect().zipWithIndex.map { case (r, i) =>

@@ -33,6 +33,18 @@ class SkewAndSqlSpec extends AnyFunSuite {
     assert(r.getDouble(1) === 11.0)
   }
 
+  test("sketch and quantize kernels are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT size(min_hash_sig('abcdefgh')) AS ms, sim_hash_sig('a b c') AS ss, " +
+        "array_max_abs(array(1.0F, -3.0F)) AS mx, " +
+        "quantize_max_err(array(0.0F, 0.0F)) AS qe").collect()(0)
+    assert(r.getInt(0) === graft.functions.Sketches.NumHashes)
+    assert(r.getLong(1) !== 0L)
+    assert(r.getDouble(2) === 3.0)
+    assert(r.getDouble(3) === 0.0)
+  }
+
   test("extensions class registers functions on a fresh session") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
