@@ -31,6 +31,42 @@ object InvariantProps extends Properties("graft.pure") {
         got.map(_._2.toSeq) == named.map(_._2.toSeq)
     }
 
+  private val asciiTextGen: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaLowerChar, 1 -> Gen.numChar, 3 -> Gen.const(' ')))
+      .map(_.mkString)
+
+  property("MinHashSig.compute == brute-force min over shingle polyhashes") =
+    forAll(asciiTextGen) { text =>
+      val bytes = text.getBytes("UTF-8")
+      val sig = graft.expressions.MinHashSig.compute(bytes, 5).toSeq
+      val shingles = (0 to bytes.length - 5).map(i =>
+        PolyHash.hash(bytes.slice(i, i + 5)))
+      val expected = (0 until graft.functions.Sketches.NumHashes).map { i =>
+        if (shingles.isEmpty) Long.MaxValue
+        else shingles.map(graft.functions.Sketches.univ(_, i)).min
+      }
+      sig == expected
+    }
+
+  property("SimHashSig.compute == brute-force token majority vote") =
+    forAll(asciiTextGen) { text =>
+      val fp = graft.expressions.SimHashSig.compute(text.getBytes("UTF-8"))
+      // split(' ') semantics: empty tokens at runs/ends participate
+      val tokens = text.split(" ", -1).toSeq
+      def tokenHash(t: String): Long = {
+        val b = t.getBytes("UTF-8")
+        PolyHash.hash(b, PolyHash.Base2, PolyHash.Mod2) * (1L << 30) +
+          PolyHash.hash(b)
+      }
+      val hs = tokens.map(tokenHash)
+      val expected = (0 until 64).map { i =>
+        val votes = hs.map(h => if (((h >>> i) & 1L) == 1L) 1 else -1).sum
+        if (votes > 0) 1L << i else 0L
+      }.sum
+      fp == expected
+    }
+
   property("sketch mix is deterministic") =
     forAll { (x: Long, s: Long) =>
       graft.functions.Sketches.mix(x, s) == graft.functions.Sketches.mix(x, s)
