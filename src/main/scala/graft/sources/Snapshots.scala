@@ -123,10 +123,12 @@ object Snapshots {
 
   private def watermarksUncached(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Two passes over events, not three: one narrow scan for the max id,
+    // one wide scan for the grouped counts; the distinct (topic,
+    // partition) pairs fall out of the (tiny) grouped result for free.
     val ev    = events(spark, dir)
     val mx    = ev.agg(max($"event_id").as("maxid"))
     val scans = scansDf(spark)
-    val pairs = ev.select($"topic", $"partition_id").distinct()
     // Each event is visible from scan s_min = ceil(NumScans*e/maxid) on
     // (equivalent to e <= maxid*s div NumScans), so per-scan highs are a
     // cumulative sum over one grouped pass of events — no events x scans
@@ -136,6 +138,8 @@ object Snapshots {
       .withColumn("s_min",
         greatest(expr(s"(event_id * $NumScans + maxid - 1) div maxid"), lit(1L)))
       .groupBy($"topic", $"partition_id", $"s_min").agg(count(lit(1)).as("c"))
+      .persist() // tiny (pairs x scans upper bound); read by both branches
+    val pairs = byFirstScan.select($"topic", $"partition_id").distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"topic", $"partition_id").orderBy($"s")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -147,9 +151,13 @@ object Snapshots {
       .select($"topic", $"partition_id", $"s", $"low", $"high")
     val injected = InjectedWatermarkRows
       .toDF("topic", "partition_id", "s", "low", "high")
-    derived.unionByName(injected)
+    val out = derived.unionByName(injected)
       .select(lit(Cluster).as("cluster"), $"topic", $"partition_id", $"low",
         $"high", (lit(Epoch0) + lit(Step) * $"s").as("scan_ts"), $"s")
+      .persist()
+    out.count() // materialize, then release the intermediate
+    byFirstScan.unpersist()
+    out
   }
 
   /** group_offsets: (cluster, grp, topic, partition_id, committed, scan_ts, s).
