@@ -62,6 +62,7 @@ object Ivf {
       .collect().zipWithIndex.map { case (r, i) =>
         (i, r.getAs[scala.collection.Seq[Double]]("v").toArray)
       }.toSeq
+    if (centroids.isEmpty) return centroids // empty table: nothing to train
     (1 to iters).foreach { _ =>
       val assigned = base.withColumn("cid", nearestCentroid(centroids, col("v"), col("nrm")))
       val means = assigned
@@ -96,6 +97,10 @@ object Ivf {
   def knnIvf(emb: DataFrame, k: Int = 10, nQueries: Int = 10,
              nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
     val centroids = trainCentroids(emb, nCentroids)
+    if (centroids.isEmpty) // empty table: empty result, correct schema
+      return emb.limit(0).select(col("vec_id").as("query_id"),
+        col("vec_id").as("neighbor_id"), col("vec_id").as("rank"),
+        lit(0.0).as("score"))
     val lists = assign(emb, centroids)
     // nprobe nearest centroid ids per query vector
     val probes = (q: Column, qn: Column) => {

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+import graft.functions.{Dedup, Ivf, Similarity, Sketches, TextAnalytics}
+
+/** Degenerate inputs: empty corpus, sub-shingle docs, pairless graphs.
+  * Every operator must return an empty (or well-defined) result with the
+  * right schema — not throw. At 100 TB a partition, source, or day WILL
+  * be empty. */
+class DegenerateInputSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def emptyDocs: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+
+  private def emptyEmb: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType))))
+
+  test("text operators return empty results on an empty corpus") {
+    assert(TextAnalytics.docStats(emptyDocs).count() === 0)
+    assert(TextAnalytics.repetitionStats(emptyDocs).count() === 0)
+    assert(TextAnalytics.tfidfTerms(emptyDocs).count() === 0)
+    assert(TextAnalytics.contamination(emptyDocs).count() === 0)
+    assert(TextAnalytics.mixtureSummary(emptyDocs).count() === 0)
+    assert(TextAnalytics.topTokensPerLang(emptyDocs).count() === 0)
+    assert(TextAnalytics.languageId(emptyDocs).count() === 0)
+  }
+
+  test("sketch operators handle empty and sub-shingle corpora") {
+    assert(Sketches.minHashPairs(emptyDocs).count() === 0)
+    assert(Sketches.simHashPairs(emptyDocs).count() === 0)
+    // docs shorter than one shingle: no signature, no pairs, no throw
+    val short = Seq((1L, "abc"), (2L, "abc")).toDF("doc_id", "text")
+    assert(Sketches.minHashSignatures(short).count() === 0)
+    assert(Sketches.minHashPairs(short).count() === 0)
+    // one doc above, one below the shingle width: no self-pairing
+    val mixed = Seq((1L, "abc"), (2L, "abcdefghij")).toDF("doc_id", "text")
+    assert(Sketches.minHashSignatures(mixed).count() === 1)
+    assert(Sketches.minHashPairs(mixed).count() === 0)
+  }
+
+  test("dedup clustering of an empty pair set labels nothing") {
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.dedupClusters(emptyPairs).count() === 0)
+    // and the deduped corpus is then the corpus itself
+    val docs = Seq((1L, "a", "en", "s", 1L), (2L, "b", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Dedup.dropClusterDuplicates(docs, Dedup.dedupClusters(emptyPairs))
+      .count() === 2)
+  }
+
+  test("similarity operators return empty results on an empty embedding table") {
+    assert(Similarity.knnExact(emptyEmb).count() === 0)
+    assert(Similarity.knnLsh(emptyEmb).count() === 0)
+    assert(Similarity.cosineNearDups(emptyEmb).count() === 0)
+    assert(Similarity.embeddingStats(emptyEmb).count() === 0)
+    assert(Similarity.quantizationReport(emptyEmb).count() === 0)
+  }
+
+  test("IVF training survives an empty table and a sub-k table") {
+    // empty: no seeds, no centroids -> empty result, no throw
+    assert(Ivf.knnIvf(emptyEmb).count() === 0)
+    // fewer vectors than centroids: seeds = what exists
+    val tiny = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0f, 1f), 0), (2L, Array(1f, 1f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Ivf.knnIvf(tiny, k = 2, nQueries = 1, nCentroids = 16, nprobe = 4)
+    assert(r.count() >= 1) // neighbors of query 0 among probed lists
+  }
+}
