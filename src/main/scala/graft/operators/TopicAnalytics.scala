@@ -174,4 +174,28 @@ object TopicAnalytics {
         col("min_v"), col("q25"), col("q50"), col("q75"), col("max_v"))
     statsFor("total_messages").unionByName(statsFor("new_messages"))
   }
+
+  /** The 100 TB form of describeStats: single-pass `percentile_approx`
+    * (bounded-error t-digest style sketch, mergeable across partitions —
+    * no global sort) in place of exact `percentile` (which must hold each
+    * group's values). Same schema; accuracy knob = the approximation
+    * parameter. The oracle-checked exact form stays the correctness
+    * witness; this is the one a 1000-executor job should call. */
+  def describeStatsApprox(topics: DataFrame, accuracy: Int = 10000): DataFrame = {
+    def statsFor(c: String) = topics.agg(
+      count(lit(1)).as("cnt"),
+      sum(col(c)).as("sx"),
+      sum(col(c) * col(c)).as("sxx"),
+      min(col(c)).cast("double").as("min_v"),
+      percentile_approx(col(c), lit(0.25), lit(accuracy)).cast("double").as("q25"),
+      percentile_approx(col(c), lit(0.5), lit(accuracy)).cast("double").as("q50"),
+      percentile_approx(col(c), lit(0.75), lit(accuracy)).cast("double").as("q75"),
+      max(col(c)).cast("double").as("max_v"))
+      .select(lit(c).as("column"), col("cnt"),
+        (col("sx").cast("double") / col("cnt")).as("mean"),
+        sqrt((col("sxx").cast("double") - col("sx").cast("double") * col("sx") / col("cnt"))
+          / (col("cnt") - 1)).as("std"),
+        col("min_v"), col("q25"), col("q50"), col("q75"), col("max_v"))
+    statsFor("total_messages").unionByName(statsFor("new_messages"))
+  }
 }

@@ -99,6 +99,29 @@ class PipelineStatsSpec extends AnyFunSuite {
       || mixPlan.contains("HashAggregate")) // partial+final agg, single shuffle
   }
 
+  test("describeStatsApprox tracks the exact form (sketch quantiles)") {
+    import graft.sources.Snapshots
+    import graft.operators.TopicAnalytics
+    val d = TestSpark.Sf0001
+    val topics = TopicAnalytics.topicsDf(Snapshots.watermarks(spark, d),
+      Snapshots.groupOffsets(spark, d), Snapshots.groupsDim(spark, d))
+    val exact = TopicAnalytics.describeStats(topics).orderBy("column").collect()
+    val approx = TopicAnalytics.describeStatsApprox(topics).orderBy("column").collect()
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(a.getAs[Long]("cnt") === e.getAs[Long]("cnt"))
+      assert(a.getAs[Double]("mean") === e.getAs[Double]("mean")) // moments exact
+      assert(a.getAs[Double]("std") === e.getAs[Double]("std"))
+      Seq("q25", "q50", "q75").foreach { q =>
+        val (ev, av) = (e.getAs[Double](q), a.getAs[Double](q))
+        // sketch returns a realized value within the column's range, close
+        // to the interpolated exact quantile at this tiny cardinality
+        assert(av >= e.getAs[Double]("min_v") && av <= e.getAs[Double]("max_v"))
+        assert(math.abs(av - ev) <= (e.getAs[Double]("max_v") * 0.25).max(1.0),
+          s"$q: approx $av vs exact $ev")
+      }
+    }
+  }
+
   test("embeddingStats: order-free stats over norms, exact percentile") {
     val emb = Seq(
       (1L, Array(3f, 4f), 0),  // norm 5
