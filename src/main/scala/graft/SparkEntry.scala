@@ -188,6 +188,9 @@ object SparkEntry {
     "q_dedup_records" -> ((s, dir) =>
       Dedup.recordGroups(Snapshots.eventsRaw(s, dir), Seq("user_id", "event_type"),
         col("event_id")).orderBy(col("user_id"), col("event_type"))),
+    "q_cross_source_dups" -> ((s, dir) =>
+      Dedup.crossSourceDups(docs(s, dir), jaccardPairs03(s, dir))
+        .orderBy(col("source_a"), col("source_b"))),
     "q_jaccard_pairs" -> ((s, dir) =>
       jaccardPairs03(s, dir)
         .orderBy(col("doc_a"), col("doc_b"))),

@@ -22,6 +22,25 @@ object Dedup {
     df.groupBy(md5(content).as("content_hash"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Cross-source duplication report: for every unordered pair of
+    * DIFFERENT sources, how many near-dup document pairs straddle them —
+    * the provenance view of dedup ("which feeds copy each other") that
+    * decides what a crawl re-ingests. Takes the already-computed
+    * candidate pair set (jaccard or sketch based), so the only new work
+    * is two broadcast-sized dimension joins on doc_id and a tiny
+    * aggregation. */
+  def crossSourceDups(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+      .filter(col("src_a") =!= col("src_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_neardups"))
+  }
+
   /** Connected-component clustering of near-dup pairs: every document
     * gets the minimum doc_id of its component as cluster label, via
     * iterative min-label propagation (each round one join + groupBy;

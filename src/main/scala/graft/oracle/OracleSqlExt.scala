@@ -285,6 +285,30 @@ FROM documents GROUP BY 1 ORDER BY content_hash""",
 SELECT user_id, event_type, min(event_id) AS keep_id, count(*) AS dup_count
 FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""",
 
+    "q_cross_source_dups" -> """
+WITH sh AS (
+  SELECT DISTINCT doc_id, text[i:i+4] AS shingle
+  FROM documents, unnest(range(1, greatest(length(text) - 3, 1))) t(i)),
+rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 100),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shr GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.3),
+srcs AS (
+  SELECT da.source AS src_a, db.source AS src_b
+  FROM pairs JOIN documents da ON doc_a = da.doc_id
+  JOIN documents db ON doc_b = db.doc_id
+  WHERE da.source <> db.source)
+SELECT least(src_a, src_b) AS source_a, greatest(src_a, src_b) AS source_b,
+       count(*) AS shared_neardups
+FROM srcs GROUP BY 1, 2 ORDER BY source_a, source_b""",
+
     "q_jaccard_pairs" -> """
 WITH sh AS (
   SELECT DISTINCT doc_id, text[i:i+4] AS shingle
