@@ -220,6 +220,8 @@ object SparkEntry {
       Similarity.cosineNearDups(emb(s, dir), threshold = 0.4)
         .orderBy(col("vec_a"), col("vec_b"))),
 
+    "q_token_budget" -> ((s, dir) =>
+      TextAnalytics.tokenBudget(docs(s, dir)).orderBy(col("lang"))),
     "q_mixture" -> ((s, dir) =>
       TextAnalytics.mixtureSummary(docs(s, dir)).orderBy(col("lang"))),
     "q_contamination" -> ((s, dir) =>

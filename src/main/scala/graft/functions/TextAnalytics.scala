@@ -260,6 +260,23 @@ object TextAnalytics {
       .withColumn("kept_frac",
         col("kept_docs").cast("double") / col("total_docs"))
 
+  /** Token-budget packing: greedily take documents in doc_id order per
+    * language until the running token total exceeds the budget — how a
+    * pretraining mix realizes "N tokens of language X". Reported as the
+    * per-language yield. Window cumsum partitioned by lang: each
+    * partition sorts independently, no global sort. */
+  def tokenBudget(docs: DataFrame, budgetTokens: Long = 5000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    docs.select(col("lang"), col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("running_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("running_tokens") <= budgetTokens)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs_in_budget"),
+        max(col("running_tokens")).as("tokens_used"))
+  }
+
   /** Marker-token sets per language for the n-gram/lexical language-ID
     * heuristic. The synthetic corpus is English-ish; real marker lists
     * would be larger. */

@@ -393,6 +393,18 @@ r AS (SELECT query_id, vec_id AS neighbor_id, score,
 SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", score
 FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"""",
 
+    "q_token_budget" -> """
+WITH t AS (
+  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+r AS (SELECT lang, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_tokens
+      FROM t)
+SELECT lang, count(*) AS docs_in_budget,
+       CAST(max(running_tokens) AS BIGINT) AS tokens_used
+FROM r WHERE running_tokens <= 5000 GROUP BY 1 ORDER BY lang""",
+
     "q_mixture" -> """
 WITH u AS (
   SELECT lang, n_chars,
