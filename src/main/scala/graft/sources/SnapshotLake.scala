@@ -31,6 +31,21 @@ object SnapshotLake {
     df.filter(col("s") === Snapshots.NumScans)
   }
 
+  /** Bucketed form of a snapshot table: hash-bucketed AND sorted by the
+    * join key. Two tables bucketed the same way join with NO shuffle and
+    * no sort — at 100 TB this is how the recurring lag join
+    * (group_offsets x watermarks on (topic, partition_id)) runs as a
+    * map-side zip of co-located buckets. Bucket count is the scale knob:
+    * files per partition = buckets, each bucket pair joins in one task.
+    * Requires saveAsTable (bucket metadata lives in the catalog). */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int = 8,
+                    keys: Seq[String] = Seq("topic", "partition_id")): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** History compaction (SURVEY §7.4): fold every scan older than
     * `keepFrom` into one synthetic baseline row per partition, carrying
     *  - the first observed high (the frozen init_end_offset baseline, W2),

@@ -30,6 +30,33 @@ class LakeAndEventStreamSpec extends AnyFunSuite {
     assert(lat.count() === wm.filter($"s" === Snapshots.NumScans).count())
   }
 
+  test("bucketed snapshot tables join without a shuffle") {
+    val wm = Snapshots.watermarks(spark, TestSpark.Sf0001)
+      .select("topic", "partition_id", "high", "s")
+    val go = Snapshots.groupOffsets(spark, TestSpark.Sf0001)
+      .select("topic", "partition_id", "committed", "s")
+    SnapshotLake.writeBucketed(wm, "wm_bucketed")
+    SnapshotLake.writeBucketed(go, "go_bucketed")
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(bcKey)
+    try {
+      // force the shuffle-shaped strategy (at 100 TB neither side
+      // broadcasts): co-located buckets must make it exchange-free
+      spark.conf.set(bcKey, "-1")
+      val joined = spark.table("go_bucketed")
+        .join(spark.table("wm_bucketed"), Seq("topic", "partition_id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set(bcKey, prev)
+      spark.sql("DROP TABLE IF EXISTS wm_bucketed")
+      spark.sql("DROP TABLE IF EXISTS go_bucketed")
+    }
+  }
+
   test("compaction preserves baseline-vs-latest analytics") {
     import spark.implicits._
     val dir = TestSpark.Sf0001
