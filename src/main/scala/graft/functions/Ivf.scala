@@ -26,7 +26,7 @@ object Ivf {
                               v: Column, vNorm: Column): Column = {
     val scored = centroids.map { case (cid, c) =>
       val cNorm = math.sqrt(c.map(x => x * x).sum)
-      struct((dot(v, array(c.map(lit): _*)) / (vNorm * lit(cNorm))).as("score"),
+      struct((dot(v, array(c.toIndexedSeq.map(lit): _*)) / (vNorm * lit(cNorm))).as("score"),
         lit(cid).as("cid"))
     }
     // array_max on struct(score, cid) picks max score, then max cid on ties
@@ -106,7 +106,7 @@ object Ivf {
     val probes = (q: Column, qn: Column) => {
       val scored = centroids.map { case (cid, c) =>
         val cNorm = math.sqrt(c.map(x => x * x).sum)
-        struct((dot(q, array(c.map(lit): _*)) / (qn * lit(cNorm))).as("score"),
+        struct((dot(q, array(c.toIndexedSeq.map(lit): _*)) / (qn * lit(cNorm))).as("score"),
           lit(cid).as("cid"))
       }
       slice(reverse(array_sort(array(scored: _*))), 1, nprobe)

@@ -124,7 +124,7 @@ object Similarity {
   def tableKey(emb: Column, table: Int, dim: Int): Column = {
     val bits = (0 until BitsPerTable).map { i =>
       val plane = hyperplane(table * BitsPerTable + i, dim)
-      val planeCol = array(plane.map(lit): _*)
+      val planeCol = array(plane.toIndexedSeq.map(lit): _*)
       when(dot(emb, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a + b)
