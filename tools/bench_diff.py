@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Diff two Bench JSON outputs (or driver BENCH_r*.json files).
+
+Usage: python3 tools/bench_diff.py OLD.json NEW.json [--threshold 1.25]
+
+Accepts either the raw one-line {"metric": ...} JSON or the driver's
+wrapper ({"tail": "...[info] {json}..."}). Prints per-query deltas worse
+than the threshold ratio and the total change — the regression gate to
+run after perf work.
+"""
+import json
+import re
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        doc = json.load(f)
+    if "queries" in doc:
+        return doc
+    # driver wrapper: the bench line is embedded in the sbt tail
+    m = re.findall(r'\{"metric".*?"sf":[^}]*\}', doc.get("tail", ""))
+    if not m:
+        raise SystemExit(f"{path}: no bench JSON found")
+    return json.loads(m[-1])
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    thr = 1.25
+    for a in sys.argv[1:]:
+        if a.startswith("--threshold"):
+            thr = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    old, new = load(args[0]), load(args[1])
+    oq, nq = old["queries"], new["queries"]
+    print(f"total: {old['value']:.1f}s -> {new['value']:.1f}s "
+          f"({new['value'] / old['value']:.2f}x), "
+          f"{len(oq)} -> {len(nq)} queries")
+    for name in sorted(set(nq) - set(oq)):
+        print(f"  NEW     {name}: {nq[name]:.2f}s")
+    for name in sorted(set(oq) - set(nq)):
+        print(f"  REMOVED {name} (was {oq[name]:.2f}s)")
+    regressions = []
+    for name in sorted(set(oq) & set(nq)):
+        ratio = nq[name] / oq[name] if oq[name] > 0 else float("inf")
+        if ratio >= thr and nq[name] - oq[name] > 0.25:
+            regressions.append((ratio, name))
+    for ratio, name in sorted(regressions, reverse=True):
+        print(f"  SLOWER  {name}: {oq[name]:.2f}s -> {nq[name]:.2f}s ({ratio:.2f}x)")
+    if not regressions:
+        print(f"  no per-query regression >= {thr}x")
+
+
+if __name__ == "__main__":
+    main()
