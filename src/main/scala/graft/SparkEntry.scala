@@ -197,6 +197,11 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, dir) =>
       dedupClusters03(s, dir)
         .orderBy(col("doc_id"))),
+    "q_cluster_sizes" -> ((s, dir) =>
+      dedupClusters03(s, dir)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("members"))
+        .groupBy(col("members")).agg(count(lit(1)).as("clusters"))
+        .orderBy(col("members"))),
     "q_dedup_corpus" -> ((s, dir) =>
       Dedup.dropClusterDuplicates(docs(s, dir), dedupClusters03(s, dir))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))

@@ -353,6 +353,32 @@ SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id,
        min(label) = node AS keep
 FROM reach GROUP BY node ORDER BY doc_id""",
 
+    "q_cluster_sizes" -> """
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, text[i:i+4] AS shingle
+  FROM documents, unnest(range(1, greatest(length(text) - 3, 1))) t(i)),
+rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 100),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shr GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.3),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+lbl AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1),
+cs AS (SELECT cluster_id, count(*) AS members FROM lbl GROUP BY 1)
+SELECT members, count(*) AS clusters FROM cs GROUP BY 1 ORDER BY members""",
+
     "q_dedup_corpus" -> """
 WITH RECURSIVE sh AS (
   SELECT DISTINCT doc_id, text[i:i+4] AS shingle
