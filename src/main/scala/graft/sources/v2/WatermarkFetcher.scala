@@ -35,11 +35,13 @@ trait WatermarkFetcher extends Serializable {
   def fetchGroup(grp: String): Array[GdRow]
 }
 
-/** Collector fetch policy — the reference retries failed describe calls
-  * up to 10 times with backoff (kafka_overwatch/kafka_resources/
-  * topics.py:95-131 re-queues failed batches; groups.py:23-52 recurses on
-  * the failed remainder). Attempts include the first try. */
-case class FetchPolicy(attempts: Int = 10, baseMs: Long = 100L)
+/** Collector fetch policy — the reference's watermark-fetch retry is
+  * 10 tries, 5 s delay, x2 backoff with jitter
+  * (kafka_overwatch/kafka_resources/topics.py:168 retry decorator;
+  * topics.py:95-131 re-queues failed batches, groups.py:23-52 recurses
+  * on the failed remainder). Attempts include the first try; tests
+  * inject a small baseMs and a recording sleeper. */
+case class FetchPolicy(attempts: Int = 10, baseMs: Long = 5000L)
 
 /** Decorator adding the retry policy to ANY WatermarkFetcher — the
   * fixture one here, an AdminClient-backed one in a live deployment.
