@@ -47,7 +47,8 @@ class KafkaMetadataSource extends TableProvider with DataSourceRegister {
     new MetadataTable(properties.get("dir"),
       Option(properties.get("table")).getOrElse(KafkaMetadataSource.Watermarks),
       FetchPolicy(longOpt("fetch.retries", 10L).toInt,
-        longOpt("fetch.backoff.ms", 100L)))
+        longOpt("fetch.backoff.ms", 5000L),
+        longOpt("fetch.timeout.ms", 60000L)))
   }
 }
 

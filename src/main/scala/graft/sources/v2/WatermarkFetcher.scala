@@ -41,7 +41,13 @@ trait WatermarkFetcher extends Serializable {
   * topics.py:95-131 re-queues failed batches, groups.py:23-52 recurses
   * on the failed remainder). Attempts include the first try; tests
   * inject a small baseMs and a recording sleeper. */
-case class FetchPolicy(attempts: Int = 10, baseMs: Long = 5000L)
+case class FetchPolicy(attempts: Int = 10, baseMs: Long = 5000L,
+                       requestTimeoutMs: Long = 60000L) {
+  /** The reference floors the admin RPC timeout at 60 s regardless of
+    * config (kafka_overwatch/kafka_resources/__init__.py:37-44); a live
+    * AdminClient fetcher reads this, the fixture one has no RPCs. */
+  def effectiveTimeoutMs: Long = math.max(requestTimeoutMs, 60000L)
+}
 
 /** Decorator adding the retry policy to ANY WatermarkFetcher — the
   * fixture one here, an AdminClient-backed one in a live deployment.

@@ -53,6 +53,11 @@ class FetchPolicySpec extends AnyFunSuite {
     assert(e.getCause.getMessage.contains("transient"))
   }
 
+  test("admin RPC timeout floors at the reference's 60s minimum") {
+    assert(FetchPolicy(requestTimeoutMs = 1000L).effectiveTimeoutMs === 60000L)
+    assert(FetchPolicy(requestTimeoutMs = 120000L).effectiveTimeoutMs === 120000L)
+  }
+
   test("fetch.retries / fetch.backoff.ms options plumb through the source") {
     val base = spark.read.format("kafka-metadata")
       .option("dir", TestSpark.Sf0001).load().count()
