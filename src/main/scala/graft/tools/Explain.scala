@@ -15,10 +15,11 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val mode = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_MODE", "formatted")
     val names = if (args.nonEmpty) args.toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
       println(s"\n================ $n ================")
-      graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
+      graft.SparkEntry.queries(n)(spark, dir).explain(mode)
     }
     spark.stop()
   }
