@@ -86,19 +86,20 @@ object Sketches {
       explode(sequence(lit(0), lit(MinHashBands - 1))).as("band"))
       .select(col("doc_id"), col("sig"), col("band"),
         expr(s"slice(sig, band * $RowsPerBand + 1, $RowsPerBand)").as("band_key"))
-    val cand = bands.as("a")
+    // Estimate and threshold BEFORE deduplicating (the SimHash/cosine
+    // pattern): the signature agreement count is cheap codegen over rows
+    // the join already holds, while dropDuplicates shuffles its input —
+    // so the exchange carries only (doc_a, doc_b, est) survivors, never
+    // two 64-long signature arrays per candidate.
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    cand
-      .withColumn("est_jaccard",
-        expr(s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
-          .cast("double") / NumHashes)
+        (expr(s"aggregate(zip_with(a.sig, b.sig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+          .cast("double") / NumHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   /** SimHash fingerprints per document from its tokens.
