@@ -225,6 +225,8 @@ object SparkEntry {
       Similarity.cosineNearDups(emb(s, dir), threshold = 0.4)
         .orderBy(col("vec_a"), col("vec_b"))),
 
+    "q_quality_by_source" -> ((s, dir) =>
+      TextAnalytics.qualityBySource(docs(s, dir)).orderBy(col("source"))),
     "q_token_budget" -> ((s, dir) =>
       TextAnalytics.tokenBudget(docs(s, dir)).orderBy(col("lang"))),
     "q_mixture" -> ((s, dir) =>

@@ -277,6 +277,20 @@ object TextAnalytics {
         max(col("running_tokens")).as("tokens_used"))
   }
 
+  /** Per-source curation rollup: document counts and ORDER-FREE quality
+    * statistics (exact percentiles, not avg — a double mean depends on
+    * partition order) — the view that decides which feeds to keep,
+    * re-weight, or drop. */
+  def qualityBySource(docs: DataFrame): DataFrame =
+    qualityScores(docs.select(col("doc_id"), col("text"), col("source")))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        expr("percentile(quality_score, 0.5)").as("median_quality"),
+        expr("percentile(quality_score, 0.1)").as("p10_quality"),
+        min(col("quality_score")).as("min_quality"),
+        max(col("quality_score")).as("max_quality"))
+
   /** Marker-token sets per language for the n-gram/lexical language-ID
     * heuristic. The synthetic corpus is English-ish; real marker lists
     * would be larger. */

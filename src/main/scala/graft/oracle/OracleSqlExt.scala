@@ -419,6 +419,22 @@ r AS (SELECT query_id, vec_id AS neighbor_id, score,
 SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", score
 FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"""",
 
+    "q_quality_by_source" -> s"""
+WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+q AS (SELECT doc_id, source,
+        0.4 * (1.0 - CAST(len(list_filter(toks, x -> x IN $stop)) AS DOUBLE)
+          / len(toks))
+          + 0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+          + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+          AS quality_score
+      FROM t)
+SELECT source, count(*) AS docs,
+       quantile_cont(quality_score, 0.5) AS median_quality,
+       quantile_cont(quality_score, 0.1) AS p10_quality,
+       min(quality_score) AS min_quality,
+       max(quality_score) AS max_quality
+FROM q GROUP BY 1 ORDER BY source""",
+
     "q_token_budget" -> """
 WITH t AS (
   SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
