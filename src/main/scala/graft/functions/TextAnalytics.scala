@@ -87,11 +87,15 @@ object TextAnalytics {
     * split. The gate a training pipeline runs before trusting eval
     * numbers.
     *
-    * Plan at 100 TB: the train side is the corpus — it STREAMS map-side
-    * against a broadcast hash of the test-split n-grams (the test split
-    * is a few percent by construction), so the only shuffle carries the
-    * matched (test doc, ngram) pairs. Never the reverse join: semi-join
-    * with train as build side would shuffle the whole corpus. */
+    * Plan at 100 TB: the test split is ~2% of the corpus BY CONSTRUCTION
+    * (splitAssignment), so broadcasting its exploded n-grams would grow
+    * with the corpus — a forced hint that dies at scale. Instead the
+    * train side streams map-side against a FIXED-SIZE (1 MiB) Bloom
+    * filter of the test n-grams, and only the surviving ~fpp + true-hit
+    * fraction is shuffled into the exact (false-positive-removing) join.
+    * No broadcast input grows with `documents` cardinality: the filter
+    * is constant-size, and the survivors join carries no hint — AQE
+    * picks broadcast only when the test side measures small. */
   def contaminationWith(docs: DataFrame, splits: DataFrame, n: Int = 8): DataFrame = {
     val ngrams = array_distinct(tokenNgrams(tokens(col("text")), n))
     val withSplit = docs.join(splits, "doc_id")
@@ -99,7 +103,11 @@ object TextAnalytics {
       .select(col("doc_id"), explode(ngrams).as("ngram"))
     val trainNg = withSplit.filter(col("split") === "train")
       .select(explode(ngrams).as("ngram"))
-    val hits = trainNg.join(broadcast(testNg), "ngram")
+    val survivors = BloomPrefilter.build(testNg, "ngram") match {
+      case Some(bf) => trainNg.filter(BloomPrefilter.mightContain(bf, col("ngram")))
+      case None     => trainNg.filter(lit(false)) // no test docs -> no hits
+    }
+    val hits = survivors.join(testNg, "ngram")
       .select(col("doc_id"), col("ngram")).distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("contaminated"))
     testNg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))

@@ -85,11 +85,27 @@ class PipelineStatsSpec extends AnyFunSuite {
     assert(s.map(_.getAs[Double]("u")).toSeq === again.map(_.getAs[Double]("u")).toSeq)
   }
 
-  test("scale plan shapes: contamination broadcasts test n-grams, scans prune") {
+  test("scale plan shapes: contamination prefilters via fixed-size bloom, " +
+       "no broadcast input grows with the corpus") {
     val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
-    val contPlan = TextAnalytics.contamination(docs)
-      .queryExecution.executedPlan.toString
-    assert(contPlan.contains("BroadcastExchange")) // train streams, test builds
+    // With size-based broadcast off, any BroadcastExchange left in the
+    // plan would have to come from a forced hint — assert there is none:
+    // the only corpus-sized structure shipped to the train scan is the
+    // constant-size bloom literal (codegen'd might_contain probe).
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.get(thresholdKey)
+    val contPlan = try {
+      spark.conf.set(thresholdKey, "-1")
+      TextAnalytics.contamination(docs).queryExecution.executedPlan.toString
+    } finally spark.conf.set(thresholdKey, prior)
+    assert(contPlan.contains("might_contain")) // bloom prefilter on train side
+    assert(!contPlan.contains("BroadcastExchange"))
+    // The filter itself is fixed-size regardless of input cardinality:
+    // the whole corpus's n-grams still serialize to <= numBits/8 + header.
+    val bfFull = graft.functions.BloomPrefilter.build(
+      docs.select(explode(TextAnalytics.tokenNgrams(
+        TextAnalytics.tokens(col("text")), 8)).as("ngram")), "ngram")
+    assert(bfFull.get.length <= graft.functions.BloomPrefilter.DefaultNumBits / 8 + 64)
     val repPlan = TextAnalytics.repetitionStats(docs)
       .queryExecution.executedPlan.toString
     assert(repPlan.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
