@@ -44,11 +44,21 @@ class KafkaMetadataSource extends TableProvider with DataSourceRegister {
                         properties: util.Map[String, String]): Table = {
     def longOpt(key: String, dflt: Long): Long =
       Option(properties.get(key)).map(_.toLong).getOrElse(dflt)
+    // `kafka.`-prefixed options pass through (prefix stripped) as the
+    // client config; bootstrap.servers present = live AdminClient mode.
+    val kafkaConf = properties.asScala.collect {
+      case (k, v) if k.startsWith("kafka.") => k.stripPrefix("kafka.") -> v
+    }.toMap
+    val live =
+      if (kafkaConf.contains("bootstrap.servers"))
+        Some((kafkaConf, Option(properties.get("cluster")).getOrElse("live")))
+      else None
     new MetadataTable(properties.get("dir"),
       Option(properties.get("table")).getOrElse(KafkaMetadataSource.Watermarks),
       FetchPolicy(longOpt("fetch.retries", 10L).toInt,
         longOpt("fetch.backoff.ms", 5000L),
-        longOpt("fetch.timeout.ms", 60000L)))
+        longOpt("fetch.timeout.ms", 60000L)),
+      live)
   }
 }
 
@@ -96,7 +106,8 @@ case class GdRow(cluster: String, grp: String, state: String, memberCount: Long,
                  scanTs: Long, s: Long)
 
 class MetadataTable(dir: String, table: String,
-                    policy: FetchPolicy = FetchPolicy())
+                    policy: FetchPolicy = FetchPolicy(),
+                    liveConfig: Option[(Map[String, String], String)] = None)
     extends Table with SupportsRead {
   override def name(): String = s"kafka_metadata($dir, $table)"
   override def schema(): StructType = KafkaMetadataSource.schemaOf(table)
@@ -104,9 +115,14 @@ class MetadataTable(dir: String, table: String,
     if (table == KafkaMetadataSource.Watermarks)
       Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
     else Set(TableCapability.BATCH_READ).asJava
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MetadataScanBuilder(
-      new RetryingFetcher(new FixtureFetcher(dir), policy), table)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val base: WatermarkFetcher = liveConfig match {
+      case Some((conf, cluster)) => new AdminFetcher(
+        KafkaAdminApiFactory(conf, policy.effectiveTimeoutMs), cluster)
+      case None => new FixtureFetcher(dir)
+    }
+    new MetadataScanBuilder(new RetryingFetcher(base, policy), table)
+  }
 }
 
 class MetadataScanBuilder(fetcher: WatermarkFetcher, table: String)
