@@ -12,6 +12,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup outside the timed region (no input data touched)
     spark.range(1000000L).selectExpr("sum(id * 2)").collect()
+    // Shared-derivation warmup, timed and reported as its own line item:
+    // the memoized snapshot/analytic tables and pair sets are built once
+    // here instead of silently inflating whichever query touches each
+    // cache first. Total still includes it — nothing hides.
+    val w0 = System.nanoTime()
+    SparkEntry.warmup(spark, sfDir)
+    val warmupSec = (System.nanoTime() - w0) / 1e9
     // noop sink: materializes every output row/column (count() would let
     // Catalyst prune the query down to a row count)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -22,8 +29,8 @@ object Bench {
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = warmupSec + (if (results.nonEmpty) results.values.sum else 0.0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -285,6 +285,22 @@ object SparkEntry {
   private def latestWm(s: SparkSession, dir: String): DataFrame =
     Snapshots.watermarks(s, dir).filter(col("s") === Snapshots.NumScans)
 
+  /** Materialize every memoized shared derivation (snapshot tables,
+    * topics/groups analytic tables, the jaccard pair set + clusters).
+    * Bench calls this ONCE before its timed loop and reports the cost as
+    * an explicit warmup line, so per-query numbers measure the query —
+    * not whichever alphabetically-first query happened to touch a shared
+    * cache cold. Production equivalent: the collector materializes the
+    * snapshot lake before analysts query it. */
+  def warmup(s: SparkSession, dir: String): Unit = {
+    topicsDf(s, dir).count()
+    groupsDfOf(s, dir).count()
+    Snapshots.srSubjects(s, dir).count()
+    Snapshots.topicConfigs(s, dir).count()
+    jaccardPairs03(s, dir).count()
+    dedupClusters03(s, dir).count()
+  }
+
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
   private def docs(s: SparkSession, dir: String): DataFrame = tbl(s, dir, "documents")

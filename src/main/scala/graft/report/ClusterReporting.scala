@@ -107,14 +107,22 @@ object ClusterReporting {
       .withColumn("compliant_name", Governance.anyMatch(col("name"), groupCompliant))
       .agg(groupAggs.head, groupAggs.tail: _*)
 
-    // --- schema registry: distinct counts + the unused-subject anti-join
-    //     (tiny inputs; the anti-join shape can't fold into a plain agg).
-    val srCounts = sr.agg(countDistinct(col("subject")).as("subjects_count"),
-      countDistinct(col("schema_id")).as("schemas_count"))
-    val srUnused = SchemaRegistryOps.unusedSubjects(sr, wmTopics)
-      .agg(coalesce(sort_array(collect_list(col("subject"))), array().cast("array<string>"))
-        .as("detected_unused"),
-        countDistinct(col("subject")).as("detected_unused_count"))
+    // --- schema registry, ONE pass: the anti-join becomes a left join
+    //     against the distinct topic list (cardinality-preserving, so
+    //     collect_list sees exactly the rows the anti-join produced) and
+    //     both the distinct counts and the unused-subject fragment fold
+    //     into a single aggregation — one branch, not two.
+    val srAgg = SchemaRegistryOps.withBaseName(sr)
+      .join(broadcast(wmTopics.select(col("topic").as("base")).distinct()
+        .withColumn("known", lit(true))), Seq("base"), "left")
+      .agg(
+        countDistinct(col("subject")).as("subjects_count"),
+        countDistinct(col("schema_id")).as("schemas_count"),
+        coalesce(sort_array(collect_list(
+          when(col("known").isNull, col("subject")))),
+          array().cast("array<string>")).as("detected_unused"),
+        countDistinct(when(col("known").isNull, col("subject")))
+          .as("detected_unused_count"))
 
     val catStructs = CategoryMeta.zipWithIndex.map { case ((key, _, desc), i) =>
       struct(lit(key).as("key"),
@@ -133,7 +141,7 @@ object ClusterReporting {
           e.getField("value").getField("total_messages") > col("q_total"))),
       map().cast(MostActiveMapType))
 
-    topicAgg.crossJoin(groupAgg).crossJoin(srCounts).crossJoin(srUnused)
+    topicAgg.crossJoin(groupAgg).crossJoin(srAgg)
       .select(struct(
         lit(clusterName).as("cluster_name"),
         struct(lit(ts).as("timestamp")).as("metadata"),

@@ -19,10 +19,19 @@ def load(path):
     if "queries" in doc:
         return doc
     # driver wrapper: the bench line is embedded in the sbt tail
-    m = re.findall(r'\{"metric".*?"sf":[^}]*\}', doc.get("tail", ""))
-    if not m:
+    tail = doc.get("tail", "")
+    m = re.findall(r'\{"metric".*?"sf":[^}]*\}', tail)
+    if m:
+        return json.loads(m[-1])
+    # tail may be TRUNCATED mid-JSON (the driver keeps only the last N
+    # bytes): reconstruct the per-query map from whole name:value pairs
+    # (the cut-off first entry is unrecoverable and dropped)
+    pairs = re.findall(r'"(q_\w+)":([0-9.]+)', tail)
+    if not pairs:
         raise SystemExit(f"{path}: no bench JSON found")
-    return json.loads(m[-1])
+    qs = {k: float(v) for k, v in pairs}
+    return {"metric": "total", "value": sum(qs.values()), "queries": qs,
+            "truncated": True}
 
 
 def main():
