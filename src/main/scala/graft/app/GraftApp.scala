@@ -37,8 +37,14 @@ object GraftApp {
     Files.createDirectories(Paths.get(outDir))
     val http = sys.env.get("GRAFT_METRICS_PORT")
       .map(p => new graft.metrics.MetricsHttpServer(p.toInt).start())
-    val channelDefs = config.notificationChannels
-      .map(ch => ch.name -> new Notifications.WebhookChannel(ch.name, ch.url)).toMap
+    val channelDefs: Map[String, Notifications.Channel] =
+      (config.notificationChannels
+        .map(ch => ch.name -> new Notifications.WebhookChannel(ch.name, ch.url)) ++
+       config.snsChannels.map(ch => ch.name -> new Notifications.SnsChannel(
+         ch.name, ch.topicArn, new Notifications.AwsSnsTransport(ch.roleArn),
+         ch.ignoreErrors)) ++
+       config.smtpChannels.map(ch => ch.name -> new Notifications.SmtpChannel(
+         ch.name, ch.host, ch.port, ch.mailFrom, ch.mailTo))).toMap
     try {
       config.clusters.foreach { c =>
         val channels = c.reporting.notificationChannels.flatMap(channelDefs.get)

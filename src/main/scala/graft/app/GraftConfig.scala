@@ -36,6 +36,18 @@ final case class ReportingConfig(
   * reference's notification_channels.sns.<name>.topic_arn). */
 final case class WebhookChannelConfig(name: String, url: String)
 
+/** notification_channels.sns.<name> — the reference's SnsTopicChannel
+  * fields exactly (specs/config.py:38-50): topic_arn required, role_arn
+  * optional assume-role, ignore_errors guards message construction. */
+final case class SnsChannelConfig(name: String, topicArn: String,
+                                  roleArn: Option[String] = None,
+                                  ignoreErrors: Boolean = false)
+
+/** notification_channels.smtp.<name> — direct email delivery for
+  * deployments without SNS. */
+final case class SmtpChannelConfig(name: String, host: String, port: Int,
+                                   mailFrom: String, mailTo: Seq[String])
+
 final case class ClusterConfig(
     name: String,
     scanIntervalSeconds: Long = 60L,
@@ -53,7 +65,13 @@ final case class GraftConfig(
     globalScanIntervalSeconds: Long = 30L,
     clusters: Seq[ClusterConfig] = Seq.empty,
     schemaRegistries: Seq[SchemaRegistryConfig] = Seq.empty,
-    notificationChannels: Seq[WebhookChannelConfig] = Seq.empty)
+    notificationChannels: Seq[WebhookChannelConfig] = Seq.empty,
+    snsChannels: Seq[SnsChannelConfig] = Seq.empty,
+    smtpChannels: Seq[SmtpChannelConfig] = Seq.empty) {
+  def channelNames: Set[String] =
+    (notificationChannels.map(_.name) ++ snsChannels.map(_.name) ++
+      smtpChannels.map(_.name)).toSet
+}
 
 object GraftConfig {
   private val mapper = new ObjectMapper(new YAMLFactory())
@@ -100,11 +118,32 @@ object GraftConfig {
       }
     }.getOrElse(Seq.empty)
 
-    val channels = Option(root.get("notification_channels"))
+    val channelsNode = Option(root.get("notification_channels"))
+    val channels = channelsNode
       .flatMap(n => Option(n.get("webhook"))).map { ws =>
         ws.properties().asScala.toSeq.map { e =>
           WebhookChannelConfig(e.getKey,
             Option(e.getValue.get("url")).map(_.asText()).getOrElse(""))
+        }
+      }.getOrElse(Seq.empty)
+    val sns = channelsNode
+      .flatMap(n => Option(n.get("sns"))).map { ss =>
+        ss.properties().asScala.toSeq.map { e =>
+          SnsChannelConfig(e.getKey,
+            Option(e.getValue.get("topic_arn")).map(_.asText()).getOrElse(""),
+            Option(e.getValue.get("role_arn")).map(_.asText()),
+            Option(e.getValue.get("ignore_errors")).exists(_.asBoolean()))
+        }
+      }.getOrElse(Seq.empty)
+    val smtp = channelsNode
+      .flatMap(n => Option(n.get("smtp"))).map { ss =>
+        ss.properties().asScala.toSeq.map { e =>
+          SmtpChannelConfig(e.getKey,
+            Option(e.getValue.get("host")).map(_.asText()).getOrElse(""),
+            Option(e.getValue.get("port")).map(_.asInt()).getOrElse(25),
+            Option(e.getValue.get("mail_from")).map(_.asText()).getOrElse(""),
+            Option(e.getValue.get("mail_to"))
+              .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty))
         }
       }.getOrElse(Seq.empty)
 
@@ -115,13 +154,23 @@ object GraftConfig {
       }
     }.getOrElse(Seq.empty)
 
-    validate(GraftConfig(globalInterval, clusters, registries, channels))
+    validate(GraftConfig(globalInterval, clusters, registries, channels, sns, smtp))
   }
 
   def validate(c: GraftConfig): GraftConfig = {
     require(c.globalScanIntervalSeconds > 0, "global scan interval must be > 0")
     c.notificationChannels.foreach(ch =>
       require(ch.url.nonEmpty, s"notification channel ${ch.name}: url required"))
+    c.snsChannels.foreach(ch =>
+      require(ch.topicArn.nonEmpty, s"sns channel ${ch.name}: topic_arn required"))
+    c.smtpChannels.foreach { ch =>
+      require(ch.host.nonEmpty, s"smtp channel ${ch.name}: host required")
+      require(ch.mailFrom.nonEmpty, s"smtp channel ${ch.name}: mail_from required")
+      require(ch.mailTo.nonEmpty, s"smtp channel ${ch.name}: mail_to required")
+    }
+    val dupes = (c.notificationChannels.map(_.name) ++ c.snsChannels.map(_.name) ++
+      c.smtpChannels.map(_.name)).groupBy(identity).collect { case (n, ns) if ns.size > 1 => n }
+    require(dupes.isEmpty, s"duplicate notification channel names: ${dupes.mkString(",")}")
     c.clusters.foreach { cl =>
       require(cl.name.nonEmpty, "cluster name must not be empty")
       require(cl.scanIntervalSeconds > 0, s"${cl.name}: scan interval must be > 0")
@@ -135,7 +184,7 @@ object GraftConfig {
           s"${cl.name}: schema_registry '$sr' not defined")
       }
       cl.reporting.notificationChannels.foreach { ch =>
-        require(c.notificationChannels.exists(_.name == ch),
+        require(c.channelNames.contains(ch),
           s"${cl.name}: notification channel '$ch' not defined")
       }
       (cl.topicIncludeRegexes ++ cl.topicExcludeRegexes ++
