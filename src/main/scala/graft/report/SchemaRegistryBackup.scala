@@ -94,6 +94,51 @@ object SchemaRegistryBackup {
     override def endImport(subject: String): Unit = ops += s"end:$subject"
   }
 
+  /** Live [[RestoreClient]] over the registry's REST API (JDK HttpClient,
+    * no extra dependency), the endpoints the reference's restore walks
+    * (schemas_restore.py:27,43-49,50 via kafka_schema_registry_admin):
+    *  - IMPORT-mode window: PUT /mode/{subject} {"mode":"IMPORT"} ...
+    *    {"mode":"READWRITE"},
+    *  - each version: POST /subjects/{subject}/versions carrying the
+    *    ORIGINAL version and schema id (the point of IMPORT mode —
+    *    re-registering under new ids would orphan every serialized
+    *    record's writer-schema reference). */
+  final class HttpRestoreClient(baseUrl: String,
+                                timeoutMillis: Long = 10000L) extends RestoreClient {
+    private val http = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMillis)).build()
+    private val base = baseUrl.stripSuffix("/")
+
+    private def enc(s: String): String =
+      java.net.URLEncoder.encode(s, UTF_8).replace("+", "%20")
+
+    private def request(method: String, path: String, body: String): Unit = {
+      val req = java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(s"$base$path"))
+        .timeout(java.time.Duration.ofMillis(timeoutMillis))
+        .header("Content-Type", "application/vnd.schemaregistry.v1+json")
+        .method(method,
+          java.net.http.HttpRequest.BodyPublishers.ofString(body, UTF_8))
+        .build()
+      val resp = http.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() >= 300)
+        throw new java.io.IOException(
+          s"$method $path returned HTTP ${resp.statusCode()}: ${resp.body()}")
+    }
+
+    private def putMode(subject: String, mode: String): Unit =
+      request("PUT", s"/mode/${enc(subject)}", s"""{"mode": "$mode"}""")
+
+    override def beginImport(subject: String): Unit = putMode(subject, "IMPORT")
+    override def endImport(subject: String): Unit = putMode(subject, "READWRITE")
+    override def putVersion(subject: String, version: Long, schemaType: String,
+                            schemaId: Long, schemaString: String): Unit =
+      request("POST", s"/subjects/${enc(subject)}/versions",
+        s"""{"version": $version, "id": $schemaId, "schemaType": "$schemaType", """ +
+          s""""schema": "${jsonEsc(schemaString)}"}""")
+  }
+
   /** Drive a RestoreClient from the ordered restore plan: one IMPORT-mode
     * window per subject, versions strictly ascending inside it. Registry
     * metadata is driver-scale by definition (the reference walks it

@@ -73,4 +73,65 @@ class BackupSpec extends AnyFunSuite {
       "begin:s1", "put:s1:1:11", "put:s1:2:12", "end:s1",
       "begin:s2", "put:s2:1:21", "end:s2"))
   }
+
+  test("http restore client PUTs mode windows and POSTs original version+id") {
+    import spark.implicits._
+    val calls = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("localhost", 0), 0)
+    srv.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      calls.synchronized {
+        calls += ((ex.getRequestMethod, ex.getRequestURI.getPath, body))
+      }
+      val resp = """{"id": 1}"""
+      ex.getResponseHeaders.add("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, resp.length)
+      ex.getResponseBody.write(resp.getBytes(UTF_8))
+      ex.close()
+    })
+    srv.start()
+    try {
+      val archive = Seq(
+        ("click-value", 2L, "AVRO", 12L, """{"type":"string"}"""),
+        ("click-value", 1L, "AVRO", 11L, """{"type":"int"}"""),
+        ("other", 1L, "JSON", 21L, "{}"))
+        .toDF("subject", "version", "schema_type", "schema_id", "schema_string")
+      val existing = Seq(("other", 1L)).toDF("subject", "version")
+      val client = new SchemaRegistryBackup.HttpRestoreClient(
+        s"http://localhost:${srv.getAddress.getPort}")
+      val n = SchemaRegistryBackup.executeRestore(
+        SchemaRegistryBackup.restorePlan(archive, existing), client)
+      assert(n === 2L) // "other" skipped before any HTTP traffic for it
+      val seq = calls.toSeq
+      assert(seq.map(c => (c._1, c._2)) === Seq(
+        ("PUT", "/mode/click-value"),
+        ("POST", "/subjects/click-value/versions"),
+        ("POST", "/subjects/click-value/versions"),
+        ("PUT", "/mode/click-value")))
+      assert(seq.head._3 === """{"mode": "IMPORT"}""")
+      assert(seq.last._3 === """{"mode": "READWRITE"}""")
+      // versions ascend and carry the ORIGINAL ids + escaped schema text
+      assert(seq(1)._3.contains(""""version": 1""") &&
+        seq(1)._3.contains(""""id": 11""") &&
+        seq(1)._3.contains("""\"type\":\"int\""""))
+      assert(seq(2)._3.contains(""""version": 2""") &&
+        seq(2)._3.contains(""""id": 12"""))
+    } finally srv.stop(0)
+  }
+
+  test("http restore client surfaces non-2xx as errors") {
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("localhost", 0), 0)
+    srv.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(409, 0); ex.close()
+    })
+    srv.start()
+    try {
+      val client = new SchemaRegistryBackup.HttpRestoreClient(
+        s"http://localhost:${srv.getAddress.getPort}")
+      val e = intercept[java.io.IOException](client.beginImport("s"))
+      assert(e.getMessage.contains("HTTP 409"))
+    } finally srv.stop(0)
+  }
 }
