@@ -57,11 +57,13 @@ wm_injected AS (
          CAST(low AS BIGINT) AS low, CAST(high AS BIGINT) AS high
   FROM (VALUES $wmInjectedValues) t(topic, partition_id, s, low, high)),
 watermarks AS (
-  SELECT 'c1' AS cluster, topic, partition_id, high // 8 AS low, high,
+  SELECT CASE WHEN length(topic) % 2 = 0 THEN 'c1' ELSE 'c2' END AS cluster,
+         topic, partition_id, high // 8 AS low, high,
          1700000000 + 60 * s AS scan_ts, s
   FROM wm_derived
   UNION ALL
-  SELECT 'c1', topic, partition_id, low, high, 1700000000 + 60 * s, s
+  SELECT CASE WHEN length(topic) % 2 = 0 THEN 'c1' ELSE 'c2' END,
+         topic, partition_id, low, high, 1700000000 + 60 * s, s
   FROM wm_injected),
 go_base AS (SELECT * FROM watermarks WHERE topic NOT IN $injectedTopicsIn),
 group_offsets AS (
@@ -70,13 +72,15 @@ group_offsets AS (
   UNION ALL
   SELECT cluster, 'g_empty', topic, partition_id, high // 2, scan_ts, s FROM go_base
   UNION ALL
-  SELECT 'c1', grp, topic, CAST(partition_id AS BIGINT), CAST(committed AS BIGINT),
+  SELECT CASE WHEN length(topic) % 2 = 0 THEN 'c1' ELSE 'c2' END,
+         grp, topic, CAST(partition_id AS BIGINT), CAST(committed AS BIGINT),
          1700000000 + 60 * CAST(s AS BIGINT), CAST(s AS BIGINT)
   FROM (VALUES $goInjectedValues) t(grp, topic, partition_id, committed, s)),
 groups_dim AS (
-  SELECT 'c1' AS cluster, grp, state, CAST(member_count AS BIGINT) AS member_count,
+  SELECT c.cluster, grp, state, CAST(member_count AS BIGINT) AS member_count,
          1700000000 + 60 * CAST(s AS BIGINT) AS scan_ts, CAST(s AS BIGINT) AS s
-  FROM (VALUES $gdValues) t(grp, state, member_count, s)),
+  FROM (VALUES $gdValues) t(grp, state, member_count, s)
+  CROSS JOIN (VALUES ('c1'), ('c2')) c(cluster)),
 cfg_topics AS (SELECT DISTINCT cluster, topic FROM watermarks),
 cfg_keys AS (SELECT "key" FROM (VALUES ('retention.ms'), ('cleanup.policy'), ('segment.bytes')) t("key")),
 topic_configs AS (

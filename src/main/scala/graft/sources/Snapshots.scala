@@ -36,7 +36,21 @@ object Snapshots {
   val NumScans = 3
   val Epoch0   = 1700000000L
   val Step     = 60L
+  /** Fleet-level report name (the reporting entry covers all clusters). */
   val Cluster  = "c1"
+  /** The snapshot fleet spans TWO clusters so every analytic exercises
+    * real multi-cluster grouping: a topic lives on exactly one cluster,
+    * assigned by a rule both engines express trivially (even-length topic
+    * names -> c1, odd -> c2; the event topics split 3/2 and the injected
+    * edge-case topics 3/2 under it). Groups exist on both clusters (the
+    * same group name on two clusters is normal fleet reality); a group
+    * with no offsets on some cluster exercises the P11 no-data guard. */
+  val Clusters: Seq[String] = Seq("c1", "c2")
+
+  def clusterOf(topic: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(length(topic) % 2 === 0, "c1").otherwise("c2")
+  def clusterOfName(topic: String): String =
+    if (topic.length % 2 == 0) "c1" else "c2"
   /** Topics injected as literal edge cases (not derived from events). */
   val InjectedTopics: Seq[String] =
     Seq("t_empty", "t_empty1", "t_stale", "t_nop0", "t_gone")
@@ -152,7 +166,7 @@ object Snapshots {
     val injected = InjectedWatermarkRows
       .toDF("topic", "partition_id", "s", "low", "high")
     val out = derived.unionByName(injected)
-      .select(lit(Cluster).as("cluster"), $"topic", $"partition_id", $"low",
+      .select(clusterOf($"topic").as("cluster"), $"topic", $"partition_id", $"low",
         $"high", (lit(Epoch0) + lit(Step) * $"s").as("scan_ts"), $"s")
       .persist()
     out.count() // materialize, then release the intermediate
@@ -176,7 +190,7 @@ object Snapshots {
       $"partition_id", expr("high div 2").as("committed"), $"scan_ts", $"s")
     val injected = InjectedGroupOffsetRows
       .toDF("grp", "topic", "partition_id", "committed", "s")
-      .select(lit(Cluster).as("cluster"), $"grp", $"topic", $"partition_id",
+      .select(clusterOf($"topic").as("cluster"), $"grp", $"topic", $"partition_id",
         $"committed", (lit(Epoch0) + lit(Step) * $"s").as("scan_ts"), $"s")
     gActive.unionByName(gEmpty).unionByName(injected)
   }
@@ -190,9 +204,9 @@ object Snapshots {
 
   private def groupsDimUncached(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    GroupDimRows.map { case (g, st, m, s) =>
-      (Cluster, g, st, m, Epoch0 + Step * s, s)
-    }.toDF("cluster", "grp", "state", "member_count", "scan_ts", "s")
+    Clusters.flatMap(c => GroupDimRows.map { case (g, st, m, s) =>
+      (c, g, st, m, Epoch0 + Step * s, s)
+    }).toDF("cluster", "grp", "state", "member_count", "scan_ts", "s")
   }
 
   /** topic_configs: (cluster, topic, key, value, is_default) — one row per

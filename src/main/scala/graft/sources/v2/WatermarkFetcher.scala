@@ -102,15 +102,17 @@ class FixtureFetcher(dir: String) extends WatermarkFetcher {
     val injected = Snapshots.InjectedGroupOffsetRows
       .filter(_._2 == topic)
       .map { case (g, t, p, c, s) =>
-        GoRow(Snapshots.Cluster, g, t, p, c, Snapshots.Epoch0 + Snapshots.Step * s, s)
+        GoRow(Snapshots.clusterOfName(t), g, t, p, c,
+          Snapshots.Epoch0 + Snapshots.Step * s, s)
       }
     derived ++ injected
   }
 
   override def fetchGroup(grp: String): Array[GdRow] =
-    Snapshots.GroupDimRows.filter(_._1 == grp).map { case (g, st, m, s) =>
-      GdRow(Snapshots.Cluster, g, st, m, Snapshots.Epoch0 + Snapshots.Step * s, s)
-    }.toArray
+    Snapshots.Clusters.flatMap(c =>
+      Snapshots.GroupDimRows.filter(_._1 == grp).map { case (g, st, m, s) =>
+        GdRow(c, g, st, m, Snapshots.Epoch0 + Snapshots.Step * s, s)
+      }).toArray
 }
 
 object FixtureFetcher {
@@ -174,12 +176,12 @@ object FixtureFetcher {
         }
         pairs.iterator.map { case (t, p) =>
           val high = counts.getOrElse((t, p), 0L)
-          WmRow(Snapshots.Cluster, t, p, high / 8, high,
+          WmRow(Snapshots.clusterOfName(t), t, p, high / 8, high,
             Snapshots.Epoch0 + Snapshots.Step * s, s.toLong)
         }
       }
       val injected = Snapshots.InjectedWatermarkRows.map { case (t, p, s, lo, hi) =>
-        WmRow(Snapshots.Cluster, t, p, lo, hi,
+        WmRow(Snapshots.clusterOfName(t), t, p, lo, hi,
           Snapshots.Epoch0 + Snapshots.Step * s, s)
       }
       (derived ++ injected).groupBy(_.topic).map { case (t, rs) => t -> rs.toArray }

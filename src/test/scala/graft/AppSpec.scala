@@ -98,8 +98,11 @@ class AppSpec extends AnyFunSuite {
         wm.filter(org.apache.spark.sql.functions.col("s") === Snapshots.NumScans)),
       Deltas.partitionDeltas(wm))
     assert(text.contains("# TYPE kafka_overwatch_cluster_topics_count gauge"))
-    assert(text.contains("""kafka_overwatch_cluster_topics_count{cluster="c1"} 9"""))
+    // the fleet spans two clusters: 5 even-length topics on c1, 4 odd on c2
+    assert(text.contains("""kafka_overwatch_cluster_topics_count{cluster="c1"} 5"""))
+    assert(text.contains("""kafka_overwatch_cluster_topics_count{cluster="c2"} 4"""))
     assert(text.contains("""kafka_overwatch_consumer_group_lag{cluster="c1",grp="g_active""""))
+    assert(text.contains("""kafka_overwatch_consumer_group_lag{cluster="c2",grp="g_active""""))
     assert(text.contains("""kafka_overwatch_subjects_count{registry="sr1"} 9"""))
     assert(text.contains("kafka_overwatch_topic_partition_new_messages{"))
   }

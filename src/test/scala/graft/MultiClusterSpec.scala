@@ -7,63 +7,70 @@ import graft.sources.Snapshots
 
 /** Multi-cluster correctness: one engine instance serves N clusters via
   * the cluster column (SURVEY §1.1) — analytics must neither mix clusters
-  * nor depend on a single-cluster assumption. A synthetic second cluster
-  * (same topics, halved offsets) is unioned in; every per-cluster result
-  * must equal the cluster computed alone. */
+  * nor depend on a single-cluster assumption. The fixture fleet is
+  * NATIVELY two clusters (even-length topics on c1, odd on c2); a third
+  * synthetic cluster (same topics, halved offsets) is unioned in on top,
+  * and every per-cluster result must equal the clusters computed alone. */
 class MultiClusterSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def c2(df: org.apache.spark.sql.DataFrame) =
-    df.withColumn("cluster", lit("c2"))
+  private def c3(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("cluster", lit("c3"))
       .withColumn("high", expr("high div 2"))
       .withColumn("low", expr("high div 8"))
   private def both = {
     val wm = Snapshots.watermarks(spark, TestSpark.Sf0001)
-    wm.unionByName(c2(wm))
+    wm.unionByName(c3(wm))
   }
   private def goBoth = {
     val go = Snapshots.groupOffsets(spark, TestSpark.Sf0001)
-    go.unionByName(go.withColumn("cluster", lit("c2"))
+    go.unionByName(go.withColumn("cluster", lit("c3"))
       .withColumn("committed", expr("committed div 2")))
   }
   private def gdBoth = {
     val gd = Snapshots.groupsDim(spark, TestSpark.Sf0001)
-    gd.unionByName(gd.withColumn("cluster", lit("c2")))
+    gd.unionByName(gd.filter($"cluster" === "c1").withColumn("cluster", lit("c3")))
   }
 
   test("topics_df per cluster equals the cluster computed alone") {
     val combined = TopicAnalytics.topicsDf(both, goBoth, gdBoth)
-    val aloneC1 = TopicAnalytics.topicsDf(
+    val aloneNative = TopicAnalytics.topicsDf(
       Snapshots.watermarks(spark, TestSpark.Sf0001),
       Snapshots.groupOffsets(spark, TestSpark.Sf0001),
       Snapshots.groupsDim(spark, TestSpark.Sf0001))
-    val fromCombined = combined.filter($"cluster" === "c1")
+    val fromCombined = combined.filter($"cluster".isin("c1", "c2"))
       .as[(String, String, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
-    val alone = aloneC1
+    val alone = aloneNative
       .as[(String, String, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
     assert(fromCombined === alone)
-    // and c2 differs (halved offsets) but has the same topics
-    val c2rows = combined.filter($"cluster" === "c2")
-    assert(c2rows.count() === aloneC1.count())
-    // c2 t_stale: high = 100 div 2 = 50, low = 50 div 8 = 6 -> total 44
-    assert(combined.filter($"cluster" === "c2" && $"name" === "t_stale")
+    // the native fleet splits topics across both clusters (no mixing)
+    assert(alone.map(_._1) === Set("c1", "c2"))
+    // and c3 differs (halved offsets) but has the same topics
+    val c3rows = combined.filter($"cluster" === "c3")
+    assert(c3rows.count() === aloneNative.count())
+    // c3 t_stale: high = 100 div 2 = 50, low = 50 div 8 = 6 -> total 44
+    // (natively t_stale lives on c2 with injected low 0 -> total 100)
+    assert(combined.filter($"cluster" === "c3" && $"name" === "t_stale")
       .select("total_messages").as[Long].collect()(0) === 44L)
+    assert(combined.filter($"cluster" === "c2" && $"name" === "t_stale")
+      .select("total_messages").as[Long].collect()(0) === 100L)
   }
 
   test("group lag per cluster is independent") {
     val combined = GroupAnalytics.groupsDf(both, goBoth, gdBoth)
-    assert(combined.select("cluster").distinct().count() === 2)
-    val l1 = combined.filter($"cluster" === "c1" && $"name" === "g_active")
+    assert(combined.select("cluster").distinct().count() === 3)
+    val lag = (c: String) => combined
+      .filter($"cluster" === c && $"name" === "g_active")
       .select("overall_lag").as[Long].collect()(0)
-    val l2 = combined.filter($"cluster" === "c2" && $"name" === "g_active")
-      .select("overall_lag").as[Long].collect()(0)
-    assert(l1 > 0 && l2 > 0 && l1 != l2)
+    val (l1, l2, l3) = (lag("c1"), lag("c2"), lag("c3"))
+    assert(l1 > 0 && l2 > 0 && l3 > 0)
+    assert(Set(l1, l2, l3).size === 3) // no cluster mixing anywhere
   }
 
   test("cluster totals count each cluster separately") {
     val t = TopicAnalytics.clusterTotals(both, gdBoth)
       .as[(String, Long, Long, Long)].collect().map(_._1).toSet
-    assert(t === Set("c1", "c2"))
+    assert(t === Set("c1", "c2", "c3"))
   }
 }

@@ -17,7 +17,7 @@ class TypedViewsSpec extends AnyFunSuite {
     assert(gs.map(_.name).toSet === Set("g_active", "g_empty", "g_dead", "g_mixed"))
     assert(TypedViews.srSubjects(spark, dir).collect().forall(_.version >= 1))
     assert(TypedViews.groupOffsets(spark, dir).count() > 0)
-    assert(TypedViews.groups(spark, dir).count() === 12) // 4 groups x 3 scans
+    assert(TypedViews.groups(spark, dir).count() === 24) // 4 groups x 3 scans x 2 clusters
   }
 
   test("typed pipeline: compile-checked field access composes with groupByKey") {
