@@ -80,27 +80,39 @@ object Sketches {
     * signature SLICE itself (array equi-join), not a 32-bit re-hash of
     * it: identical semantics to "all 4 positions agree", with no
     * hash-collision candidates an external checker couldn't reproduce. */
-  def minHashPairs(docs: DataFrame, threshold: Double = 0.5, n: Int = 5): DataFrame = {
-    val sigs = minHashSignatures(docs, n)
-    val bands = sigs.select(col("doc_id"), col("sig"),
+  private def bandsOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("sig"),
       explode(sequence(lit(0), lit(MinHashBands - 1))).as("band"))
       .select(col("doc_id"), col("sig"), col("band"),
         expr(s"slice(sig, band * $RowsPerBand + 1, $RowsPerBand)").as("band_key"))
-    // Estimate and threshold BEFORE deduplicating (the SimHash/cosine
-    // pattern): the signature agreement count is cheap codegen over rows
-    // the join already holds, while dropDuplicates shuffles its input —
-    // so the exchange carries only (doc_a, doc_b, est) survivors, never
-    // two 64-long signature arrays per candidate.
+
+  /** The raw band-join candidate stream (multi-band duplicates included),
+    * BEFORE the est-jaccard filter — the quantity whose growth rate decides
+    * whether the sketch path survives scale: band-key selectivity must keep
+    * candidates/doc ~constant as the corpus grows (tools.ScaleProof records
+    * this; SketchScaleSpec regression-guards it). */
+  def minHashBandCandidates(docs: DataFrame, n: Int = 5): DataFrame = {
+    val bands = bandsOf(minHashSignatures(docs, n))
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (expr(s"aggregate(zip_with(a.sig, b.sig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+  }
+
+  def minHashPairs(docs: DataFrame, threshold: Double = 0.5, n: Int = 5): DataFrame =
+    // Estimate and threshold BEFORE deduplicating (the SimHash/cosine
+    // pattern): the signature agreement count is cheap codegen over rows
+    // the join already holds, while dropDuplicates shuffles its input —
+    // so the exchange carries only (doc_a, doc_b, est) survivors, never
+    // two 64-long signature arrays per candidate.
+    minHashBandCandidates(docs, n)
+      .select(col("doc_a"), col("doc_b"),
+        (expr(s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
           .cast("double") / NumHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .dropDuplicates("doc_a", "doc_b")
-  }
 
   /** SimHash fingerprints per document from its tokens.
     *
