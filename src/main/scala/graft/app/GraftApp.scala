@@ -45,10 +45,24 @@ object GraftApp {
          ch.ignoreErrors)) ++
        config.smtpChannels.map(ch => ch.name -> new Notifications.SmtpChannel(
          ch.name, ch.host, ch.port, ch.mailFrom, ch.mailTo))).toMap
+    // --lake <dir>: materialize the partitioned snapshot lake once and
+    // make it the app's actual IO path — scans/reports read the lake
+    // (partition-pruned at file listing) instead of the in-memory
+    // derivation, the way a production collector persists then queries.
+    val lakeDir = args.indexOf("--lake") match {
+      case i if i >= 0 && i + 1 < args.length => Some(args(i + 1))
+      case _ => None
+    }
+    lakeDir.foreach { l =>
+      graft.sources.SnapshotLake.writeWatermarks(
+        Snapshots.watermarks(spark, sfDir), s"$l/watermarks")
+      graft.sources.SnapshotLake.writeGroupOffsets(
+        Snapshots.groupOffsets(spark, sfDir), s"$l/group_offsets")
+    }
     try {
       config.clusters.foreach { c =>
         val channels = c.reporting.notificationChannels.flatMap(channelDefs.get)
-        runCluster(spark, c, sfDir, outDir, ticks, http, channels)
+        runCluster(spark, c, sfDir, outDir, ticks, http, channels, lakeDir)
       }
       if (args.contains("--streaming")) runStreaming(spark, sfDir, outDir)
     } finally { http.foreach(_.stop()); spark.stop() }
@@ -83,7 +97,16 @@ object GraftApp {
   def runCluster(spark: SparkSession, cluster: ClusterConfig, sfDir: String,
                  outDir: String, ticks: Int,
                  http: Option[graft.metrics.MetricsHttpServer] = None,
-                 channels: Seq[Notifications.Channel] = Seq.empty): Unit = {
+                 channels: Seq[Notifications.Channel] = Seq.empty,
+                 lakeDir: Option[String] = None): Unit = {
+    // lake mode: snapshots come from the partitioned lake (pruned reads);
+    // fixture mode: from the in-memory derivation
+    def wmSource() = lakeDir
+      .map(l => graft.sources.SnapshotLake.readWatermarks(spark, s"$l/watermarks"))
+      .getOrElse(Snapshots.watermarks(spark, sfDir))
+    def goSource() = lakeDir
+      .map(l => graft.sources.SnapshotLake.readGroupOffsets(spark, s"$l/group_offsets"))
+      .getOrElse(Snapshots.groupOffsets(spark, sfDir))
     val loop = new Scheduler.ClusterLoop(cluster,
       sleeper = _ => (), // fixture mode: don't actually wait between ticks
       onOverrun = ms => System.err.println(
@@ -100,13 +123,13 @@ object GraftApp {
 
     def scan(): Unit = {
       val wm = topicsLatency.time {
-        val f = Scheduler.applyTopicFilters(Snapshots.watermarks(spark, sfDir),
+        val f = Scheduler.applyTopicFilters(wmSource(),
           cluster.topicIncludeRegexes, cluster.topicExcludeRegexes)
         f.count() // force the fetch/derivation inside the timed section
         f
       }
       val (go, gd) = groupsLatency.time {
-        val go = Snapshots.groupOffsets(spark, sfDir)
+        val go = goSource()
         val gd = Snapshots.groupsDim(spark, sfDir)
         go.count(); gd.count()
         (go, gd)
@@ -125,9 +148,9 @@ object GraftApp {
     }
 
     def report(): Unit = {
-      val wm = Scheduler.applyTopicFilters(Snapshots.watermarks(spark, sfDir),
+      val wm = Scheduler.applyTopicFilters(wmSource(),
         cluster.topicIncludeRegexes, cluster.topicExcludeRegexes)
-      val go = Snapshots.groupOffsets(spark, sfDir)
+      val go = goSource()
       val gd = Snapshots.groupsDim(spark, sfDir)
       val topics = TopicAnalytics.topicsDf(wm, go, gd)
       val groups = GroupAnalytics.groupsDf(wm, go, gd)

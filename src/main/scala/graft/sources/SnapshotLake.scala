@@ -22,8 +22,26 @@ object SnapshotLake {
       .partitionBy("cluster", "s")
       .parquet(path)
 
+  /** Read back with the canonical column order and types: a partitioned
+    * read appends the partition columns last and infers `s` as INT from
+    * the directory names — restore the writer's schema so lake-backed
+    * and derivation-backed DataFrames are interchangeable. */
   def readWatermarks(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+      .select(col("cluster").cast("string"), col("topic"), col("partition_id"),
+        col("low"), col("high"), col("scan_ts"), col("s").cast("long").as("s"))
+
+  /** group_offsets in the same (cluster, s) layout. */
+  def writeGroupOffsets(go: DataFrame, path: String): Unit =
+    go.write.mode("overwrite")
+      .partitionBy("cluster", "s")
+      .parquet(path)
+
+  def readGroupOffsets(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("cluster").cast("string"), col("grp"), col("topic"),
+        col("partition_id"), col("committed"), col("scan_ts"),
+        col("s").cast("long").as("s"))
 
   /** Latest-scan view — prunes to the single newest partition directory. */
   def latest(spark: SparkSession, path: String): DataFrame = {

@@ -122,6 +122,58 @@ class AppSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"$out/report_c1.json")))
   }
 
+  test("lake mode: app IO reads the partitioned lake with pruned scans") {
+    import graft.sources.SnapshotLake
+    val lake = java.nio.file.Files.createTempDirectory("graft-lake-app").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-app-lake-out").toString
+    SnapshotLake.writeWatermarks(
+      Snapshots.watermarks(spark, TestSpark.Sf0001), s"$lake/watermarks")
+    SnapshotLake.writeGroupOffsets(
+      Snapshots.groupOffsets(spark, TestSpark.Sf0001), s"$lake/group_offsets")
+    // lake round-trip is loss-free (canonical column order/types restored
+    // on read; nullability legitimately widens through parquet)
+    val back = SnapshotLake.readWatermarks(spark, s"$lake/watermarks")
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      Snapshots.watermarks(spark, TestSpark.Sf0001).schema
+        .map(f => (f.name, f.dataType)))
+    assert(back.count() === Snapshots.watermarks(spark, TestSpark.Sf0001).count())
+    // the latest-scan view reads ONLY the s=<latest> partition
+    // directories — partition pruning at file listing, the property that
+    // holds at any history length. (inputFiles lists the whole relation;
+    // pruning is a physical-plan property, so assert on the scan node's
+    // pushed partition filters and its executed numFiles metric.)
+    val latest = back.filter(
+      org.apache.spark.sql.functions.col("s") === Snapshots.NumScans)
+    latest.collect()
+    val scanNode = latest.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no file scan in the lake read plan"))
+    assert(scanNode.metadata("PartitionFilters").contains(s"= ${Snapshots.NumScans}"))
+    def filesUnder(p: String): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try s.filter(f => f.toString.endsWith(".parquet")).count() finally s.close()
+    }
+    val latestFiles = scanNode.metrics("numFiles").value
+    assert(latestFiles > 0)
+    assert(latestFiles < filesUnder(s"$lake/watermarks")) // strictly pruned
+    // exactly the files living in s=<latest> directories, across clusters
+    val onDiskLatest = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$lake/watermarks"))
+      try s.filter(f => f.toString.endsWith(".parquet") &&
+        f.toString.contains(s"/s=${Snapshots.NumScans}/")).count()
+      finally s.close()
+    }
+    assert(latestFiles === onDiskLatest)
+    // and the app runs end-to-end with the lake as its IO path
+    graft.app.GraftApp.runCluster(spark, app.ClusterConfig("c1"),
+      TestSpark.Sf0001, out, ticks = 1, lakeDir = Some(lake))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/report_c1.json")))
+    val prom = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/metrics_c1.prom"))
+    assert(prom.contains("""kafka_overwatch_cluster_topics_count{cluster="c1"} 5"""))
+  }
+
   test("metrics HTTP endpoint serves the latest exposition") {
     val srv = new graft.metrics.MetricsHttpServer(0).start()
     try {
