@@ -233,6 +233,23 @@ object SparkEntry {
       TextAnalytics.mixtureSummary(docs(s, dir)).orderBy(col("lang"))),
     "q_contamination" -> ((s, dir) =>
       TextAnalytics.contamination(docs(s, dir)).orderBy(col("doc_id"))),
+    // benchmark-keyed variant: bench suite = doc_id % 97 == 0 (bounded by
+    // contract -> the broadcast plan is correct here, unlike the
+    // corpus-proportional split that q_contamination bloom-prefilters)
+    "q_contamination_bench" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalytics.contaminationAgainst(
+        d.filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("bench_id"), col("text")))
+        .orderBy(col("bench_id"))
+    }),
+    "q_chunk_dedup" -> ((s, dir) =>
+      TextAnalytics.chunkDedup(docs(s, dir)).orderBy(col("doc_id"))),
+    "q_quality_filter" -> ((s, dir) =>
+      TextAnalytics.qualitySourceFilter(docs(s, dir)).orderBy(col("source"))),
+    "q_embedding_dedup" -> ((s, dir) =>
+      Similarity.embeddingDedupClusters(emb(s, dir)).orderBy(col("vec_id"))),
     "q_repetition" -> ((s, dir) =>
       TextAnalytics.repetitionStats(docs(s, dir)).orderBy(col("doc_id"))),
     "q_tfidf_terms" -> ((s, dir) =>

@@ -203,4 +203,16 @@ object Similarity {
       .filter(col("score") >= threshold)
       .dropDuplicates("vec_a", "vec_b")
   }
+
+  /** Embedding near-dup CLUSTERS: connected components over the cosine
+    * pair set (the same distributed min-label propagation the text path
+    * uses — Dedup.dedupClusters), with the minimum vec_id per component
+    * as the canonical representative. The step that turns pairwise
+    * scores into an actually deduplicated embedding corpus. */
+  def embeddingDedupClusters(emb: DataFrame, dim: Int = 64,
+                             threshold: Double = 0.4): DataFrame =
+    Dedup.dedupClusters(
+      cosineNearDups(emb, dim, threshold)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("keep"))
 }

@@ -53,24 +53,25 @@ object TextAnalytics {
         size(regexp_extract_all(col("text"), lit(BpeishPattern), lit(0))))
         .as("chars_per_token"))
 
+  /** Deterministic content-hash split of a text column — ROW-LOCAL, so
+    * pipelines that already hold the document never join for it. First
+    * md5 byte: 00-f5 train (~96%), f6-fa val (~2%), fb-ff test (~2%). */
+  def splitCol(text: Column): Column = {
+    val h2 = substring(md5(text), 1, 2)
+    when(h2 < "f6", "train").when(h2 < "fb", "val").otherwise("test")
+  }
+
   /** Deterministic content-hash split assignment — the standard way a
     * training pipeline carves reproducible train/val/test sets: the split
     * follows the document CONTENT (stable under re-ingestion, dedup-safe),
-    * not row position or RNG. First md5 byte: 00-f5 train (~96%),
-    * f6-fa val (~2%), fb-ff test (~2%). */
+    * not row position or RNG. */
   def splitAssignment(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      substring(md5(col("text")), 1, 2).as("h2"))
-      .withColumn("split",
-        when(col("h2") < "f6", "train")
-          .when(col("h2") < "fb", "val")
-          .otherwise("test"))
-      .select(col("doc_id"), col("split"))
+    docs.select(col("doc_id"), splitCol(col("text")).as("split"))
 
   /** Split sizes per language — the sanity report a pipeline runs before
-    * training. */
+    * training. Split computed inline (row-local), no self-join. */
   def splitSummary(docs: DataFrame): DataFrame =
-    docs.join(splitAssignment(docs), "doc_id")
+    docs.withColumn("split", splitCol(col("text")))
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
 
@@ -96,9 +97,11 @@ object TextAnalytics {
     * No broadcast input grows with `documents` cardinality: the filter
     * is constant-size, and the survivors join carries no hint — AQE
     * picks broadcast only when the test side measures small. */
-  def contaminationWith(docs: DataFrame, splits: DataFrame, n: Int = 8): DataFrame = {
+  def contaminationWith(docs: DataFrame, splits: DataFrame, n: Int = 8): DataFrame =
+    contaminationImpl(docs.join(splits, "doc_id"), n)
+
+  private def contaminationImpl(withSplit: DataFrame, n: Int): DataFrame = {
     val ngrams = array_distinct(tokenNgrams(tokens(col("text")), n))
-    val withSplit = docs.join(splits, "doc_id")
     val testNg = withSplit.filter(col("split") === "test")
       .select(col("doc_id"), explode(ngrams).as("ngram"))
     val trainNg = withSplit.filter(col("split") === "train")
@@ -119,9 +122,87 @@ object TextAnalytics {
       .withColumn("flagged", col("contamination_frac") > 0.2)
   }
 
-  /** Decontamination against the content-hash split assignment. */
+  /** Decontamination against the content-hash split assignment. The
+    * split is a row-local function of the text, so it is computed INLINE
+    * on the corpus scan — no splits self-join (the generic
+    * contaminationWith pays one for caller-supplied assignments). */
   def contamination(docs: DataFrame, n: Int = 8): DataFrame =
-    contaminationWith(docs, splitAssignment(docs), n)
+    contaminationImpl(docs.withColumn("split", splitCol(col("text"))), n)
+
+  /** Decontamination against an EXPLICIT bounded benchmark table
+    * (bench_id, text) — the contract under which a broadcast of the
+    * benchmark's n-grams IS the right plan: benchmarks are fixed suites
+    * (thousands of documents), so the broadcast side is bounded by
+    * construction, unlike the corpus-proportional test split that
+    * `contamination` handles with a Bloom prefilter. The corpus streams
+    * map-side against the broadcast hash; the only shuffle carries the
+    * matched (bench doc, ngram) pairs. */
+  def contaminationAgainst(docs: DataFrame, benchmark: DataFrame,
+                           n: Int = 8): DataFrame = {
+    val ngrams = array_distinct(tokenNgrams(tokens(col("text")), n))
+    val benchNg = benchmark.select(col("bench_id"), explode(ngrams).as("ngram"))
+    val corpusNg = docs.select(explode(ngrams).as("ngram"))
+    val hits = corpusNg.join(broadcast(benchNg), "ngram")
+      .select(col("bench_id"), col("ngram")).distinct()
+      .groupBy(col("bench_id")).agg(count(lit(1)).as("contaminated"))
+    benchNg.groupBy(col("bench_id")).agg(count(lit(1)).as("n_ngrams"))
+      .join(hits, Seq("bench_id"), "left")
+      .na.fill(0L, Seq("contaminated"))
+      .select(col("bench_id"), col("n_ngrams"), col("contaminated"),
+        (col("contaminated").cast("double") / col("n_ngrams"))
+          .as("contamination_frac"))
+      .withColumn("flagged", col("contamination_frac") > 0.2)
+  }
+
+  /** Chunk-level exact dedup ("deduplicating training data" style, at
+    * the non-overlapping W-token-window granularity that catches copied
+    * passages inside otherwise-distinct documents): per document, the
+    * number of chunks whose exact text occurs elsewhere in the corpus.
+    *
+    * Shape at 100 TB: chunking is a row-local transform fused into the
+    * scan; the frequency count is one hash aggregation keyed by chunk
+    * text (map-side partial combine collapses within-partition repeats)
+    * and the join back is on the same key — two shuffles total, no row
+    * ever carries more than one chunk. */
+  def chunkDedup(docs: DataFrame, chunkTokens: Int = 32): DataFrame = {
+    val toks = tokens(col("text"))
+    val chunks = docs.select(col("doc_id"),
+      explode(transform(
+        sequence(lit(0), expr(s"(size(split(text, ' ')) - 1) div $chunkTokens")),
+        i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")))
+        .as("chunk"))
+    val freq = chunks.groupBy(col("chunk")).agg(count(lit(1)).as("occ"))
+    chunks.join(freq, "chunk")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("dup_chunks"),
+        (col("dup_chunks").cast("double") / col("n_chunks"))
+          .as("dup_chunk_frac"))
+  }
+
+  /** Per-source quality floor: compute each source's q-quantile of the
+    * quality score (exact percentile — order-free) and report how much
+    * of the source survives a keep-if-at-or-above-threshold cut. The
+    * curation step between scoring (qualityScores) and the rollup view
+    * (qualityBySource). Thresholds are one tiny aggregate broadcast back
+    * over the scored stream. */
+  def qualitySourceFilter(docs: DataFrame, q: Double = 0.25): DataFrame = {
+    val scored = qualityScores(docs.select(col("doc_id"), col("text")))
+      .join(docs.select(col("doc_id"), col("source"), col("n_chars")), "doc_id")
+    val thresholds = scored.groupBy(col("source"))
+      .agg(expr(s"percentile(quality_score, $q)").as("threshold"))
+    scored.join(broadcast(thresholds), "source")
+      .groupBy(col("source"))
+      .agg(max(col("threshold")).as("threshold"),
+        count(lit(1)).as("total_docs"),
+        sum(when(col("quality_score") >= col("threshold"), 1L).otherwise(0L))
+          .as("kept_docs"),
+        sum(when(col("quality_score") >= col("threshold"), col("n_chars"))
+          .otherwise(0L)).as("kept_chars"))
+      .withColumn("kept_frac",
+        col("kept_docs").cast("double") / col("total_docs"))
+  }
 
   /** Corpus length distribution in fixed 100-char buckets — the standard
     * pre-training length histogram (bucket = n_chars div 100). */

@@ -645,5 +645,95 @@ y AS (SELECT user_id,
       FROM x)
 SELECT user_id, CAST(sum(ns) AS BIGINT) AS sessions, count(*) AS events,
        CAST(count(*) AS DOUBLE) / CAST(sum(ns) AS BIGINT) AS events_per_session
-FROM y GROUP BY 1 ORDER BY user_id""")
+FROM y GROUP BY 1 ORDER BY user_id""",
+
+    // mirror of TextAnalytics.chunkDedup (non-overlapping 32-token windows)
+    "q_chunk_dedup" -> """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+ch AS (SELECT doc_id,
+         unnest(list_transform(range(0, (len(toks) - 1) // 32 + 1),
+           i -> array_to_string(toks[i * 32 + 1 : i * 32 + 32], ' '))) AS chunk
+       FROM t),
+f AS (SELECT chunk, count(*) AS occ FROM ch GROUP BY 1)
+SELECT doc_id, count(*) AS n_chunks,
+       CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+       CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         AS dup_chunk_frac
+FROM ch JOIN f USING (chunk) GROUP BY 1 ORDER BY doc_id""",
+
+    // mirror of TextAnalytics.qualitySourceFilter (q = 0.25; exact
+    // percentile == quantile_cont, same quality formula as q_quality)
+    "q_quality_filter" -> s"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(toks, x -> x IN $stop)) AS BIGINT) AS n_stop,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique
+      FROM t),
+sc AS (SELECT doc_id,
+         0.4 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+           + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+           + 0.3 * (CAST(n_unique AS DOUBLE) / n_tokens) AS quality_score
+       FROM s),
+j AS (SELECT sc.doc_id, sc.quality_score, d.source, d.n_chars
+      FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+th AS (SELECT source, quantile_cont(quality_score, 0.25) AS threshold
+       FROM j GROUP BY 1)
+SELECT j.source, max(th.threshold) AS threshold, count(*) AS total_docs,
+       CAST(sum(CASE WHEN quality_score >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+         AS kept_docs,
+       CAST(sum(CASE WHEN quality_score >= threshold THEN n_chars ELSE 0 END) AS BIGINT)
+         AS kept_chars,
+       CAST(sum(CASE WHEN quality_score >= threshold THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS kept_frac
+FROM j JOIN th USING (source) GROUP BY j.source ORDER BY j.source""",
+
+    // mirror of TextAnalytics.contaminationAgainst with the bench suite
+    // = doc_id % 97 == 0, corpus = the rest
+    "q_contamination_bench" -> """
+WITH sp AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+ng AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 8
+           THEN list_transform(range(1, len(toks) - 6),
+                  i -> array_to_string(toks[i:i+7], ' '))
+           ELSE [] END) AS ngrams
+  FROM sp),
+bng AS (SELECT doc_id AS bench_id, unnest(ngrams) AS ngram
+        FROM ng WHERE doc_id % 97 = 0),
+cng AS (SELECT DISTINCT unnest(ngrams) AS ngram
+        FROM ng WHERE doc_id % 97 <> 0),
+hits AS (SELECT bench_id, count(*) AS contaminated
+         FROM bng WHERE ngram IN (SELECT ngram FROM cng) GROUP BY 1),
+tot AS (SELECT bench_id, count(*) AS n_ngrams FROM bng GROUP BY 1)
+SELECT t.bench_id, t.n_ngrams, COALESCE(h.contaminated, 0) AS contaminated,
+       CAST(COALESCE(h.contaminated, 0) AS DOUBLE) / t.n_ngrams
+         AS contamination_frac,
+       CAST(COALESCE(h.contaminated, 0) AS DOUBLE) / t.n_ngrams > 0.2 AS flagged
+FROM tot t LEFT JOIN hits h USING (bench_id) ORDER BY t.bench_id""",
+
+    // mirror of Similarity.embeddingDedupClusters: the q_cosine_neardups
+    // pair set fed through the q_dedup_clusters recursive min-label CTE
+    "q_embedding_dedup" -> s"""
+WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+$lshBucketsCte,
+c AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+  FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.key = b2.key AND a.vec_id < b2.vec_id),
+s AS (
+  SELECT vec_a, vec_b FROM (
+    SELECT vec_a, vec_b,
+           round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 9) AS score
+    FROM c JOIN n x ON c.vec_a = x.vec_id JOIN n y ON c.vec_b = y.vec_id)
+  WHERE score >= 0.4),
+edges AS (SELECT vec_a AS src, vec_b AS dst FROM s
+          UNION SELECT vec_b, vec_a FROM s),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e2.src, r.label FROM edges e2 JOIN reach r ON e2.dst = r.node)
+SELECT node AS vec_id, CAST(min(label) AS BIGINT) AS cluster_id,
+       min(label) = node AS keep
+FROM reach GROUP BY node ORDER BY vec_id""")
 }

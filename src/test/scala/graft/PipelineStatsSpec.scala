@@ -64,6 +64,70 @@ class PipelineStatsSpec extends AnyFunSuite {
     assert(!r(1).getAs[Boolean]("flagged"))
   }
 
+  test("contaminationAgainst counts benchmark n-grams found in the corpus") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "z y x w v u t s r q")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "a b c d e f g h x y"), // shares "a b c d e f g h"
+      (200L, "p p p p p p p p")      // disjoint
+    ).toDF("bench_id", "text")
+    val r = TextAnalytics.contaminationAgainst(corpus, bench, n = 8)
+      .orderBy("bench_id").collect()
+    assert(r(0).getAs[Long]("n_ngrams") === 3L)
+    assert(r(0).getAs[Long]("contaminated") === 1L)
+    assert(r(0).getAs[Boolean]("flagged"))
+    assert(r(1).getAs[Long]("contaminated") === 0L)
+    assert(!r(1).getAs[Boolean]("flagged"))
+  }
+
+  test("chunkDedup flags exact repeated chunks across documents") {
+    // chunkTokens = 2: doc1 = ["a b","c d"], doc2 = ["a b","x y"],
+    // doc3 = ["q r"] -> "a b" occurs twice -> one dup chunk in each of 1,2
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b x y"), (3L, "q r")).toDF("doc_id", "text")
+    val r = TextAnalytics.chunkDedup(docs, chunkTokens = 2)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_chunks") === 2L)
+    assert(r(0).getAs[Long]("dup_chunks") === 1L)
+    assert(r(0).getAs[Double]("dup_chunk_frac") === 0.5)
+    assert(r(1).getAs[Long]("dup_chunks") === 1L)
+    assert(r(2).getAs[Long]("dup_chunks") === 0L)
+    // a partial trailing chunk still counts as one chunk
+    val partial = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(TextAnalytics.chunkDedup(partial, chunkTokens = 2)
+      .collect()(0).getAs[Long]("n_chunks") === 2L) // ["a b", "c"]
+  }
+
+  test("qualitySourceFilter keeps docs at/above the per-source quantile") {
+    // per source, p25 of quality; with 2 docs the interpolated p25 sits
+    // between them -> exactly the better doc survives
+    val docs = Seq(
+      (1L, "the the the the", "s1", 10L),     // all stopwords -> low quality
+      (2L, "alpha beta gamma delta", "s1", 20L), // no stopwords -> high
+      (3L, "x y z w", "s2", 30L)).toDF("doc_id", "text", "source", "n_chars")
+    val r = TextAnalytics.qualitySourceFilter(docs, q = 0.25)
+      .orderBy("source").collect()
+    assert(r(0).getAs[Long]("total_docs") === 2L)
+    assert(r(0).getAs[Long]("kept_docs") === 1L)
+    assert(r(0).getAs[Long]("kept_chars") === 20L)
+    assert(r(1).getAs[Long]("kept_docs") === 1L) // single doc == threshold
+  }
+
+  test("embeddingDedupClusters labels connected cosine components") {
+    import graft.functions.Similarity
+    // v1 ~ v2 (same direction), v3 orthogonal -> one 2-cluster
+    val emb = Seq(
+      (1L, Array.fill(64)(1f)),
+      (2L, Array.fill(64)(2f)),
+      (3L, Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.embeddingDedupClusters(emb).orderBy("vec_id").collect()
+    assert(r.map(_.getAs[Long]("vec_id")).toSeq === Seq(1L, 2L))
+    assert(r.forall(_.getAs[Long]("cluster_id") === 1L))
+    assert(r(0).getAs[Boolean]("keep") && !r(1).getAs[Boolean]("keep"))
+  }
+
   test("tokenNgrams is empty below n tokens") {
     val one = Seq((1L, "a b c")).toDF("doc_id", "text")
       .select(TextAnalytics.tokenNgrams(split(col("text"), " "), 8).as("ng"))
