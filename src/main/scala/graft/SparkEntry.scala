@@ -60,6 +60,16 @@ object SparkEntry {
     clustersMemo.getOrElseUpdate((s, dir),
       functions.Dedup.dedupClusters(jaccardPairs03(s, dir)))
 
+  /** The 0.4-threshold cosine pair set feeds q_cosine_neardups and
+    * q_embedding_dedup — run the LSH-bucketed self-join once per
+    * (session, dir). */
+  private val cosineMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def cosinePairs04(s: SparkSession, dir: String): DataFrame =
+    cosineMemo.getOrElseUpdate((s, dir),
+      Similarity.cosineNearDups(emb(s, dir), threshold = 0.4).persist())
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topics_stats" -> ((s, dir) =>
       topicsDf(s, dir).orderBy(col("name"))),
@@ -222,8 +232,7 @@ object SparkEntry {
     "q_knn_ivf" -> ((s, dir) =>
       functions.Ivf.knnIvf(emb(s, dir)).orderBy(col("query_id"), col("rank"))),
     "q_cosine_neardups" -> ((s, dir) =>
-      Similarity.cosineNearDups(emb(s, dir), threshold = 0.4)
-        .orderBy(col("vec_a"), col("vec_b"))),
+      cosinePairs04(s, dir).orderBy(col("vec_a"), col("vec_b"))),
 
     "q_quality_by_source" -> ((s, dir) =>
       TextAnalytics.qualityBySource(docs(s, dir)).orderBy(col("source"))),
@@ -249,7 +258,8 @@ object SparkEntry {
     "q_quality_filter" -> ((s, dir) =>
       TextAnalytics.qualitySourceFilter(docs(s, dir)).orderBy(col("source"))),
     "q_embedding_dedup" -> ((s, dir) =>
-      Similarity.embeddingDedupClusters(emb(s, dir)).orderBy(col("vec_id"))),
+      Similarity.embeddingDedupClustersFrom(cosinePairs04(s, dir))
+        .orderBy(col("vec_id"))),
     "q_repetition" -> ((s, dir) =>
       TextAnalytics.repetitionStats(docs(s, dir)).orderBy(col("doc_id"))),
     "q_tfidf_terms" -> ((s, dir) =>
@@ -316,6 +326,7 @@ object SparkEntry {
     Snapshots.topicConfigs(s, dir).count()
     jaccardPairs03(s, dir).count()
     dedupClusters03(s, dir).count()
+    cosinePairs04(s, dir).count()
   }
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =

@@ -211,8 +211,13 @@ object Similarity {
     * scores into an actually deduplicated embedding corpus. */
   def embeddingDedupClusters(emb: DataFrame, dim: Int = 64,
                              threshold: Double = 0.4): DataFrame =
+    embeddingDedupClustersFrom(cosineNearDups(emb, dim, threshold))
+
+  /** Same, over an already-computed cosine pair set — callers holding
+    * the pairs (e.g. a pipeline that reports both the pairs and the
+    * deduped corpus) run the LSH self-join once, not per consumer. */
+  def embeddingDedupClustersFrom(pairs: DataFrame): DataFrame =
     Dedup.dedupClusters(
-      cosineNearDups(emb, dim, threshold)
-        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       .select(col("doc_id").as("vec_id"), col("cluster_id"), col("keep"))
 }
