@@ -257,6 +257,12 @@ object SparkEntry {
       TextAnalytics.chunkDedup(docs(s, dir)).orderBy(col("doc_id"))),
     "q_quality_filter" -> ((s, dir) =>
       TextAnalytics.qualitySourceFilter(docs(s, dir)).orderBy(col("source"))),
+    // the full pipeline composition: quality gate -> exact dedup ->
+    // near-dup drop (shared cluster assignment) -> train split, with
+    // per-stage survival from ONE aggregation
+    "q_curation_funnel" -> ((s, dir) =>
+      TextAnalytics.curationFunnel(docs(s, dir), dedupClusters03(s, dir))
+        .orderBy(col("stage"))),
     "q_embedding_dedup" -> ((s, dir) =>
       Similarity.embeddingDedupClustersFrom(cosinePairs04(s, dir))
         .orderBy(col("vec_id"))),

@@ -293,6 +293,15 @@ object TextAnalytics {
         col("tfidf"), col("rnk").cast("long").as("rnk"))
   }
 
+  /** The quality formula over precomputed token counts — ONE expression
+    * tree shared by every consumer (qualityScores, the funnel, DocStream)
+    * so the IEEE double shape never forks from the oracle mirror. */
+  private[graft] def qualityExpr(nTokens: Column, nStop: Column,
+                                 nUnique: Column): Column =
+    lit(0.4) * (lit(1.0) - nStop.cast("double") / nTokens) +
+      lit(0.3) * least(lit(1.0), nTokens.cast("double") / lit(100.0)) +
+      lit(0.3) * (nUnique.cast("double") / nTokens)
+
   /** Quality scoring: stopword ratio, lexical diversity, length signal.
     * score = 0.4*(1 - stopword_ratio) + 0.3*min(1, n_tokens/100)
     *       + 0.3*(unique/n_tokens) — plain double arithmetic, identical
@@ -307,9 +316,7 @@ object TextAnalytics {
       .select(
         col("doc_id"), col("n_tokens"), col("n_stop"), col("n_unique"),
         (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"),
-        (lit(0.4) * (lit(1.0) - col("n_stop").cast("double") / col("n_tokens"))
-          + lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / lit(100.0))
-          + lit(0.3) * (col("n_unique").cast("double") / col("n_tokens")))
+        qualityExpr(col("n_tokens"), col("n_stop"), col("n_unique"))
           .as("quality_score"))
   }
 
@@ -410,5 +417,68 @@ object TextAnalytics {
       (col("doc_id") +: LangMarkers.map { case (l, _) => col(s"m_$l") }) :+
         best._1.as("predicted_lang") :+
         (best._1 === col("lang")).as("label_match"): _*)
+  }
+
+  /** End-to-end curation funnel — the composition a training-data run
+    * actually executes, reported as CUMULATIVE per-stage survival
+    * (docs / tokens / chars remaining after each gate):
+    *   0 raw          every document
+    *   1 quality      quality_score >= qThreshold
+    *   2 exact_dedup  first (min doc_id) per exact content hash among
+    *                  quality survivors
+    *   3 near_dedup   drop non-canonical members of the near-dup
+    *                  clusters (callers pass the shared assignment so
+    *                  label propagation runs once per session)
+    *   4 train_split  content-hash split == "train"
+    *
+    * Shape at 100 TB: quality/split/hash flags are row-local expressions
+    * fused into the scan; exact dedup is ONE window shuffle on the
+    * content hash (min qualified doc_id per hash — no join-back); the
+    * cluster assignment joins on doc_id and only contains pair
+    * participants (orders of magnitude smaller than the corpus,
+    * hint-free so AQE sizes it); and all five stage rows come from ONE
+    * aggregation unpivoted with stack — the corpus is never scanned or
+    * shuffled per stage. */
+  def curationFunnel(docs: DataFrame, clusters: DataFrame,
+                     qThreshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val scored = docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_stop",
+        size(filter(toks, t => Stopwords.map(s => t === s).reduce(_ || _))).cast("long"))
+      .withColumn("n_unique", size(array_distinct(toks)).cast("long"))
+      .withColumn("q",
+        qualityExpr(col("n_tokens"), col("n_stop"), col("n_unique")) >= qThreshold)
+      .withColumn("split", splitCol(col("text")))
+      .withColumn("h", md5(col("text")))
+    val flagged = scored
+      .withColumn("keep_id",
+        min(when(col("q"), col("doc_id"))).over(Window.partitionBy(col("h"))))
+      .join(clusters.select(col("doc_id"), col("keep").as("nd_keep")),
+        Seq("doc_id"), "left")
+      .withColumn("s1", col("q"))
+      .withColumn("s2", col("s1") && col("doc_id") === col("keep_id"))
+      .withColumn("s3", col("s2") && coalesce(col("nd_keep"), lit(true)))
+      .withColumn("s4", col("s3") && col("split") === "train")
+    def stage(flag: Column, sfx: String) = Seq(
+      sum(when(flag, 1L).otherwise(0L)).as(s"d$sfx"),
+      sum(when(flag, col("n_tokens")).otherwise(0L)).as(s"t$sfx"),
+      sum(when(flag, col("n_chars")).otherwise(0L)).as(s"c$sfx"))
+    val aggs = Seq(
+      count(lit(1)).as("d0"),
+      sum(col("n_tokens")).as("t0"),
+      sum(col("n_chars")).as("c0")) ++
+      stage(col("s1"), "1") ++ stage(col("s2"), "2") ++
+      stage(col("s3"), "3") ++ stage(col("s4"), "4")
+    flagged.agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        """stack(5,
+          |  0, 'raw',         d0, t0, c0,
+          |  1, 'quality',     d1, t1, c1,
+          |  2, 'exact_dedup', d2, t2, c2,
+          |  3, 'near_dedup',  d3, t3, c3,
+          |  4, 'train_split', d4, t4, c4)
+          |as (stage, stage_name, docs, tokens, chars)""".stripMargin))
   }
 }

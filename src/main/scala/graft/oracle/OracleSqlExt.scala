@@ -711,6 +711,80 @@ SELECT t.bench_id, t.n_ngrams, COALESCE(h.contaminated, 0) AS contaminated,
        CAST(COALESCE(h.contaminated, 0) AS DOUBLE) / t.n_ngrams > 0.2 AS flagged
 FROM tot t LEFT JOIN hits h USING (bench_id) ORDER BY t.bench_id""",
 
+    // mirror of TextAnalytics.curationFunnel: cumulative quality ->
+    // exact-dedup -> near-dup-drop -> train-split survival; near-dup
+    // keep comes from the same recursive min-label CTE as
+    // q_dedup_clusters
+    "q_curation_funnel" -> s"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, n_chars, string_split(text, ' ') AS toks, md5(text) AS h,
+         CASE WHEN substr(md5(text), 1, 2) < 'f6' THEN 'train'
+              WHEN substr(md5(text), 1, 2) < 'fb' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents),
+s AS (SELECT doc_id, n_chars, h, split,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(toks, x -> x IN $stop)) AS BIGINT) AS n_stop,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique
+      FROM t),
+q AS (SELECT *,
+        (0.4 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+         + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+         + 0.3 * (CAST(n_unique AS DOUBLE) / n_tokens)) >= 0.5 AS q
+      FROM s),
+m AS (SELECT *, min(CASE WHEN q THEN doc_id END)
+               OVER (PARTITION BY h) AS keep_id FROM q),
+sh AS (
+  SELECT DISTINCT doc_id, text[i:i+4] AS shingle
+  FROM documents, unnest(range(1, greatest(length(text) - 3, 1))) t(i)),
+rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 100),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shr GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.3),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+cl AS (SELECT node AS doc_id, min(label) = node AS nd_keep
+       FROM reach GROUP BY node),
+f AS (SELECT m.*, COALESCE(cl.nd_keep, TRUE) AS ndk
+      FROM m LEFT JOIN cl USING (doc_id)),
+g AS (SELECT *, q AS s1, (q AND doc_id = keep_id) AS s2,
+        (q AND doc_id = keep_id AND ndk) AS s3,
+        (q AND doc_id = keep_id AND ndk AND split = 'train') AS s4
+      FROM f),
+a AS (SELECT count(*) AS d0, CAST(sum(n_tokens) AS BIGINT) AS t0,
+        CAST(sum(n_chars) AS BIGINT) AS c0,
+        CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        CAST(sum(CASE WHEN s1 THEN n_tokens ELSE 0 END) AS BIGINT) AS t1,
+        CAST(sum(CASE WHEN s1 THEN n_chars ELSE 0 END) AS BIGINT) AS c1,
+        CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+        CAST(sum(CASE WHEN s2 THEN n_tokens ELSE 0 END) AS BIGINT) AS t2,
+        CAST(sum(CASE WHEN s2 THEN n_chars ELSE 0 END) AS BIGINT) AS c2,
+        CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+        CAST(sum(CASE WHEN s3 THEN n_tokens ELSE 0 END) AS BIGINT) AS t3,
+        CAST(sum(CASE WHEN s3 THEN n_chars ELSE 0 END) AS BIGINT) AS c3,
+        CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+        CAST(sum(CASE WHEN s4 THEN n_tokens ELSE 0 END) AS BIGINT) AS t4,
+        CAST(sum(CASE WHEN s4 THEN n_chars ELSE 0 END) AS BIGINT) AS c4
+      FROM g)
+SELECT 0 AS stage, 'raw' AS stage_name, d0 AS docs, t0 AS tokens, c0 AS chars FROM a
+UNION ALL SELECT 1, 'quality', d1, t1, c1 FROM a
+UNION ALL SELECT 2, 'exact_dedup', d2, t2, c2 FROM a
+UNION ALL SELECT 3, 'near_dedup', d3, t3, c3 FROM a
+UNION ALL SELECT 4, 'train_split', d4, t4, c4 FROM a
+ORDER BY stage""",
+
     // mirror of Similarity.embeddingDedupClusters: the q_cosine_neardups
     // pair set fed through the q_dedup_clusters recursive min-label CTE
     "q_embedding_dedup" -> s"""

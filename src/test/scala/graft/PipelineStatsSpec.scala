@@ -128,6 +128,34 @@ class PipelineStatsSpec extends AnyFunSuite {
     assert(r(0).getAs[Boolean]("keep") && !r(1).getAs[Boolean]("keep"))
   }
 
+  test("curationFunnel reports cumulative per-stage survival") {
+    // T1 high quality (duplicated: d1+d2 -> exact dedup keeps d1);
+    // T2 high quality but marked a non-canonical near-dup member;
+    // T3 all stopwords -> fails the quality gate.
+    val t1 = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, t1, 10L), (2L, t1, 10L),
+      (3L, "omega psi chi phi upsilon tau", 20L),
+      (4L, "the the the the", 5L)).toDF("doc_id", "text", "n_chars")
+    val clusters = Seq((3L, 3L, false)).toDF("doc_id", "cluster_id", "keep")
+    val r = TextAnalytics.curationFunnel(docs, clusters)
+      .orderBy("stage").collect()
+    assert(r.map(_.getAs[String]("stage_name")).toSeq ===
+      Seq("raw", "quality", "exact_dedup", "near_dedup", "train_split"))
+    assert(r(0).getAs[Long]("docs") === 4L)
+    assert(r(0).getAs[Long]("tokens") === 6L + 6L + 6L + 4L)
+    assert(r(0).getAs[Long]("chars") === 45L)
+    assert(r(1).getAs[Long]("docs") === 3L) // d4 fails quality
+    assert(r(2).getAs[Long]("docs") === 2L) // d2 is an exact dup of d1
+    assert(r(3).getAs[Long]("docs") === 1L) // d3 dropped by its cluster
+    assert(r(3).getAs[Long]("chars") === 10L)
+    // stage 4 depends on T1's content-hash split — derive it the same way
+    val t1Train = docs.filter($"doc_id" === 1L)
+      .select(TextAnalytics.splitCol(col("text")) === "train")
+      .head().getBoolean(0)
+    assert(r(4).getAs[Long]("docs") === (if (t1Train) 1L else 0L))
+  }
+
   test("tokenNgrams is empty below n tokens") {
     val one = Seq((1L, "a b c")).toDF("doc_id", "text")
       .select(TextAnalytics.tokenNgrams(split(col("text"), " "), 8).as("ng"))
