@@ -207,6 +207,30 @@ class PipelineStatsSpec extends AnyFunSuite {
       || mixPlan.contains("HashAggregate")) // partial+final agg, single shuffle
   }
 
+  test("scale plan shapes: chunk dedup and funnel are hint-free and " +
+       "single-aggregation") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.get(thresholdKey)
+    val (chunkPlan, funnelPlan) = try {
+      spark.conf.set(thresholdKey, "-1")
+      val clusters = Seq((1L, 1L, true)).toDF("doc_id", "cluster_id", "keep")
+      (TextAnalytics.chunkDedup(docs).queryExecution.executedPlan.toString,
+        TextAnalytics.curationFunnel(docs, clusters)
+          .queryExecution.executedPlan.toString)
+    } finally spark.conf.set(thresholdKey, prior)
+    // no forced broadcast anywhere: at scale the chunk-frequency join
+    // degrades to a shuffle join co-partitioned on the chunk key, and
+    // the funnel's cluster join to a shuffle join on doc_id
+    assert(!chunkPlan.contains("BroadcastExchange"))
+    assert(!funnelPlan.contains("BroadcastExchange"))
+    // the funnel aggregates the corpus ONCE: a single HashAggregate
+    // pair (partial+final) over the flagged stream feeds the stack
+    // unpivot — not one scan per stage
+    assert(funnelPlan.contains("Generate stack"))
+    assert("FileScan parquet".r.findAllIn(funnelPlan).size === 1)
+  }
+
   test("describeStatsApprox tracks the exact form (sketch quantiles)") {
     import graft.sources.Snapshots
     import graft.operators.TopicAnalytics
