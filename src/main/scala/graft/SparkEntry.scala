@@ -263,6 +263,10 @@ object SparkEntry {
     "q_curation_funnel" -> ((s, dir) =>
       TextAnalytics.curationFunnel(docs(s, dir), dedupClusters03(s, dir))
         .orderBy(col("stage"))),
+    "q_mixture_temperature" -> ((s, dir) =>
+      TextAnalytics.temperatureMixture(docs(s, dir)).orderBy(col("lang"))),
+    "q_shards" -> ((s, dir) =>
+      TextAnalytics.shardReport(docs(s, dir)).orderBy(col("shard"))),
     "q_embedding_dedup" -> ((s, dir) =>
       Similarity.embeddingDedupClustersFrom(cosinePairs04(s, dir))
         .orderBy(col("vec_id"))),

@@ -373,6 +373,52 @@ object TextAnalytics {
         max(col("running_tokens")).as("tokens_used"))
   }
 
+  /** Temperature-scaled language mixture (α-sampling with α = 0.5):
+    * sampling weight w_l ∝ tokens_l^α flattens the language
+    * distribution toward uniform — the standard multilingual
+    * re-weighting. Normalization is ORDER-FREE: each language's sqrt
+    * is quantized to an integer grid (floor(sqrt(tokens) * 2^20)) and
+    * the denominator is an exact BIGINT sum (the same trick that makes
+    * IVF training oracle-reproducible), so the weights are
+    * bit-identical on any partitioning. One corpus pass (partial+final
+    * agg on lang), then language-cardinality arithmetic. */
+  def temperatureMixture(docs: DataFrame): DataFrame = {
+    val per = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("tokens"))
+      .withColumn("g",
+        floor(sqrt(col("tokens").cast("double")) * lit(1048576.0)).cast("long"))
+    val tot = per.agg(sum(col("tokens")).as("tot_tokens"), sum(col("g")).as("tot_g"))
+    per.crossJoin(broadcast(tot)) // one row — fixed-size by construction
+      .select(col("lang"), col("docs"), col("tokens"),
+        (col("tokens").cast("double") / col("tot_tokens")).as("raw_frac"),
+        (col("g").cast("double") / col("tot_g")).as("alpha_weight"))
+      .withColumn("upsample", col("alpha_weight") / col("raw_frac"))
+  }
+
+  /** Hash-based shard packing: split the corpus into S output shards by
+    * content fingerprint — the writer-side op that materializes training
+    * shards. Hash sharding is the 100 TB answer: embarrassingly
+    * parallel, no global sort or cumulative sum, deterministic under
+    * re-runs, and the per-shard report (with relative load vs the ideal
+    * tokens/S) proves the balance. relative_load is computed from exact
+    * BIGINT totals, so it is order-free. */
+  def shardReport(docs: DataFrame, numShards: Int = 16): DataFrame = {
+    val per = docs
+      .select((graft.expressions.PolyHash.polyhash(col("text")) % numShards)
+        .as("shard"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        col("n_chars"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("tokens"),
+        sum(col("n_chars")).as("chars"))
+    val tot = per.agg(sum(col("tokens")).as("tot_tokens"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("docs"), col("tokens"), col("chars"),
+        (col("tokens").cast("double") * numShards / col("tot_tokens"))
+          .as("relative_load"))
+  }
+
   /** Per-source curation rollup: document counts and ORDER-FREE quality
     * statistics (exact percentiles, not avg — a double mean depends on
     * partition order) — the view that decides which feeds to keep,

@@ -711,6 +711,41 @@ SELECT t.bench_id, t.n_ngrams, COALESCE(h.contaminated, 0) AS contaminated,
        CAST(COALESCE(h.contaminated, 0) AS DOUBLE) / t.n_ngrams > 0.2 AS flagged
 FROM tot t LEFT JOIN hits h USING (bench_id) ORDER BY t.bench_id""",
 
+    // mirror of TextAnalytics.temperatureMixture (α = 0.5): integer-grid
+    // sqrt quantization makes the normalizing sums exact BIGINTs
+    "q_mixture_temperature" -> """
+WITH t AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+           FROM documents),
+per AS (SELECT lang, count(*) AS docs, CAST(sum(n) AS BIGINT) AS tokens
+        FROM t GROUP BY 1),
+g AS (SELECT *, CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1048576.0) AS BIGINT) AS g
+      FROM per),
+tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS tot_tokens,
+               CAST(sum(g) AS BIGINT) AS tot_g FROM g),
+w AS (SELECT lang, docs, tokens,
+        CAST(tokens AS DOUBLE) / tot_tokens AS raw_frac,
+        CAST(g AS DOUBLE) / tot_g AS alpha_weight
+      FROM g CROSS JOIN tot)
+SELECT lang, docs, tokens, raw_frac, alpha_weight,
+       alpha_weight / raw_frac AS upsample
+FROM w ORDER BY lang""",
+
+    // mirror of TextAnalytics.shardReport (16 shards, polyhash sharding)
+    "q_shards" -> """
+WITH h AS (SELECT
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, length(text) + 1),
+        i -> CAST(ascii(text[i:i]) AS BIGINT))),
+      (acc, c) -> (acc * 31 + c) % 1000000007) % 16 AS shard,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, n_chars
+  FROM documents),
+per AS (SELECT shard, count(*) AS docs, CAST(sum(n_tokens) AS BIGINT) AS tokens,
+          CAST(sum(n_chars) AS BIGINT) AS chars FROM h GROUP BY 1),
+tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS tot_tokens FROM per)
+SELECT shard, docs, tokens, chars,
+       CAST(tokens AS DOUBLE) * 16 / tot_tokens AS relative_load
+FROM per CROSS JOIN tot ORDER BY shard""",
+
     // mirror of TextAnalytics.curationFunnel: cumulative quality ->
     // exact-dedup -> near-dup-drop -> train-split survival; near-dup
     // keep comes from the same recursive min-label CTE as

@@ -156,6 +156,34 @@ class PipelineStatsSpec extends AnyFunSuite {
     assert(r(4).getAs[Long]("docs") === (if (t1Train) 1L else 0L))
   }
 
+  test("temperatureMixture flattens toward uniform with exact-grid weights") {
+    // en has 4 tokens, de has 1: raw 0.8/0.2; sqrt weights 2:1 -> 2/3, 1/3
+    val docs = Seq(
+      (1L, "a b c d", "en", 7L),
+      (2L, "x", "de", 1L)).toDF("doc_id", "text", "lang", "n_chars")
+    val r = TextAnalytics.temperatureMixture(docs).orderBy("lang").collect()
+    val de = r(0); val en = r(1)
+    assert(en.getAs[Double]("raw_frac") === 0.8)
+    assert(math.abs(en.getAs[Double]("alpha_weight") - 2.0 / 3) < 1e-12)
+    assert(math.abs(de.getAs[Double]("alpha_weight") - 1.0 / 3) < 1e-12)
+    // upsampling pulls the rare language up, the dominant one down
+    assert(de.getAs[Double]("upsample") > 1.0 && en.getAs[Double]("upsample") < 1.0)
+  }
+
+  test("shardReport assigns by content fingerprint with exact balance math") {
+    // polyhash("a") = 97 -> shard 1; polyhash("b") = 98 -> shard 2
+    val docs = Seq(
+      (1L, "a", "en", 1L), (2L, "b", "en", 1L), (3L, "a", "en", 1L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val r = TextAnalytics.shardReport(docs).orderBy("shard").collect()
+    assert(r.map(x => (x.getAs[Long]("shard"), x.getAs[Long]("docs"))).toSeq ===
+      Seq((1L, 2L), (2L, 1L)))
+    // identical content always lands in the same shard; loads are
+    // tokens * S / total from exact BIGINTs
+    assert(r(0).getAs[Double]("relative_load") === 2.0 * 16 / 3)
+    assert(r(1).getAs[Double]("relative_load") === 1.0 * 16 / 3)
+  }
+
   test("tokenNgrams is empty below n tokens") {
     val one = Seq((1L, "a b c")).toDF("doc_id", "text")
       .select(TextAnalytics.tokenNgrams(split(col("text"), " "), 8).as("ng"))
