@@ -229,6 +229,9 @@ object SparkEntry {
       Similarity.knnExact(emb(s, dir)).orderBy(col("query_id"), col("rank"))),
     "q_knn_lsh" -> ((s, dir) =>
       Similarity.knnLsh(emb(s, dir)).orderBy(col("query_id"), col("rank"))),
+    "q_knn_lsh_multiprobe" -> ((s, dir) =>
+      Similarity.knnLshMultiProbe(emb(s, dir))
+        .orderBy(col("query_id"), col("rank"))),
     "q_knn_ivf" -> ((s, dir) =>
       functions.Ivf.knnIvf(emb(s, dir)).orderBy(col("query_id"), col("rank"))),
     "q_cosine_neardups" -> ((s, dir) =>

@@ -148,13 +148,40 @@ object Similarity {
     * the O(N^2) cross-join into L equi-joins; recall vs knnExact is
     * measured in the test suite. */
   def knnLsh(emb: DataFrame, dim: Int = 64, nQueries: Int = 10, k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val b = bucketed(emb, dim)
     val q = b.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         col("norm").as("qnorm"), col("table"), col("key"))
-    // score first (cheap codegen loop), then dedup on the narrow
-    // (query_id, vec_id, score) rows — the shuffle never carries arrays
+    rerankBuckets(b, q, k)
+  }
+
+  /** ANN top-k via MULTI-PROBE hyperplane LSH: each query probes its own
+    * bucket PLUS every bucket at Hamming distance 1 from its key in each
+    * table — the nearest "wrong side of one hyperplane" buckets, where
+    * most missed neighbors live. The expansion is QUERY-side only
+    * ((1 + bits) probe rows per query per table; the corpus index is
+    * untouched), so candidate volume grows ~(1+bits)x for the bounded
+    * query set while recall approaches exact — the standard trade when
+    * raising L (more index space for every corpus vector) is not an
+    * option. Recall vs knnExact and vs single-probe is measured in
+    * SimilaritySpec. */
+  def knnLshMultiProbe(emb: DataFrame, dim: Int = 64, nQueries: Int = 10,
+                       k: Int = 10): DataFrame = {
+    val b = bucketed(emb, dim)
+    val flips = lit(0L) +: (0 until BitsPerTable).map(i => lit(1L << i))
+    val q = b.filter(col("vec_id") < nQueries)
+      .withColumn("flip", explode(array(flips: _*)))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("norm").as("qnorm"), col("table"),
+        col("key").bitwiseXOR(col("flip")).as("key"))
+    rerankBuckets(b, q, k)
+  }
+
+  /** Shared candidate-join + exact re-rank: score first (cheap codegen
+    * loop), then dedup on the narrow (query_id, vec_id, score) rows —
+    * the shuffle never carries arrays. */
+  private def rerankBuckets(b: DataFrame, q: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val scored = b.join(broadcast(q), Seq("table", "key"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),

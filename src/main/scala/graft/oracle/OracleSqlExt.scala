@@ -155,6 +155,26 @@ r AS (SELECT query_id, vec_id AS neighbor_id, score,
 SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", score
 FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"""",
 
+    // mirror of Similarity.knnLshMultiProbe: qb expands each query key
+    // with the Hamming-distance-1 probes (xor with one bit, plus 0)
+    "q_knn_lsh_multiprobe" -> s"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+$lshBucketsCte,
+qb AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, tbl,
+              xor(CAST(key AS BIGINT), f.flip) AS key
+       FROM b, (VALUES (CAST(0 AS BIGINT)), (1), (2), (4), (8)) f(flip)
+       WHERE vec_id < 10),
+cand AS (
+  SELECT DISTINCT query_id, vec_id,
+         round(list_dot_product(qv, b.v) / (qnrm * b.nrm), 9) AS score
+  FROM b JOIN qb USING (tbl, key) WHERE vec_id <> query_id),
+r AS (SELECT query_id, vec_id AS neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+      FROM cand)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", score
+FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"""",
+
     "q_minhash_pairs" -> s"""
 WITH sh AS (
   SELECT doc_id,

@@ -103,6 +103,22 @@ class SketchSpec extends AnyFunSuite {
     assert(recall >= 0.25, s"ANN recall $recall < 0.25")
   }
 
+  test("knnLshMultiProbe recall dominates single-probe at the same L") {
+    val exact = Similarity.knnExact(emb, nQueries = 10, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val single = Similarity.knnLsh(emb, nQueries = 10, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val multi = Similarity.knnLshMultiProbe(emb, nQueries = 10, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val rSingle = exact.count(single.contains).toDouble / exact.size
+    val rMulti = exact.count(multi.contains).toDouble / exact.size
+    // probing the Hamming-1 buckets can only ADD candidates, so the
+    // candidate set is a superset and recall cannot drop
+    assert(rMulti >= rSingle, s"multi-probe $rMulti < single-probe $rSingle")
+    assert(rMulti >= 0.5, s"multi-probe recall $rMulti < 0.5")
+    info(f"recall single=$rSingle%.2f multi=$rMulti%.2f")
+  }
+
   test("knnIvf recall against knnExact") {
     val exact = Similarity.knnExact(emb, nQueries = 10, k = 10)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
