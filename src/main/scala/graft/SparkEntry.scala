@@ -270,6 +270,8 @@ object SparkEntry {
       TextAnalytics.temperatureMixture(docs(s, dir)).orderBy(col("lang"))),
     "q_shards" -> ((s, dir) =>
       TextAnalytics.shardReport(docs(s, dir)).orderBy(col("shard"))),
+    "q_eval_sample" -> ((s, dir) =>
+      TextAnalytics.evalSample(docs(s, dir)).orderBy(col("lang"), col("rnk"))),
     "q_embedding_dedup" -> ((s, dir) =>
       Similarity.embeddingDedupClustersFrom(cosinePairs04(s, dir))
         .orderBy(col("vec_id"))),

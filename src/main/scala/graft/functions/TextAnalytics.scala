@@ -344,6 +344,23 @@ object TextAnalytics {
       .withColumn("kept", col("u") < col("rate"))
   }
 
+  /** Fixed-size held-out eval sample: the N documents with the lowest
+    * content-keyed uniform draw per language — deterministic (re-runs
+    * and re-ingestions select the same documents), stratified, and
+    * size-exact where rate-based sampling is only size-expected. The
+    * window ranks WITHIN each language partition (no global sort); at
+    * 100 TB a per-partition top-N pre-prune before the window would cap
+    * the shuffle, N being tiny. */
+  def evalSample(docs: DataFrame, perLang: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("u"), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"), sampleUniform(col("text")).as("u"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= perLang)
+      .select(col("doc_id"), col("lang"), col("u"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   /** The mixture report: per language, the configured rate and the
     * realized doc/char yield of the deterministic sample. */
   def mixtureSummary(docs: DataFrame): DataFrame =

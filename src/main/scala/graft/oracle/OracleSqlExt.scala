@@ -731,6 +731,21 @@ SELECT t.bench_id, t.n_ngrams, COALESCE(h.contaminated, 0) AS contaminated,
        CAST(COALESCE(h.contaminated, 0) AS DOUBLE) / t.n_ngrams > 0.2 AS flagged
 FROM tot t LEFT JOIN hits h USING (bench_id) ORDER BY t.bench_id""",
 
+    // mirror of TextAnalytics.evalSample: N lowest content-draw u per
+    // language (same polyhash uniform as q_mixture)
+    "q_eval_sample" -> """
+WITH u AS (
+  SELECT doc_id, lang,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(text) + 1),
+             i -> CAST(ascii(text[i:i]) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 1000000007) AS DOUBLE) / 1000000007.0 AS u
+  FROM documents),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rnk
+      FROM u)
+SELECT doc_id, lang, u, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 5 ORDER BY lang, rnk""",
+
     // mirror of TextAnalytics.temperatureMixture (α = 0.5): integer-grid
     // sqrt quantization makes the normalizing sums exact BIGINTs
     "q_mixture_temperature" -> """
