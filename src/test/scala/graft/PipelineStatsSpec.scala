@@ -184,6 +184,54 @@ class PipelineStatsSpec extends AnyFunSuite {
     assert(r(1).getAs[Double]("relative_load") === 1.0 * 16 / 3)
   }
 
+  test("corpus-assembly invariants hold on the fixture corpus") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+    val total = docs.count()
+
+    // funnel: cumulative stages can only shrink, raw == corpus
+    val clusters = functions.Dedup.dedupClusters(
+      functions.Dedup.jaccardPairs(docs, threshold = 0.3))
+    val funnel = TextAnalytics.curationFunnel(docs, clusters)
+      .orderBy("stage").collect()
+    assert(funnel(0).getAs[Long]("docs") === total)
+    Seq("docs", "tokens", "chars").foreach { m =>
+      val v = funnel.map(_.getAs[Long](m)).toSeq
+      assert(v === v.sorted.reverse, s"$m not non-increasing: $v")
+    }
+
+    // shards: a partition of the corpus — counts must close and each
+    // shard's load is exactly tokens * S / total
+    val shards = TextAnalytics.shardReport(docs).collect()
+    assert(shards.map(_.getAs[Long]("docs")).sum === total)
+    val totTokens = shards.map(_.getAs[Long]("tokens")).sum
+    shards.foreach { r =>
+      assert(r.getAs[Double]("relative_load") ===
+        r.getAs[Long]("tokens").toDouble * 16 / totTokens)
+    }
+
+    // temperature mixture: both weight vectors are distributions, and
+    // re-weighting flattens — the dominant language is down-sampled
+    val mix = TextAnalytics.temperatureMixture(docs).collect()
+    assert(math.abs(mix.map(_.getAs[Double]("raw_frac")).sum - 1.0) < 1e-9)
+    assert(math.abs(mix.map(_.getAs[Double]("alpha_weight")).sum - 1.0) < 1e-9)
+    val top = mix.maxBy(_.getAs[Long]("tokens"))
+    assert(top.getAs[Double]("upsample") < 1.0)
+
+    // eval sample: size-exact per language with contiguous ranks and
+    // ascending draws
+    val sample = TextAnalytics.evalSample(docs, perLang = 5).collect()
+      .groupBy(_.getAs[String]("lang"))
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    sample.foreach { case (lang, rows) =>
+      assert(rows.length === math.min(5L, perLang(lang)))
+      assert(rows.map(_.getAs[Long]("rnk")).sorted.toSeq ===
+        (1L to rows.length).toSeq)
+      val us = rows.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("u")).toSeq
+      assert(us === us.sorted)
+    }
+  }
+
   test("tokenNgrams is empty below n tokens") {
     val one = Seq((1L, "a b c")).toDF("doc_id", "text")
       .select(TextAnalytics.tokenNgrams(split(col("text"), " "), 8).as("ng"))
