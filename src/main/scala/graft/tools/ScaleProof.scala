@@ -58,7 +58,8 @@ object ScaleProof {
       .select(col("doc_id"), col("text"))
 
     println(f"${"k"}%3s ${"docs"}%8s ${"candidates"}%12s ${"cand/doc"}%9s " +
-      f"${"pairs"}%8s ${"xrep"}%6s ${"pairs_s"}%8s ${"cluster_s"}%10s")
+      f"${"pairs"}%8s ${"xrep"}%6s ${"pairs_s"}%8s ${"cluster_s"}%10s " +
+      f"${"dupchunk%"}%9s ${"chunk_s"}%8s")
     args.headOption.getOrElse("1,4,20").split(",").map(_.trim.toInt).foreach { k =>
       val corpus = scaled(docs, k).localCheckpoint() // isolate scaling cost
       val nDocs = corpus.count()
@@ -72,8 +73,18 @@ object ScaleProof {
       val t1 = System.nanoTime()
       graft.functions.Dedup.dedupClusters(pairs).count()
       val t2 = System.nanoTime()
+      // chunk-level exact dedup: the per-replica bijection preserves
+      // chunk equality within a replica and (approximately) never
+      // creates it across replicas, so the dup-chunk RATE should stay
+      // flat while runtime scales ~linearly
+      val cd = graft.functions.TextAnalytics.chunkDedup(corpus)
+        .agg(sum(col("dup_chunks")).as("d"), sum(col("n_chunks")).as("n"))
+        .collect()(0)
+      val t3 = System.nanoTime()
+      val dupFrac = cd.getAs[Long]("d").toDouble / cd.getAs[Long]("n")
       println(f"$k%3d $nDocs%8d $cand%12d ${cand.toDouble / nDocs}%9.2f " +
-        f"$nPairs%8d $xrep%6d ${(t1 - t0) / 1e9}%8.2f ${(t2 - t1) / 1e9}%10.2f")
+        f"$nPairs%8d $xrep%6d ${(t1 - t0) / 1e9}%8.2f ${(t2 - t1) / 1e9}%10.2f " +
+        f"${dupFrac * 100}%8.2f%% ${(t3 - t2) / 1e9}%8.2f")
     }
     spark.stop()
   }
