@@ -295,6 +295,9 @@ object SparkEntry {
         .orderBy(col("kind"), col("pos"))),
 
     // --- relational / event-time breadth ---
+    "q_small_qty_revenue" -> ((s, dir) =>
+      Relational.smallQuantityRevenue(tbl(s, dir, "lineitem"), tbl(s, dir, "part"))
+        .orderBy(col("p_brand"))),
     "q_pricing_summary" -> ((s, dir) =>
       Relational.pricingSummary(tbl(s, dir, "lineitem"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),

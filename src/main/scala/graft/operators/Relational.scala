@@ -55,6 +55,26 @@ object Relational {
         count(lit(1)).as("orders"))
   }
 
+  /** TPC-H Q17-style small-quantity revenue: per brand, the revenue of
+    * lineitems whose quantity is below 20% of that part's average — the
+    * classic correlated scalar aggregate, decorrelated into a per-part
+    * aggregate joined back on the same key. Both sides of the back-join
+    * hash-partition on l_partkey (the aggregate's exchange is reusable),
+    * the part dimension broadcasts, and revenue accumulates in DECIMAL
+    * (double sums are order-dependent; quantity sums are exact because
+    * quantities are integral). */
+  def smallQuantityRevenue(li: DataFrame, part: DataFrame): DataFrame = {
+    val lim = li.groupBy(col("l_partkey"))
+      .agg((sum(col("l_quantity")) / count(lit(1)) * lit(0.2)).as("qty_limit"))
+    li.join(lim, "l_partkey")
+      .filter(col("l_quantity") < col("qty_limit"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(dec("l_extendedprice")).cast("double").as("small_qty_revenue"),
+        count(lit(1)).as("line_count"))
+  }
+
   /** Top-k customers by revenue (Q3-flavored). */
   def topCustomers(li: DataFrame, orders: DataFrame, customer: DataFrame,
                    k: Int = 10): DataFrame = {

@@ -596,6 +596,21 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    // mirror of Relational.smallQuantityRevenue (Q17-style correlated
+    // aggregate, decorrelated): qty sums are exact (integral doubles),
+    // revenue accumulates in DECIMAL
+    "q_small_qty_revenue" -> """
+WITH lim AS (SELECT l_partkey, sum(l_quantity) / count(*) * 0.2 AS qty_limit
+             FROM lineitem GROUP BY 1)
+SELECT p_brand,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS small_qty_revenue,
+       count(*) AS line_count
+FROM lineitem JOIN lim USING (l_partkey)
+JOIN part ON l_partkey = p_partkey
+WHERE l_quantity < qty_limit
+GROUP BY 1 ORDER BY p_brand""",
+
     "q_revenue_by_nation" -> s"""
 WITH $orev
 SELECT n_name, CAST(sum(order_rev) AS DOUBLE) AS revenue,
