@@ -295,6 +295,8 @@ object SparkEntry {
         .orderBy(col("kind"), col("pos"))),
 
     // --- relational / event-time breadth ---
+    "q_order_gaps" -> ((s, dir) =>
+      Relational.orderGaps(tbl(s, dir, "orders")).orderBy(col("o_custkey"))),
     "q_small_qty_revenue" -> ((s, dir) =>
       Relational.smallQuantityRevenue(tbl(s, dir, "lineitem"), tbl(s, dir, "part"))
         .orderBy(col("p_brand"))),

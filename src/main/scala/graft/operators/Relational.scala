@@ -171,6 +171,24 @@ object Relational {
         col("converted") * lit(100.0) / nullif(col("signed_up"), lit(0L)))
   }
 
+  /** Customer re-order cadence: per customer with 2+ orders, the total
+    * and mean day gap between consecutive orders — the lag-window
+    * pattern. Gaps are integral day counts, so sums and the mean are
+    * exact; the window partitions per customer (no global sort). */
+  def orderGaps(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders.select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("gap_days",
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .cast("long"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("orders"), sum(col("gap_days")).as("total_gap_days"))
+      .filter(col("orders") >= 2)
+      .withColumn("avg_gap_days",
+        col("total_gap_days").cast("double") / (col("orders") - lit(1L)))
+  }
+
   /** Sessionization: a session break is a >30min gap per user; returns
     * per-user session/event counts and mean session length in events.
     * One window over (user, time) — a single shuffle on user_id. */

@@ -596,6 +596,19 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    // mirror of Relational.orderGaps (lag-window re-order cadence;
+    // integral day gaps => exact sums)
+    "q_order_gaps" -> """
+WITH g AS (
+  SELECT o_custkey,
+         date_diff('day', lag(o_orderdate) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           o_orderdate) AS gap
+  FROM orders)
+SELECT o_custkey, count(*) AS orders, CAST(sum(gap) AS BIGINT) AS total_gap_days,
+       CAST(sum(gap) AS DOUBLE) / (count(*) - 1) AS avg_gap_days
+FROM g GROUP BY 1 HAVING count(*) >= 2 ORDER BY o_custkey""",
+
     // mirror of Relational.smallQuantityRevenue (Q17-style correlated
     // aggregate, decorrelated): qty sums are exact (integral doubles),
     // revenue accumulates in DECIMAL
