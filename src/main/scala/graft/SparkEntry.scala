@@ -232,6 +232,10 @@ object SparkEntry {
     "q_knn_lsh_multiprobe" -> ((s, dir) =>
       Similarity.knnLshMultiProbe(emb(s, dir))
         .orderBy(col("query_id"), col("rank"))),
+    // iterative float pipeline made oracle-checkable via the integer-
+    // grid trick (see functions/Pca.scala)
+    "q_pca_component" -> ((s, dir) =>
+      functions.Pca.topComponent(emb(s, dir)).orderBy(col("dim"))),
     "q_knn_ivf" -> ((s, dir) =>
       functions.Ivf.knnIvf(emb(s, dir)).orderBy(col("query_id"), col("rank"))),
     "q_cosine_neardups" -> ((s, dir) =>

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Top principal direction of the embedding corpus via power iteration —
+  * the preprocessing step for embedding whitening / decorrelation before
+  * dedup or ANN indexing.
+  *
+  * ORACLE-REPRODUCIBLE iterative float math (the IVF integer-grid
+  * technique generalized to a second iterative algorithm): each
+  * iteration's matrix-vector product w = Σ_i x_i (x_i · v) accumulates
+  * per-dimension contributions floor-quantized onto a 2^-20 grid, so the
+  * cross-row sum is an exact BIGINT sum — order-free on any
+  * partitioning — and the normalization uses the same left-to-right
+  * fold as DuckDB's list_dot_product. Every iteration is therefore
+  * bit-identical between engines and the DuckDB mirror simply unrolls
+  * the loop in CTEs (OracleSqlExt q_pca_component).
+  *
+  * Scale shape: one scan + one dim-sized aggregation per iteration; the
+  * only driver state is the dim-double direction (exactly the IVF
+  * centroid contract). Uncentered — the top singular direction; at
+  * 100 TB centering would be one more grid-quantized mean pass with the
+  * same machinery.
+  */
+object Pca {
+  val QuantScale = 1048576.0 // 2^20, the Ivf.MeanQuantScale grid
+
+  /** The direction after `iters` power iterations from the fixed
+    * deterministic start v0 = (1/sqrt(dim), ...). */
+  def topDirection(emb: DataFrame, dim: Int = 64, iters: Int = 3): Array[Double] = {
+    val base = emb.select(col("embedding").cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+      for (_ <- 1 to iters) {
+        val vCol = array(v.toIndexedSeq.map(lit): _*)
+        val sums = base
+          .select(Similarity.dot(col("v"), vCol).as("s"), col("v"))
+          .select(col("s"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("pos"))
+          .agg(sum(floor(col("x") * col("s") * lit(QuantScale)).cast("long")).as("q"))
+          .collect().map(r => r.getAs[Int]("pos") -> r.getAs[Long]("q")).toMap
+        val w = Array.tabulate(dim)(j => sums.getOrElse(j, 0L).toDouble / QuantScale)
+        var acc = 0.0 // left-to-right fold == list_dot_product order
+        var j = 0
+        while (j < dim) { acc += w(j) * w(j); j += 1 }
+        val nrm = math.sqrt(acc)
+        v = w.map(_ / nrm)
+      }
+      v
+    } finally { base.unpersist(); () }
+  }
+
+  /** (dim, loading) rows of the final direction; loadings go through
+    * Spark's round(9) (the knnExact score convention, already proven
+    * cross-engine-identical). */
+  def topComponent(emb: DataFrame, dim: Int = 64, iters: Int = 3): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    topDirection(emb, dim, iters).zipWithIndex
+      .map { case (x, i) => (i.toLong, x) }.toSeq
+      .toDF("dim", "loading")
+      .select(col("dim"), round(col("loading"), 9).as("loading"))
+  }
+}

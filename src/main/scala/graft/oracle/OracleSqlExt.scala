@@ -155,6 +155,33 @@ r AS (SELECT query_id, vec_id AS neighbor_id, score,
 SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", score
 FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"""",
 
+    // mirror of functions.Pca.topComponent: three power iterations
+    // unrolled in CTEs. Per iteration: s = v·dir (sequential fold),
+    // per-dimension contributions floor-quantized to the 2^-20 grid and
+    // summed as exact BIGINTs (order-free), then normalized with the
+    // same left-to-right list_dot_product fold the engine uses.
+    // v0 = 1/sqrt(64) = 0.125 exactly.
+    "q_pca_component" -> {
+      def iter(t: Int, prev: String): String = s"""
+s$t AS (SELECT v, list_dot_product(v, (SELECT vl FROM $prev)) AS s FROM e),
+c$t AS (SELECT t.pos,
+          CAST(sum(CAST(floor(s$t.v[t.pos] * s$t.s * 1048576.0) AS BIGINT)) AS DOUBLE)
+            / 1048576.0 AS w
+        FROM s$t, unnest(range(1, 65)) AS t(pos) GROUP BY t.pos),
+w$t AS (SELECT list(w ORDER BY pos) AS wl FROM c$t),
+n$t AS (SELECT list_transform(wl, x -> x / sqrt(list_dot_product(wl, wl))) AS vl
+        FROM w$t)"""
+      s"""
+WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+v0 AS (SELECT list_transform(range(0, 64), i -> 0.125) AS vl),
+${iter(1, "v0")},
+${iter(2, "n1")},
+${iter(3, "n2")}
+SELECT CAST(t.pos - 1 AS BIGINT) AS dim, round(n3.vl[t.pos], 9) AS loading
+FROM n3, unnest(range(1, 65)) AS t(pos)
+ORDER BY dim"""
+    },
+
     // mirror of Similarity.knnLshMultiProbe: qb expands each query key
     // with the Hamming-distance-1 probes (xor with one bit, plus 0)
     "q_knn_lsh_multiprobe" -> s"""

@@ -184,6 +184,22 @@ class PipelineStatsSpec extends AnyFunSuite {
     assert(r(1).getAs[Double]("relative_load") === 1.0 * 16 / 3)
   }
 
+  test("power iteration finds the dominant direction") {
+    import graft.functions.Pca
+    // corpus dominated by +/- e0 (sign-mixed so it is not the mean),
+    // plus small e1 noise -> the top singular direction is e0
+    val emb = Seq(
+      (1L, Array.tabulate(64)(i => if (i == 0) 10f else 0f)),
+      (2L, Array.tabulate(64)(i => if (i == 0) -9f else if (i == 1) 1f else 0f)),
+      (3L, Array.tabulate(64)(i => if (i == 0) 8f else if (i == 1) -1f else 0f)))
+      .toDF("vec_id", "embedding")
+    val v = Pca.topDirection(emb)
+    assert(math.abs(math.abs(v(0)) - 1.0) < 0.02, s"v0=${v(0)}")
+    assert(math.abs(v(1)) < 0.2)
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-9)
+  }
+
   test("corpus-assembly invariants hold on the fixture corpus") {
     val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
     val total = docs.count()
