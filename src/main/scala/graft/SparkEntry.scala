@@ -236,6 +236,8 @@ object SparkEntry {
     // grid trick (see functions/Pca.scala)
     "q_pca_component" -> ((s, dir) =>
       functions.Pca.topComponent(emb(s, dir)).orderBy(col("dim"))),
+    "q_pca_projection" -> ((s, dir) =>
+      functions.Pca.projectionByLabel(emb(s, dir)).orderBy(col("label"))),
     "q_knn_ivf" -> ((s, dir) =>
       functions.Ivf.knnIvf(emb(s, dir)).orderBy(col("query_id"), col("rank"))),
     "q_cosine_neardups" -> ((s, dir) =>

@@ -63,4 +63,26 @@ object Pca {
       .toDF("dim", "loading")
       .select(col("dim"), round(col("loading"), 9).as("loading"))
   }
+
+  /** Per-label distribution of the scalar projection onto the top
+    * direction — how the corpus's labels separate along its principal
+    * axis (the drift/cluster-structure report an embedding pipeline
+    * runs after indexing). All statistics are ORDER-FREE (count, min,
+    * max, exact percentiles over round(9) projections) so the report
+    * mirrors bit-exactly; a double mean would not. One scan: the
+    * projection is a row-local sequential-fold dot against the
+    * broadcast-by-value direction literal. */
+  def projectionByLabel(emb: DataFrame, dim: Int = 64, iters: Int = 3): DataFrame = {
+    val v = topDirection(emb, dim, iters)
+    val vCol = array(v.toIndexedSeq.map(lit): _*)
+    emb.select(col("label"),
+      round(Similarity.dot(col("embedding").cast("array<double>"), vCol), 9)
+        .as("proj"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("proj")).as("min_proj"), max(col("proj")).as("max_proj"),
+        expr("percentile(proj, 0.25)").as("p25_proj"),
+        expr("percentile(proj, 0.5)").as("median_proj"),
+        expr("percentile(proj, 0.75)").as("p75_proj"))
+  }
 }

@@ -65,6 +65,27 @@ object OracleSqlExt {
         s" THEN CAST(${1L << i} AS BIGINT) ELSE 0 END").mkString(" + ")
   }
 
+  /** Three unrolled power iterations (functions.Pca): per iteration,
+    * s = v·dir, per-dimension contributions floor-quantized to the
+    * 2^-20 grid summed as exact BIGINTs, then the left-to-right
+    * list_dot_product normalization. v0 = 1/sqrt(64) = 0.125 exact. */
+  private val pcaCtes: String = {
+    def iter(t: Int, prev: String): String = s"""
+s$t AS (SELECT v, list_dot_product(v, (SELECT vl FROM $prev)) AS s FROM e),
+c$t AS (SELECT t.pos,
+          CAST(sum(CAST(floor(s$t.v[t.pos] * s$t.s * 1048576.0) AS BIGINT)) AS DOUBLE)
+            / 1048576.0 AS w
+        FROM s$t, unnest(range(1, 65)) AS t(pos) GROUP BY t.pos),
+w$t AS (SELECT list(w ORDER BY pos) AS wl FROM c$t),
+n$t AS (SELECT list_transform(wl, x -> x / sqrt(list_dot_product(wl, wl))) AS vl
+        FROM w$t)"""
+    s"""e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+v0 AS (SELECT list_transform(range(0, 64), i -> 0.125) AS vl),
+${iter(1, "v0")},
+${iter(2, "n1")},
+${iter(3, "n2")}"""
+  }
+
   private val lshBucketsCte = {
     import graft.functions.Similarity.NumTables
     "b AS (" + (0 until NumTables).map(t =>
@@ -161,26 +182,26 @@ FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"""",
     // summed as exact BIGINTs (order-free), then normalized with the
     // same left-to-right list_dot_product fold the engine uses.
     // v0 = 1/sqrt(64) = 0.125 exactly.
-    "q_pca_component" -> {
-      def iter(t: Int, prev: String): String = s"""
-s$t AS (SELECT v, list_dot_product(v, (SELECT vl FROM $prev)) AS s FROM e),
-c$t AS (SELECT t.pos,
-          CAST(sum(CAST(floor(s$t.v[t.pos] * s$t.s * 1048576.0) AS BIGINT)) AS DOUBLE)
-            / 1048576.0 AS w
-        FROM s$t, unnest(range(1, 65)) AS t(pos) GROUP BY t.pos),
-w$t AS (SELECT list(w ORDER BY pos) AS wl FROM c$t),
-n$t AS (SELECT list_transform(wl, x -> x / sqrt(list_dot_product(wl, wl))) AS vl
-        FROM w$t)"""
-      s"""
-WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-v0 AS (SELECT list_transform(range(0, 64), i -> 0.125) AS vl),
-${iter(1, "v0")},
-${iter(2, "n1")},
-${iter(3, "n2")}
+    "q_pca_component" -> s"""
+WITH $pcaCtes
 SELECT CAST(t.pos - 1 AS BIGINT) AS dim, round(n3.vl[t.pos], 9) AS loading
 FROM n3, unnest(range(1, 65)) AS t(pos)
-ORDER BY dim"""
-    },
+ORDER BY dim""",
+
+    // mirror of functions.Pca.projectionByLabel: the regenerated top
+    // direction projected onto every vector; order-free stats only
+    "q_pca_projection" -> s"""
+WITH $pcaCtes,
+p AS (SELECT label,
+        round(list_dot_product(CAST(embedding AS DOUBLE[]),
+          (SELECT vl FROM n3)), 9) AS proj
+      FROM embeddings)
+SELECT label, count(*) AS n_vecs,
+       min(proj) AS min_proj, max(proj) AS max_proj,
+       quantile_cont(proj, 0.25) AS p25_proj,
+       quantile_cont(proj, 0.5) AS median_proj,
+       quantile_cont(proj, 0.75) AS p75_proj
+FROM p GROUP BY 1 ORDER BY label""",
 
     // mirror of Similarity.knnLshMultiProbe: qb expands each query key
     // with the Hamming-distance-1 probes (xor with one bit, plus 0)
