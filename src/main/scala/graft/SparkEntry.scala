@@ -70,6 +70,15 @@ object SparkEntry {
     cosineMemo.getOrElseUpdate((s, dir),
       Similarity.cosineNearDups(emb(s, dir), threshold = 0.4).persist())
 
+  /** The power-iteration direction feeds q_pca_component and
+    * q_pca_projection — train once per (session, dir) (64 doubles of
+    * driver state, the IVF centroid contract). */
+  private val pcaMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Array[Double]]
+
+  private def pcaDirection(s: SparkSession, dir: String): Array[Double] =
+    pcaMemo.getOrElseUpdate((s, dir), functions.Pca.topDirection(emb(s, dir)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topics_stats" -> ((s, dir) =>
       topicsDf(s, dir).orderBy(col("name"))),
@@ -235,9 +244,11 @@ object SparkEntry {
     // iterative float pipeline made oracle-checkable via the integer-
     // grid trick (see functions/Pca.scala)
     "q_pca_component" -> ((s, dir) =>
-      functions.Pca.topComponent(emb(s, dir)).orderBy(col("dim"))),
+      functions.Pca.componentRows(emb(s, dir), pcaDirection(s, dir))
+        .orderBy(col("dim"))),
     "q_pca_projection" -> ((s, dir) =>
-      functions.Pca.projectionByLabel(emb(s, dir)).orderBy(col("label"))),
+      functions.Pca.projectionByLabelFrom(emb(s, dir), pcaDirection(s, dir))
+        .orderBy(col("label"))),
     "q_knn_ivf" -> ((s, dir) =>
       functions.Ivf.knnIvf(emb(s, dir)).orderBy(col("query_id"), col("rank"))),
     "q_cosine_neardups" -> ((s, dir) =>

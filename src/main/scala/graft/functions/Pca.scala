@@ -55,11 +55,15 @@ object Pca {
   /** (dim, loading) rows of the final direction; loadings go through
     * Spark's round(9) (the knnExact score convention, already proven
     * cross-engine-identical). */
-  def topComponent(emb: DataFrame, dim: Int = 64, iters: Int = 3): DataFrame = {
+  def topComponent(emb: DataFrame, dim: Int = 64, iters: Int = 3): DataFrame =
+    componentRows(emb, topDirection(emb, dim, iters))
+
+  /** Same, from an already-trained direction (callers holding the
+    * 64-double state train once per session). */
+  def componentRows(emb: DataFrame, v: Array[Double]): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    topDirection(emb, dim, iters).zipWithIndex
-      .map { case (x, i) => (i.toLong, x) }.toSeq
+    v.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toSeq
       .toDF("dim", "loading")
       .select(col("dim"), round(col("loading"), 9).as("loading"))
   }
@@ -72,8 +76,11 @@ object Pca {
     * mirrors bit-exactly; a double mean would not. One scan: the
     * projection is a row-local sequential-fold dot against the
     * broadcast-by-value direction literal. */
-  def projectionByLabel(emb: DataFrame, dim: Int = 64, iters: Int = 3): DataFrame = {
-    val v = topDirection(emb, dim, iters)
+  def projectionByLabel(emb: DataFrame, dim: Int = 64, iters: Int = 3): DataFrame =
+    projectionByLabelFrom(emb, topDirection(emb, dim, iters))
+
+  /** Same, from an already-trained direction. */
+  def projectionByLabelFrom(emb: DataFrame, v: Array[Double]): DataFrame = {
     val vCol = array(v.toIndexedSeq.map(lit): _*)
     emb.select(col("label"),
       round(Similarity.dot(col("embedding").cast("array<double>"), vCol), 9)
