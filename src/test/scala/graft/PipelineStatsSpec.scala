@@ -184,6 +184,25 @@ class PipelineStatsSpec extends AnyFunSuite {
     assert(r(1).getAs[Double]("relative_load") === 1.0 * 16 / 3)
   }
 
+  test("order-free operators are bit-identical under any partitioning") {
+    // the claims these operators make (exact integer/DECIMAL sums,
+    // integer-grid quantization, sequential-fold dots) all reduce to:
+    // the same rows come out whatever the partitioning is — proven here
+    // by 1-partition vs 7-partition equality on collected values
+    val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq.toIndexedSeq).sortBy(_.mkString("|")).toSeq
+    assert(rows(TextAnalytics.temperatureMixture(docs.repartition(1))) ===
+      rows(TextAnalytics.temperatureMixture(docs.repartition(7))))
+    assert(rows(TextAnalytics.shardReport(docs.repartition(1))) ===
+      rows(TextAnalytics.shardReport(docs.repartition(7))))
+    assert(graft.functions.Pca.topDirection(emb.repartition(1)).toSeq ===
+      graft.functions.Pca.topDirection(emb.repartition(7)).toSeq)
+    assert(rows(graft.functions.Pca.projectionByLabel(emb.repartition(1))) ===
+      rows(graft.functions.Pca.projectionByLabel(emb.repartition(7))))
+  }
+
   test("power iteration finds the dominant direction") {
     import graft.functions.Pca
     // corpus dominated by +/- e0 (sign-mixed so it is not the mean),
