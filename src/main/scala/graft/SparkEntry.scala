@@ -70,14 +70,19 @@ object SparkEntry {
     cosineMemo.getOrElseUpdate((s, dir),
       Similarity.cosineNearDups(emb(s, dir), threshold = 0.4).persist())
 
-  /** The power-iteration direction feeds q_pca_component and
-    * q_pca_projection — train once per (session, dir) (64 doubles of
-    * driver state, the IVF centroid contract). */
+  /** The deflated power-iteration direction stack feeds three queries —
+    * train once per (session, dir) (2 x 64 doubles of driver state, the
+    * IVF centroid contract). Component 1 of the stack IS topDirection
+    * (deflation only affects later components). */
   private val pcaMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Array[Double]]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[Array[Double]]]
+
+  private def pcaDirections(s: SparkSession, dir: String): Seq[Array[Double]] =
+    pcaMemo.getOrElseUpdate((s, dir),
+      functions.Pca.topDirections(emb(s, dir), nComponents = 2))
 
   private def pcaDirection(s: SparkSession, dir: String): Array[Double] =
-    pcaMemo.getOrElseUpdate((s, dir), functions.Pca.topDirection(emb(s, dir)))
+    pcaDirections(s, dir).head
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topics_stats" -> ((s, dir) =>
@@ -249,6 +254,9 @@ object SparkEntry {
     "q_pca_projection" -> ((s, dir) =>
       functions.Pca.projectionByLabelFrom(emb(s, dir), pcaDirection(s, dir))
         .orderBy(col("label"))),
+    "q_pca_deflation" -> ((s, dir) =>
+      functions.Pca.componentStack(emb(s, dir), pcaDirections(s, dir))
+        .orderBy(col("component"), col("dim"))),
     "q_knn_ivf" -> ((s, dir) =>
       functions.Ivf.knnIvf(emb(s, dir)).orderBy(col("query_id"), col("rank"))),
     "q_cosine_neardups" -> ((s, dir) =>

@@ -28,8 +28,31 @@ object Pca {
 
   /** The direction after `iters` power iterations from the fixed
     * deterministic start v0 = (1/sqrt(dim), ...). */
-  def topDirection(emb: DataFrame, dim: Int = 64, iters: Int = 3): Array[Double] = {
-    val base = emb.select(col("embedding").cast("array<double>").as("v"))
+  def topDirection(emb: DataFrame, dim: Int = 64, iters: Int = 3): Array[Double] =
+    topDirections(emb, nComponents = 1, dim, iters).head
+
+  /** The first `nComponents` principal directions via deflation: after
+    * each component, every vector sheds its projection onto it
+    * (x' = x - (x·v) v — a row-local zip against the direction literal)
+    * and the power iteration reruns on the residuals. Same exactness
+    * contract per component; the oracle unrolls both levels
+    * (OracleSqlExt q_pca_deflation). */
+  def topDirections(emb: DataFrame, nComponents: Int = 2, dim: Int = 64,
+                    iters: Int = 3): Seq[Array[Double]] = {
+    var cur = emb.select(col("embedding").cast("array<double>").as("v"))
+    val out = Seq.newBuilder[Array[Double]]
+    for (_ <- 1 to nComponents) {
+      val v = powerIterate(cur, dim, iters)
+      out += v
+      val vCol = array(v.toIndexedSeq.map(lit): _*)
+      cur = cur.select(col("v"), Similarity.dot(col("v"), vCol).as("s"))
+        .select(zip_with(col("v"), vCol, (x, c) => x - col("s") * c).as("v"))
+    }
+    out.result()
+  }
+
+  private def powerIterate(vectors: DataFrame, dim: Int, iters: Int): Array[Double] = {
+    val base = vectors
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
@@ -50,6 +73,17 @@ object Pca {
       }
       v
     } finally { base.unpersist(); () }
+  }
+
+  /** (component, dim, loading) rows for the deflated direction stack. */
+  def componentStack(emb: DataFrame, dirs: Seq[Array[Double]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    dirs.zipWithIndex.flatMap { case (v, c) =>
+      v.zipWithIndex.map { case (x, i) => (c.toLong + 1, i.toLong, x) }
+    }.toDF("component", "dim", "loading")
+      .select(col("component"), col("dim"),
+        round(col("loading"), 9).as("loading"))
   }
 
   /** (dim, loading) rows of the final direction; loadings go through

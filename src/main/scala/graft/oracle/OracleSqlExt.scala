@@ -69,22 +69,25 @@ object OracleSqlExt {
     * s = v·dir, per-dimension contributions floor-quantized to the
     * 2^-20 grid summed as exact BIGINTs, then the left-to-right
     * list_dot_product normalization. v0 = 1/sqrt(64) = 0.125 exact. */
-  private val pcaCtes: String = {
+  /** Three unrolled power iterations over source CTE `src`, CTE names
+    * prefixed with `p` (final direction: `${p}n3`). */
+  private def pcaIters(p: String, src: String): String = {
     def iter(t: Int, prev: String): String = s"""
-s$t AS (SELECT v, list_dot_product(v, (SELECT vl FROM $prev)) AS s FROM e),
-c$t AS (SELECT t.pos,
-          CAST(sum(CAST(floor(s$t.v[t.pos] * s$t.s * 1048576.0) AS BIGINT)) AS DOUBLE)
+${p}s$t AS (SELECT v, list_dot_product(v, (SELECT vl FROM $prev)) AS s FROM $src),
+${p}c$t AS (SELECT t.pos,
+          CAST(sum(CAST(floor(${p}s$t.v[t.pos] * ${p}s$t.s * 1048576.0) AS BIGINT)) AS DOUBLE)
             / 1048576.0 AS w
-        FROM s$t, unnest(range(1, 65)) AS t(pos) GROUP BY t.pos),
-w$t AS (SELECT list(w ORDER BY pos) AS wl FROM c$t),
-n$t AS (SELECT list_transform(wl, x -> x / sqrt(list_dot_product(wl, wl))) AS vl
-        FROM w$t)"""
+        FROM ${p}s$t, unnest(range(1, 65)) AS t(pos) GROUP BY t.pos),
+${p}w$t AS (SELECT list(w ORDER BY pos) AS wl FROM ${p}c$t),
+${p}n$t AS (SELECT list_transform(wl, x -> x / sqrt(list_dot_product(wl, wl))) AS vl
+        FROM ${p}w$t)"""
+    s"${iter(1, "v0")},\n${iter(2, s"${p}n1")},\n${iter(3, s"${p}n2")}"
+  }
+
+  private val pcaCtes: String =
     s"""e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 v0 AS (SELECT list_transform(range(0, 64), i -> 0.125) AS vl),
-${iter(1, "v0")},
-${iter(2, "n1")},
-${iter(3, "n2")}"""
-  }
+${pcaIters("", "e")}"""
 
   private val lshBucketsCte = {
     import graft.functions.Similarity.NumTables
@@ -202,6 +205,25 @@ SELECT label, count(*) AS n_vecs,
        quantile_cont(proj, 0.5) AS median_proj,
        quantile_cont(proj, 0.75) AS p75_proj
 FROM p GROUP BY 1 ORDER BY label""",
+
+    // mirror of functions.Pca.topDirections(2) via deflation: after the
+    // first unrolled power iteration, every vector sheds its projection
+    // onto n3 (x' = x - (x·v) v, elementwise) and the iterations rerun
+    // on the residuals with the "b" prefix
+    "q_pca_deflation" -> s"""
+WITH $pcaCtes,
+d1 AS (SELECT v, list_dot_product(v, n3.vl) AS s, n3.vl AS pv
+       FROM e CROSS JOIN n3),
+e2 AS (SELECT list_transform(range(1, 65), i -> v[i] - s * pv[i]) AS v
+       FROM d1),
+${pcaIters("b", "e2")}
+SELECT CAST(1 AS BIGINT) AS component, CAST(t.pos - 1 AS BIGINT) AS dim,
+       round(n3.vl[t.pos], 9) AS loading
+FROM n3, unnest(range(1, 65)) AS t(pos)
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(t.pos - 1 AS BIGINT), round(bn3.vl[t.pos], 9)
+FROM bn3, unnest(range(1, 65)) AS t(pos)
+ORDER BY component, dim""",
 
     // mirror of Similarity.knnLshMultiProbe: qb expands each query key
     // with the Hamming-distance-1 probes (xor with one bit, plus 0)

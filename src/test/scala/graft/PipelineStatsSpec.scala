@@ -219,6 +219,19 @@ class PipelineStatsSpec extends AnyFunSuite {
     assert(math.abs(norm - 1.0) < 1e-9)
   }
 
+  test("deflated components are near-orthogonal unit vectors") {
+    import graft.functions.Pca
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val Seq(v1, v2) = Pca.topDirections(emb, nComponents = 2)
+    def norm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(norm(v1) - 1.0) < 1e-9)
+    assert(math.abs(norm(v2) - 1.0) < 1e-9)
+    val dot = v1.zip(v2).map { case (a, b) => a * b }.sum
+    // exact orthogonality is only reached at convergence; 3 iterations
+    // on random data gets within a few degrees
+    assert(math.abs(dot) < 0.1, s"v1·v2 = $dot")
+  }
+
   test("corpus-assembly invariants hold on the fixture corpus") {
     val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
     val total = docs.count()
