@@ -372,6 +372,7 @@ object SparkEntry {
     jaccardPairs03(s, dir).count()
     dedupClusters03(s, dir).count()
     cosinePairs04(s, dir).count()
+    pcaDirections(s, dir)
   }
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
