@@ -215,6 +215,9 @@ object SparkEntry {
     "q_cross_source_dups" -> ((s, dir) =>
       Dedup.crossSourceDups(docs(s, dir), jaccardPairs03(s, dir))
         .orderBy(col("source_a"), col("source_b"))),
+    "q_winnow_pairs" -> ((s, dir) =>
+      functions.Dedup.winnowPairs(docs(s, dir))
+        .orderBy(col("doc_a"), col("doc_b"))),
     "q_jaccard_pairs" -> ((s, dir) =>
       jaccardPairs03(s, dir)
         .orderBy(col("doc_a"), col("doc_b"))),

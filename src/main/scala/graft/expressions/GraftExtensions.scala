@@ -23,6 +23,7 @@ object GraftExtensions {
     "polyhash" -> (children => PolyHash(children.head)),
     "dot_product" -> (children => DotProduct(children(0), children(1))),
     "min_hash_sig" -> (children => MinHashSig(children.head)),
+    "winnow_sig" -> (children => WinnowSig(children.head)),
     "sim_hash_sig" -> (children => SimHashSig(children.head)),
     "array_max_abs" -> (children => ArrayMaxAbs(children.head)),
     "quantize_max_err" -> (children => QuantizeMaxErr(children.head)))

@@ -121,6 +121,76 @@ object Dedup {
     * comparable. At scale the shingle join shuffles on the shingle hash
     * (well distributed after the hot-key cap).
     */
+  /** Winnowing fingerprints (the MOSS selection scheme): the distinct
+    * per-window minima of the k-gram hash sequence. GUARANTEE: any
+    * shared substring of length >= w + k - 1 shares at least one
+    * fingerprint, while the selected set carries ~2/(w+1) of the full
+    * shingle volume — the index-size/recall trade the full shingle
+    * inverted index (jaccardPairs) cannot make. Entirely row-local;
+    * BIGINT polyhashes mirror exactly in the oracle. */
+
+  /** Positional k-gram polyhash sequence (NOT distinct-ed — winnowing
+    * is positional). */
+  def shingleHashes(text: Column, k: Int = 5): Column =
+    when(length(text) >= k,
+      transform(sequence(lit(1), length(text) - (k - 1)),
+        i => graft.expressions.PolyHash.polyhash(text.substr(i, lit(k)))))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** Distinct per-window-of-w minima over an ALREADY-MATERIALIZED hash
+    * column. The two stages must be separate projections: a lambda
+    * re-evaluates nested expressions per element, so an unmaterialized
+    * `hs` inside `slice` recomputes the whole O(len) hash sequence for
+    * every window — O(len^2) polyhashes per document (measured: 68 s at
+    * sf0.001 fused vs ~2 s staged). Bound to a column it is evaluated
+    * once per row. */
+  def winnowMinima(hs: Column, w: Int = 8): Column =
+    array_distinct(when(size(hs) >= w,
+      transform(sequence(lit(1), size(hs) - (w - 1)),
+        j => array_min(slice(hs, j, lit(w)))))
+      .otherwise(array().cast("array<bigint>")))
+
+  /** (doc_id, fps) winnowed fingerprint sets — the WinnowSig native
+    * kernel (O(len) deque; the HOF pair above is its cross-check
+    * reference, see WinnowSig's scaladoc for why the kernel exists). */
+  def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 8): DataFrame =
+    docs.select(col("doc_id"),
+      graft.expressions.WinnowSig.winnow_sig(col("text"), k, w).as("fps"))
+
+  /** Near-dup pairs by winnowed-fingerprint jaccard: the jaccardPairs
+    * shape (capped inverted index, in-task pair explosion, similarity
+    * threshold) over the winnowed SAMPLE of the shingle space instead
+    * of the full shingle stream — the index-volume trade that keeps the
+    * exact-overlap path viable at corpus scales where the full index is
+    * not. Window minima concentrate on globally-common low-hash
+    * shingles, so the df cap is tighter than the full index's (those
+    * fingerprints are stopword-like and carry no pair signal). */
+  def winnowPairs(docs: DataFrame, k: Int = 5, w: Int = 8,
+                  maxDocFreq: Int = 50, threshold: Double = 0.3): DataFrame = {
+    val fps = winnowFingerprints(docs, k, w)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    val index = fps.groupBy(col("fp")).agg(collect_set(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) <= maxDocFreq)
+      .select(col("ids"))
+    val sizes = index.select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val shared = index
+      .select(explode(expr(
+        "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a AS doc_a, b AS doc_b)))), p -> p.doc_a < p.doc_b)"))
+        .as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_fp", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_fp", "n_b"), "doc_b")
+      .withColumn("sim",
+        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("sim") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"),
+        col("sim"))
+  }
+
   def jaccardPairs(docs: DataFrame, n: Int = 5, maxDocFreq: Int = 100,
                    threshold: Double = 0.5): DataFrame = {
     // Inverted index: at true corpus scale this index would be

@@ -245,6 +245,43 @@ r AS (SELECT query_id, vec_id AS neighbor_id, score,
 SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", score
 FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"""",
 
+    // mirror of Dedup.winnowPairs: positional 5-gram polyhash sequence
+    // (NOT distinct-ed — winnowing is positional), per-window-of-4
+    // minima distinct-ed per doc, capped inverted index, pairs with
+    // >= 2 shared fingerprints
+    "q_winnow_pairs" -> """
+WITH sg AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(text) - 4, 0) + 1),
+           i -> text[i:i+4]) AS sgl
+  FROM documents),
+hs AS (
+  SELECT doc_id,
+         list_transform(sgl, s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(s) + 1),
+             i -> CAST(ascii(s[i:i]) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
+  FROM sg),
+fpt AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(hs) >= 8
+             THEN list_transform(range(1, len(hs) - 6),
+                    j -> list_min(hs[j:j+7]))
+             ELSE [] END)) AS fp
+  FROM hs),
+rare AS (SELECT fp FROM fpt GROUP BY 1 HAVING count(*) <= 50),
+fpr AS (SELECT f.doc_id, f.fp FROM fpt f JOIN rare USING (fp)),
+sizes AS (SELECT doc_id, count(*) AS n_fp FROM fpr GROUP BY 1),
+shrd AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM fpr a JOIN fpr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, shared, sa.n_fp AS n_a, sb.n_fp AS n_b,
+       CAST(shared AS DOUBLE) / (sa.n_fp + sb.n_fp - shared) AS sim
+FROM shrd JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(shared AS DOUBLE) / (sa.n_fp + sb.n_fp - shared) >= 0.3
+ORDER BY doc_a, doc_b""",
+
     "q_minhash_pairs" -> s"""
 WITH sh AS (
   SELECT doc_id,

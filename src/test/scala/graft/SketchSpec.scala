@@ -66,6 +66,32 @@ class SketchSpec extends AnyFunSuite {
     sample.unpersist()
   }
 
+  test("WinnowSig kernel equals the compositional HOF form") {
+    val sample = docs.limit(50)
+    // the HOF pair is the readable reference; the kernel is the O(len)
+    // production path (CollapseProject makes the fused HOF O(len^2))
+    val viaHof = sample
+      .select($"doc_id", Dedup.shingleHashes($"text").as("hs"))
+      // hide hs behind a shuffle boundary so CollapseProject cannot
+      // inline it into the winnow lambda (correct but O(len^2))
+      .repartition(2).localCheckpoint()
+      .select($"doc_id", Dedup.winnowMinima($"hs", 8).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaKernel = Dedup.winnowFingerprints(sample)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaKernel.keySet === viaHof.keySet)
+    viaKernel.foreach { case (id, fps) =>
+      assert(fps.toSet === viaHof(id).toSet, s"fingerprint mismatch for doc $id")
+    }
+    // guarantee: any shared substring of length >= w + k - 1 (= 12)
+    // shares a fingerprint — two docs sharing a 40-char passage overlap
+    val passage = "zq zq common stolen passage zq zq xx yy"
+    val d = Seq((1L, s"aaa bbb $passage ccc"), (2L, s"ddd eee fff $passage ggg"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(d).as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty)
+  }
+
   test("simhash of identical token multisets is identical") {
     val d = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "totally different words here")).toDF("doc_id", "text")
