@@ -84,6 +84,15 @@ object SparkEntry {
   private def pcaDirection(s: SparkSession, dir: String): Array[Double] =
     pcaDirections(s, dir).head
 
+  /** IVF centroids feed q_knn_ivf and q_embedding_clusters — train the
+    * index once per (session, dir) (16 x 64 doubles of driver state, the
+    * same contract as the PCA direction stack). */
+  private val ivfMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[(Int, Array[Double])]]
+
+  private def ivfCentroids(s: SparkSession, dir: String): Seq[(Int, Array[Double])] =
+    ivfMemo.getOrElseUpdate((s, dir), functions.Ivf.trainCentroids(emb(s, dir)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topics_stats" -> ((s, dir) =>
       topicsDf(s, dir).orderBy(col("name"))),
@@ -261,7 +270,11 @@ object SparkEntry {
       functions.Pca.componentStack(emb(s, dir), pcaDirections(s, dir))
         .orderBy(col("component"), col("dim"))),
     "q_knn_ivf" -> ((s, dir) =>
-      functions.Ivf.knnIvf(emb(s, dir)).orderBy(col("query_id"), col("rank"))),
+      functions.Ivf.knnIvfWith(emb(s, dir), ivfCentroids(s, dir))
+        .orderBy(col("query_id"), col("rank"))),
+    "q_embedding_clusters" -> ((s, dir) =>
+      functions.Ivf.clusterSummary(emb(s, dir), ivfCentroids(s, dir))
+        .orderBy(col("cid"))),
     "q_cosine_neardups" -> ((s, dir) =>
       cosinePairs04(s, dir).orderBy(col("vec_a"), col("vec_b"))),
 
@@ -305,6 +318,14 @@ object SparkEntry {
         .orderBy(col("vec_id"))),
     "q_repetition" -> ((s, dir) =>
       TextAnalytics.repetitionStats(docs(s, dir)).orderBy(col("doc_id"))),
+    // rational perplexity surrogate (see rarityScores scaladoc) — per-doc
+    // mean smoothed inverse unigram probability, integer-grid order-free
+    "q_rarity" -> ((s, dir) =>
+      TextAnalytics.rarityScores(docs(s, dir)).orderBy(col("doc_id"))),
+    "q_source_divergence" -> ((s, dir) =>
+      TextAnalytics.sourceDivergence(docs(s, dir)).orderBy(col("source"))),
+    "q_dup_ngram_coverage" -> ((s, dir) =>
+      TextAnalytics.dupNgramCoverage(docs(s, dir)).orderBy(col("doc_id"))),
     "q_tfidf_terms" -> ((s, dir) =>
       TextAnalytics.tfidfTerms(docs(s, dir)).orderBy(col("lang"), col("rnk"))),
     "q_embedding_stats" -> ((s, dir) =>
@@ -376,6 +397,7 @@ object SparkEntry {
     dedupClusters03(s, dir).count()
     cosinePairs04(s, dir).count()
     pcaDirections(s, dir)
+    ivfCentroids(s, dir)
   }
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =

@@ -92,11 +92,68 @@ object Ivf {
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
   }
 
+  /** Grid for the order-free mean distance in clusterSummary: per-row
+    * cosine distances are bit-identical doubles (the knn-proven dot
+    * product shape), floored onto this grid and summed as exact BIGINT. */
+  val DistQuantScale = 1073741824.0 // 2^30
+
+  /** K-means cluster summary over the embedding corpus — the corpus-
+    * structure report (how many latent groups, how tight, how balanced)
+    * a curation pipeline reads before choosing mixture weights or
+    * pruning a modality. Reuses the IVF centroid training (pass the
+    * memoized centroids), so the index build is shared with the ANN
+    * path.
+    *
+    * Columns: cluster size, share of corpus, mean cosine distance to the
+    * centroid (order-free via the 2^-30 grid — a double avg() would
+    * depend on partition order), and the exact min/max similarity
+    * (min/max over bit-identical doubles are order-free as-is).
+    *
+    * Shape at 100 TB: assignment is a row-local argmin against the
+    * broadcast k x dim centroid table fused into the scan; ONE hash
+    * aggregation keyed by centroid id. */
+  def clusterSummary(emb: DataFrame, centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    if (centroids.isEmpty)
+      return emb.limit(0).select(col("vec_id").cast("int").as("cid"),
+        col("vec_id").as("vectors"), lit(0.0).as("corpus_frac"),
+        lit(0.0).as("mean_dist"), lit(0.0).as("min_score"), lit(0.0).as("max_score"))
+    val assigned = {
+      val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        Similarity.l2Norm(col("embedding")).as("nrm"))
+      val scored = centroids.map { case (cid, c) =>
+        val cNorm = math.sqrt(c.map(x => x * x).sum)
+        struct((dot(col("v"), array(c.toIndexedSeq.map(lit): _*)) / (col("nrm") * lit(cNorm)))
+          .as("score"), lit(cid).as("cid"))
+      }
+      base.withColumn("best", array_max(array(scored: _*)))
+        .select(col("vec_id"), col("best.cid").as("cid"),
+          round(col("best.score"), 9).as("score"))
+    }
+    val per = assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("vectors"),
+        (sum(floor((lit(1.0) - col("score")) * lit(DistQuantScale)).cast("long"))
+          .cast("double") / (lit(DistQuantScale) * count(lit(1)).cast("double")))
+          .as("mean_dist"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"))
+    val tot = per.agg(sum(col("vectors")).as("n"))
+    per.crossJoin(broadcast(tot)) // one row
+      .select(col("cid"), col("vectors"),
+        (col("vectors").cast("double") / col("n").cast("double")).as("corpus_frac"),
+        col("mean_dist"), col("min_score"), col("max_score"))
+  }
+
   /** IVF top-k: probe the nprobe nearest centroids per query, exact cosine
     * re-rank within the probed lists. */
   def knnIvf(emb: DataFrame, k: Int = 10, nQueries: Int = 10,
-             nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
-    val centroids = trainCentroids(emb, nCentroids)
+             nCentroids: Int = 16, nprobe: Int = 4): DataFrame =
+    knnIvfWith(emb, trainCentroids(emb, nCentroids), k, nQueries, nprobe)
+
+  /** knnIvf against pre-trained centroids — the deployment shape (the
+    * index is trained once and shared across query sessions and with
+    * clusterSummary). */
+  def knnIvfWith(emb: DataFrame, centroids: Seq[(Int, Array[Double])],
+                 k: Int = 10, nQueries: Int = 10, nprobe: Int = 4): DataFrame = {
     if (centroids.isEmpty) // empty table: empty result, correct schema
       return emb.limit(0).select(col("vec_id").as("query_id"),
         col("vec_id").as("neighbor_id"), col("vec_id").as("rank"),

@@ -436,6 +436,124 @@ object TextAnalytics {
           .as("relative_load"))
   }
 
+  /** Integer grid for order-free rarity sums: per-token values are exact
+    * BIGINT quotients on this scale, so their per-document sum is
+    * partition-order independent (the same trick as IVF's 2^-20 mean
+    * grid). 2^40 keeps three-digit token counts at ~7 significant
+    * figures. */
+  val RarityScale: Long = 1L << 40
+
+  /** Unigram rarity score — the parity-safe surrogate for LM perplexity
+    * (CCNet-style quality signals score documents by how surprising
+    * their tokens are under a corpus LM). Perplexity itself needs ln();
+    * like tfidfTerms' rational idf, the rarity score stays RATIONAL:
+    *
+    *   rarity(doc) = mean over tokens of (N + V) / (c(t) + 1)
+    *
+    * — the add-one-smoothed inverse unigram probability. 1 for a corpus
+    * of one repeated token; large when the document leans on rare
+    * tokens. Monotone per-token with -ln p, heavy-tail-sensitive in the
+    * mean (documented; the RANKING use — flag outlier docs — is the
+    * product).
+    *
+    * Order-free numerics: each token's quotient is floored onto the
+    * RarityScale integer grid (exact BIGINT division), summed as BIGINT,
+    * and converted to double ONCE at the end — bit-identical on any
+    * partitioning and in the oracle.
+    *
+    * Shape at 100 TB: one token-frequency aggregation (map-side partial
+    * combine), one join of the exploded corpus against the vocab-sized
+    * frequency table (AQE broadcasts it when small; shuffle-hash
+    * otherwise — no hint), one per-doc aggregation. */
+  def rarityScores(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val tot = tf.agg(sum(col("c")).as("n_total"),
+      count(lit(1)).as("vocab"))
+    val grid = tf.select(col("token"),
+      expr(s"$RarityScale div (c + 1)").as("g"))
+    toks.join(grid, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("g")).as("gsum"))
+      .crossJoin(broadcast(tot)) // one row — fixed-size by construction
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("gsum").cast("double") / col("n_tokens"))
+          * (col("n_total") + col("vocab")).cast("double")
+          / lit(RarityScale.toDouble)).as("rarity"))
+  }
+
+  /** Grid for the divergence terms: per-token chi-square contributions
+    * are O(1/N) doubles; 2^40 keeps ~12 significant digits on them. */
+  val DivergenceScale: Double = RarityScale.toDouble
+
+  /** Per-source token-distribution divergence from the corpus — the
+    * domain-drift detector a curation pipeline runs to spot feeds whose
+    * language shifted (scraper broke, spam flood, wrong-language batch).
+    *
+    * Chi-square divergence over the source's observed vocabulary:
+    *
+    *   chi2(s) = sum over tokens t in s of
+    *             (c_s(t)/N_s - c(t)/N)^2 / (c(t)/N)
+    *
+    * RATIONAL by construction (no logs — the KL form would fork from
+    * the oracle on libm), restricted to the source's own support (the
+    * observed-support chi-square; absent tokens contribute their p_c
+    * mass, a constant shift shared by near-complete supports, and the
+    * RANKING of drifting sources is the product).
+    *
+    * Order-free: each token's term is a deterministic IEEE expression
+    * over integer-derived doubles (bit-identical across engines),
+    * floor-quantized to the 2^40 grid, summed as exact BIGINT.
+    *
+    * Shape at 100 TB: two hash aggregations over the exploded corpus
+    * (per-source-token, then per-token via a second partial agg on the
+    * SAME shuffled data), a vocab-sized join, one per-source rollup. */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("source"), explode(tokens(col("text"))).as("token"))
+    val bySrc = toks.groupBy(col("source"), col("token")).agg(count(lit(1)).as("cs"))
+    val corpus = bySrc.groupBy(col("token")).agg(sum(col("cs")).as("c"))
+    val nSrc = bySrc.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
+    val nTot = corpus.agg(sum(col("c")).as("n"))
+    val term = {
+      val ps = col("cs").cast("double") / col("ns").cast("double")
+      val pc = col("c").cast("double") / col("n").cast("double")
+      (ps - pc) * (ps - pc) / pc
+    }
+    bySrc.join(corpus, "token")
+      .join(broadcast(nSrc), "source") // source-cardinality dimension
+      .crossJoin(broadcast(nTot))      // one row
+      .select(col("source"), col("ns"),
+        floor(term * lit(DivergenceScale)).cast("long").as("gterm"))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        (sum(col("gterm")).cast("double") / lit(DivergenceScale)).as("chi2"))
+  }
+
+  /** Duplicated-n-gram coverage (RefinedWeb-style repetition signal at
+    * the CROSS-document granularity): per document, the fraction of its
+    * distinct overlapping token n-grams that occur in at least one other
+    * document. Complements chunkDedup (non-overlapping windows catch
+    * copied blocks; overlapping n-grams catch shifted/partial copies)
+    * and repetitionStats (within-document repeats only).
+    *
+    * Shape at 100 TB: array_distinct dedups map-side before the explode
+    * (one row per distinct (doc, ngram)), the document-frequency count
+    * is one hash aggregation, and the join back is on the same key —
+    * two shuffles, no row carries more than one n-gram. */
+  def dupNgramCoverage(docs: DataFrame, n: Int = 5): DataFrame = {
+    val ng = docs.select(col("doc_id"),
+      explode(array_distinct(tokenNgrams(tokens(col("text")), n))).as("ngram"))
+    val dfreq = ng.groupBy(col("ngram")).agg(count(lit(1)).as("df"))
+    ng.join(dfreq, "ngram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("dup_ngrams"))
+      .select(col("doc_id"), col("n_ngrams"), col("dup_ngrams"),
+        (col("dup_ngrams").cast("double") / col("n_ngrams"))
+          .as("dup_ngram_frac"))
+  }
+
   /** Per-source curation rollup: document counts and ORDER-FREE quality
     * statistics (exact percentiles, not avg — a double mean depends on
     * partition order) — the view that decides which feeds to keep,

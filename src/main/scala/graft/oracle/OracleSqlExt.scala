@@ -102,19 +102,30 @@ ${pcaIters("", "e")}"""
     * k-means oracle-checkable at all), then probe + exact re-rank.
     * Tie-breaks mirror the engine's struct array_max / sorted-slice:
     * score DESC, cid DESC. */
-  private val ivfOracle: String = {
-    import graft.functions.Ivf.MeanQuantScale
-    val k = 16; val iters = 3; val nprobe = 4; val nq = 10; val topk = 10
-    def cosine(v: String, nrm: String, cv: String) =
-      s"list_dot_product($v, $cv) / ($nrm * sqrt(list_dot_product($cv, $cv)))"
-    def argTop(src: String, pred: String, keep: Int) =
-      s"""(SELECT vec_id, vq, cid FROM (
+  private val IvfIters = 3
+
+  private def ivfCosine(v: String, nrm: String, cv: String) =
+    s"list_dot_product($v, $cv) / ($nrm * sqrt(list_dot_product($cv, $cv)))"
+
+  private def ivfArgTop(src: String, pred: String, keep: Int) =
+    s"""(SELECT vec_id, vq, cid FROM (
     SELECT q.vec_id, q.vq, c.cid,
            row_number() OVER (PARTITION BY q.vec_id
-             ORDER BY ${cosine("q.v", "q.nrm", "c.cv")} DESC, c.cid DESC) AS rn
+             ORDER BY ${ivfCosine("q.v", "q.nrm", "c.cv")} DESC, c.cid DESC) AS rn
     FROM q CROSS JOIN $src c$pred) WHERE rn <= $keep)"""
-    val iterCtes = (1 to iters).map { t =>
-      s"""a$t AS ${argTop(s"c${t - 1}", "", 1)},
+
+  /** Shared IVF training mirror (graft.functions.Ivf.trainCentroids):
+    * deterministic seeds (first k by vec_id), three unrolled Lloyd
+    * iterations with the 2^-20-grid integer mean (the order-free trick
+    * that makes iterative k-means oracle-checkable at all). Emits CTEs
+    * e/n/q/c0..c3; the final centroid table is `c$IvfIters`. Shared by
+    * q_knn_ivf and q_embedding_clusters exactly like the engine shares
+    * the memoized centroid training between them. */
+  private val ivfTrainingCtes: String = {
+    import graft.functions.Ivf.MeanQuantScale
+    val k = 16
+    val iterCtes = (1 to IvfIters).map { t =>
+      s"""a$t AS ${ivfArgTop(s"c${t - 1}", "", 1)},
 m$t AS (
   SELECT cid, list(m ORDER BY pos) AS mv FROM (
     SELECT cid, pos,
@@ -124,8 +135,7 @@ m$t AS (
 c$t AS (SELECT p.cid, COALESCE(m.mv, p.cv) AS cv
         FROM c${t - 1} p LEFT JOIN m$t m USING (cid))"""
     }.mkString(",\n")
-    s"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 n AS (SELECT vec_id, v, nrm,
         list_transform(v, x -> CAST(floor(x * $MeanQuantScale) AS BIGINT)) AS vq
       FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)),
@@ -133,10 +143,16 @@ q AS (SELECT vec_id, v, nrm, vq FROM n),
 c0 AS (SELECT cid, cv FROM (
          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv FROM n)
        WHERE cid < $k),
-$iterCtes,
-lists AS ${argTop(s"c$iters", "", 1)},
+$iterCtes"""
+  }
+
+  private val ivfOracle: String = {
+    val nprobe = 4; val nq = 10; val topk = 10
+    s"""
+WITH $ivfTrainingCtes,
+lists AS ${ivfArgTop(s"c$IvfIters", "", 1)},
 probes AS (SELECT vec_id AS query_id, cid
-           FROM ${argTop(s"c$iters", s" WHERE q.vec_id < $nq", nprobe)}),
+           FROM ${ivfArgTop(s"c$IvfIters", s" WHERE q.vec_id < $nq", nprobe)}),
 cand AS (
   SELECT p.query_id, l.vec_id,
          round(list_dot_product(qn.v, xn.v) / (qn.nrm * xn.nrm), 9) AS score
@@ -150,8 +166,35 @@ SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", score
 FROM r WHERE rnk <= $topk ORDER BY query_id, "rank""""
   }
 
+  /** Mirror of graft.functions.Ivf.clusterSummary: assignment by the
+    * same argmax tie-break (score DESC, cid DESC), per-cluster mean
+    * distance on the 2^-30 integer grid (order-free), min/max over the
+    * bit-identical rounded scores. */
+  private val embeddingClustersOracle: String = {
+    import graft.functions.Ivf.DistQuantScale
+    val cos = ivfCosine("q.v", "q.nrm", "c.cv")
+    s"""
+WITH $ivfTrainingCtes,
+assigned AS (SELECT vec_id, cid, round(score, 9) AS score FROM (
+    SELECT q.vec_id, c.cid, $cos AS score,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY $cos DESC, c.cid DESC) AS rn
+    FROM q CROSS JOIN c$IvfIters c) WHERE rn = 1),
+per AS (SELECT cid, count(*) AS vectors,
+          CAST(sum(CAST(floor((1.0 - score) * $DistQuantScale) AS BIGINT)) AS DOUBLE)
+            / ($DistQuantScale * CAST(count(*) AS DOUBLE)) AS mean_dist,
+          min(score) AS min_score, max(score) AS max_score
+        FROM assigned GROUP BY 1),
+tot AS (SELECT CAST(sum(vectors) AS BIGINT) AS n FROM per)
+SELECT CAST(cid AS INTEGER) AS cid, vectors,
+  CAST(vectors AS DOUBLE) / CAST(n AS DOUBLE) AS corpus_frac,
+  mean_dist, min_score, max_score
+FROM per CROSS JOIN tot ORDER BY cid"""
+  }
+
   val queries: Map[String, String] = Map(
     "q_knn_ivf" -> ivfOracle,
+    "q_embedding_clusters" -> embeddingClustersOracle,
     "q_cosine_neardups" -> s"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
@@ -632,6 +675,58 @@ SELECT doc_id, n_bigrams, distinct_bigrams,
   (1.0 - CAST(distinct_bigrams AS DOUBLE) / n_bigrams) <= 0.5
     AND (CAST(top_cnt AS DOUBLE) / n_bigrams) <= 0.1 AS passes_repetition
 FROM a ORDER BY doc_id""",
+
+    // mirror of TextAnalytics.rarityScores: exact integer division onto
+    // the 2^40 grid (DuckDB // == Spark div for non-negatives), BIGINT
+    // sum, one trailing double conversion
+    "q_rarity" -> """
+WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT token, count(*) AS c FROM tk GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS vocab FROM tf),
+g AS (SELECT token, 1099511627776 // (c + 1) AS g FROM tf),
+d AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(g) AS BIGINT) AS gsum
+      FROM tk JOIN g USING (token) GROUP BY 1)
+SELECT doc_id, n_tokens,
+  (CAST(gsum AS DOUBLE) / n_tokens) * CAST(n_total + vocab AS DOUBLE)
+    / 1099511627776.0 AS rarity
+FROM d CROSS JOIN tot ORDER BY doc_id""",
+
+    // mirror of TextAnalytics.sourceDivergence: per-token chi-square
+    // terms are deterministic IEEE expressions over integer-derived
+    // doubles, floor-quantized to the 2^40 grid, summed as BIGINT
+    "q_source_divergence" -> """
+WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+bs AS (SELECT source, token, count(*) AS cs FROM tk GROUP BY 1, 2),
+corpus AS (SELECT token, CAST(sum(cs) AS BIGINT) AS c FROM bs GROUP BY 1),
+nsrc AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM bs GROUP BY 1),
+ntot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM corpus),
+t AS (SELECT source, ns,
+        CAST(floor((CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE)
+                      - CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE)
+                      - CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                   * 1099511627776.0) AS BIGINT) AS gterm
+      FROM bs JOIN corpus USING (token) JOIN nsrc USING (source) CROSS JOIN ntot)
+SELECT source, max(ns) AS n_tokens, count(*) AS vocab,
+  CAST(sum(gterm) AS DOUBLE) / 1099511627776.0 AS chi2
+FROM t GROUP BY 1 ORDER BY source""",
+
+    // mirror of TextAnalytics.dupNgramCoverage (overlapping 5-grams,
+    // distinct per document, document-frequency > 1 = duplicated)
+    "q_dup_ngram_coverage" -> """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+ng AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 5
+         THEN list_transform(range(1, len(toks) - 3),
+                i -> array_to_string(toks[i:i+4], ' '))
+         ELSE [] END)) AS ngram
+       FROM t),
+dfq AS (SELECT ngram, count(*) AS df FROM ng GROUP BY 1)
+SELECT doc_id, count(*) AS n_ngrams,
+  CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_ngrams,
+  CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+    AS dup_ngram_frac
+FROM ng JOIN dfq USING (ngram) GROUP BY 1 ORDER BY doc_id""",
 
     "q_tfidf_terms" -> """
 WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
