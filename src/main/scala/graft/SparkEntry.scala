@@ -343,7 +343,24 @@ object SparkEntry {
           functions.Multimodal.assetsFrom(docs(s, dir))))
         .orderBy(col("kind"), col("pos"))),
 
+    // fixed-memory frequency sketches: CMS heavy hitters with the
+    // exact-vs-estimate error report, and linear-counting distincts
+    "q_heavy_hitters" -> ((s, dir) =>
+      functions.CountSketch.cmsHeavyHitters(docs(s, dir)).orderBy(col("rnk"))),
+    "q_distinct_sketch" -> ((s, dir) =>
+      functions.CountSketch.distinctSketch(docs(s, dir)).orderBy(col("lang"))),
+
     // --- relational / event-time breadth ---
+    // as-of join (union + running-last window, one shuffle — see
+    // operators/AsofJoin.scala; oracle = DuckDB's native ASOF JOIN, an
+    // independent implementation of the same semantics)
+    "q_asof_clicks" -> ((s, dir) =>
+      Relational.purchaseClickAsof(Relational.eventsWithEpoch(s, dir))
+        .orderBy(col("purchase_id"))),
+    // point-in-interval range join via bucket replication (see
+    // operators/RangeJoin.scala; oracle = DuckDB's IEJoin inequality join)
+    "q_order_velocity" -> ((s, dir) =>
+      Relational.orderVelocity(tbl(s, dir, "orders")).orderBy(col("o_orderkey"))),
     "q_order_gaps" -> ((s, dir) =>
       Relational.orderGaps(tbl(s, dir, "orders")).orderBy(col("o_custkey"))),
     "q_small_qty_revenue" -> ((s, dir) =>

@@ -189,6 +189,65 @@ object Relational {
         col("total_gap_days").cast("double") / (col("orders") - lit(1L)))
   }
 
+  /** For each purchase event, the user's most recent click at-or-before
+    * the purchase — attribution's "last touch" query, an as-of join
+    * ([[AsofJoin]]). The click side is first reduced to one row per
+    * (user, ts) with the max event_id winning (the as-of contract;
+    * nanosecond ties are near-impossible but the dedup makes the result
+    * deterministic on every engine). Timestamps are BIGINT epoch MICROS
+    * (integer math end to end) — micros, not the parquet nanos, because
+    * DuckDB timestamps are micro-resolution and the oracle must order
+    * by the same clock the engine does. */
+  def purchaseClickAsof(ev: DataFrame): DataFrame = {
+    val e = ev.withColumn("tus", expr("ts div 1000"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("tus"))
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("tus"))
+      .agg(max(col("event_id")).as("click_id"),
+        max_by(col("value"), col("event_id")).as("click_value"))
+      .withColumn("click_tus", col("tus"))
+    AsofJoin.asofJoin(purchases, clicks, Seq("user_id"), "tus",
+        Seq("click_id", "click_value", "click_tus"))
+      .select(col("purchase_id"), col("user_id"), col("tus").as("p_ts"),
+        col("click_id"), col("click_value"),
+        expr("(tus - click_tus) div 1000000").as("gap_s"))
+  }
+
+  /** Order velocity: for each order, how many URGENT-priority orders —
+    * and how much money — landed in the 7 days after it. A point-in-
+    * interval self range join ([[RangeJoin]]): intervals are
+    * (day+1 .. day+7] per order, points are the urgent orders' days;
+    * bucket width 8 ≥ span, so each interval replicates to at most two
+    * buckets. Money accumulates as exact integer cents (floor(price *
+    * 100)) — BIGINT sums are order-free on any partitioning.
+    *
+    * Because both measures are ADDITIVE and the bounds are day-granular,
+    * the point side collapses to one row per day before the join (count
+    * + cents per day) — the joined row count drops from |orders| x
+    * avg-matches (~13M at sf0.1) to |orders| x 7 day-rows, and the tiny
+    * day aggregate is a natural AQE broadcast (no hint: its size is
+    * bounded by the time span, which is not ours to promise). Measured
+    * at sf0.1: 7.4 s -> sub-second, identical result. */
+  def orderVelocity(orders: DataFrame): DataFrame = {
+    val d = orders.select(col("o_orderkey"), col("o_orderpriority"),
+      expr("datediff(o_orderdate, DATE '1970-01-01')").cast("long").as("day"),
+      floor(col("o_totalprice") * lit(100)).cast("long").as("cents"))
+    val points = d.filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("d_cnt"), sum(col("cents")).as("d_cents"))
+      .select(col("day").as("pt"), col("d_cnt"), col("d_cents"))
+    val intervals = d.select(col("o_orderkey"),
+      (col("day") + lit(1L)).as("lo"), (col("day") + lit(7L)).as("hi"))
+    val hits = RangeJoin.pointInInterval(points, intervals, bucketWidth = 8L)
+      .groupBy(col("o_orderkey"))
+      .agg(sum(col("d_cnt")).as("following_urgent"), sum(col("d_cents")).as("following_cents"))
+    d.select(col("o_orderkey")).join(hits, Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"),
+        coalesce(col("following_urgent"), lit(0L)).as("following_urgent"),
+        coalesce(col("following_cents"), lit(0L)).as("following_cents"))
+  }
+
   /** Sessionization: a session break is a >30min gap per user; returns
     * per-user session/event counts and mean session length in events.
     * One window over (user, time) — a single shuffle on user_id. */

@@ -49,6 +49,32 @@ object OracleSqlExt {
       .mkString(" AND ") + ")").mkString(" OR ")
   }
 
+  /** CMS mirrors (graft.functions.CountSketch): one UNION ALL branch per
+    * sketch row, bucket = (a_i*h + b_i) mod p mod Width — constants
+    * shared with minhash (single source of truth: Sketches.UnivA/B). */
+  private val cmsCellRows = {
+    import graft.functions.Sketches.{P31, UnivA, UnivB}
+    import graft.functions.CountSketch.{Depth, Width}
+    (0 until Depth).map(i =>
+      s"SELECT cnt, ((${UnivA(i)} * h + ${UnivB(i)}) % $P31) % $Width AS bucket, $i AS row_i FROM hh")
+      .mkString(" UNION ALL ")
+  }
+
+  private val cmsProbeRows = {
+    import graft.functions.Sketches.{P31, UnivA, UnivB}
+    import graft.functions.CountSketch.{Depth, Width}
+    (0 until Depth).map(i =>
+      s"SELECT rnk, token, cnt, ((${UnivA(i)} * h + ${UnivB(i)}) % $P31) % $Width AS bucket, $i AS row_i FROM top")
+      .mkString(" UNION ALL ")
+  }
+
+  /** Linear-counter bucket of a token (row LcHashIdx of the family). */
+  private val lcBucketSql = {
+    import graft.functions.Sketches.{P31, UnivA, UnivB}
+    import graft.functions.CountSketch.{LcBuckets, LcHashIdx}
+    s"((${UnivA(LcHashIdx)} * ${polyFold(31, 1000000007L)} + ${UnivB(LcHashIdx)}) % $P31) % $LcBuckets"
+  }
+
   /** Hyperplane-LSH mirrors (graft.functions.Similarity): plane component
     * j of plane p regenerated from the same double-round affine constants;
     * bucket key = 4 sign bits per table. */
@@ -896,6 +922,61 @@ y AS (SELECT user_id,
 SELECT user_id, CAST(sum(ns) AS BIGINT) AS sessions, count(*) AS events,
        CAST(count(*) AS DOUBLE) / CAST(sum(ns) AS BIGINT) AS events_per_session
 FROM y GROUP BY 1 ORDER BY user_id""",
+
+    // mirror of Relational.purchaseClickAsof — DuckDB's native ASOF JOIN
+    // is an INDEPENDENT implementation of the same inclusive backward-
+    // join semantics the engine builds from union + running-last window
+    "q_asof_clicks" -> """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS tus, "value" AS v FROM events),
+p AS (SELECT event_id AS purchase_id, user_id, tus AS p_ts FROM e WHERE event_type = 'purchase'),
+c AS (SELECT user_id, tus AS c_ts, arg_max(event_id, event_id) AS click_id,
+             arg_max(v, event_id) AS click_value
+      FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+SELECT purchase_id, p.user_id AS user_id, p_ts, click_id, click_value,
+       (p_ts - c_ts) // 1000000 AS gap_s
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.p_ts >= c.c_ts
+ORDER BY purchase_id""",
+
+    // mirror of Relational.orderVelocity — DuckDB plans the raw
+    // inequality join (IEJoin); the engine buckets it into an equi-join
+    "q_order_velocity" -> """
+WITH d AS (SELECT o_orderkey, o_orderpriority,
+                  date_diff('day', DATE '1970-01-01', o_orderdate) AS day,
+                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+SELECT a.o_orderkey,
+       count(b.o_orderkey) AS following_urgent,
+       coalesce(CAST(sum(b.cents) AS BIGINT), 0) AS following_cents
+FROM d a LEFT JOIN d b
+  ON b.o_orderpriority = '1-URGENT' AND b.day > a.day AND b.day <= a.day + 7
+GROUP BY 1 ORDER BY a.o_orderkey""",
+
+    // mirror of CountSketch.cmsHeavyHitters (Carter-Wegman rows shared
+    // with minhash; cells rebuilt from the exact aggregate)
+    "q_heavy_hitters" -> s"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+ex AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+hh AS (SELECT token, cnt, ${polyFold(31, 1000000007L)} AS h FROM ex),
+rb AS ($cmsCellRows),
+cells AS (SELECT row_i, bucket, CAST(sum(cnt) AS BIGINT) AS cell FROM rb GROUP BY 1, 2),
+top AS (SELECT token, cnt, h,
+               CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rnk
+        FROM hh QUALIFY rnk <= 20),
+pr AS ($cmsProbeRows),
+est AS (SELECT rnk, token, cnt, min(cell) AS est
+        FROM pr JOIN cells USING (row_i, bucket) GROUP BY 1, 2, 3)
+SELECT rnk, token, cnt AS exact_cnt, est, est - cnt AS overestimate
+FROM est ORDER BY rnk""",
+
+    // mirror of CountSketch.distinctSketch (linear counting, row 4 of
+    // the same family; load factor is an exact power-of-two division)
+    "q_distinct_sketch" -> s"""
+WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+hb AS (SELECT lang, token, $lcBucketSql AS bucket FROM tok)
+SELECT lang, count(DISTINCT token) AS distinct_exact,
+       count(DISTINCT bucket) AS occupied,
+       CAST(count(DISTINCT bucket) AS DOUBLE) / ${graft.functions.CountSketch.LcBuckets}.0 AS load_factor
+FROM hb GROUP BY 1 ORDER BY lang""",
 
     // mirror of TextAnalytics.chunkDedup (non-overlapping 32-token windows)
     "q_chunk_dedup" -> """
