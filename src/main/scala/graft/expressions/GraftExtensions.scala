@@ -25,6 +25,7 @@ object GraftExtensions {
     "min_hash_sig" -> (children => MinHashSig(children.head)),
     "winnow_sig" -> (children => WinnowSig(children.head)),
     "sim_hash_sig" -> (children => SimHashSig(children.head)),
+    "ngram_hashes" -> (children => NgramHashes(children.head)),
     "array_max_abs" -> (children => ArrayMaxAbs(children.head)),
     "quantize_max_err" -> (children => QuantizeMaxErr(children.head)))
 

@@ -537,15 +537,20 @@ object TextAnalytics {
     * copied blocks; overlapping n-grams catch shifted/partial copies)
     * and repetitionStats (within-document repeats only).
     *
-    * Shape at 100 TB: array_distinct dedups map-side before the explode
-    * (one row per distinct (doc, ngram)), the document-frequency count
-    * is one hash aggregation, and the join back is on the same key —
-    * two shuffles, no row carries more than one n-gram. */
+    * Shape at 100 TB: the whole tokenize -> n-gram -> distinct -> hash
+    * chain runs as ONE row-local codegen kernel
+    * ([[graft.expressions.NgramHashes]]) straight off the document
+    * bytes — no n-gram string is ever built, and what shuffles is one
+    * 16-byte (doc, hash60) row per distinct n-gram, not a ~50-byte
+    * string. The document-frequency count is one hash aggregation and
+    * the join back is on the same key (exchange reused). Cross-document
+    * hash collisions would inflate df identically on both engines
+    * (same constants), keeping parity bit-exact by construction. */
   def dupNgramCoverage(docs: DataFrame, n: Int = 5): DataFrame = {
     val ng = docs.select(col("doc_id"),
-      explode(array_distinct(tokenNgrams(tokens(col("text")), n))).as("ngram"))
-    val dfreq = ng.groupBy(col("ngram")).agg(count(lit(1)).as("df"))
-    ng.join(dfreq, "ngram")
+      explode(graft.expressions.NgramHashes.ngram_hashes(col("text"), n)).as("ngh"))
+    val dfreq = ng.groupBy(col("ngh")).agg(count(lit(1)).as("df"))
+    ng.join(dfreq, "ngh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_ngrams"),
         sum(when(col("df") > 1, 1L).otherwise(0L)).as("dup_ngrams"))

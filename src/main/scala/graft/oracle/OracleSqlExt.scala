@@ -18,14 +18,16 @@ object OracleSqlExt {
   /** Polynomial token hash mirrors (graft.expressions.PolyHash): fold
     * over byte values, every intermediate below 2^63 — the reason the
     * engine's SimHash is oracle-reproducible at all. */
-  private def polyFold(base: Long, mod: Long) =
+  private def polyFold(base: Long, mod: Long, c: String = "token") =
     "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      "list_transform(range(1, length(token) + 1), " +
-      s"i -> CAST(ascii(token[i:i]) AS BIGINT))), (acc, c) -> (acc * $base + c) % $mod)"
+      s"list_transform(range(1, length($c) + 1), " +
+      s"i -> CAST(ascii($c[i:i]) AS BIGINT))), (acc, ch) -> (acc * $base + ch) % $mod)"
 
   /** 60-bit combined token hash: h2 * 2^30 + h1 (mirror of Sketches.tokenHash). */
-  private val tokenHashSql =
-    s"(${polyFold(131, 998244353L)} * 1073741824 + ${polyFold(31, 1000000007L)})"
+  private def tokenHashSqlOf(c: String) =
+    s"(${polyFold(131, 998244353L, c)} * 1073741824 + ${polyFold(31, 1000000007L, c)})"
+
+  private val tokenHashSql = tokenHashSqlOf("token")
 
   /** Per-bit majority vote -> fingerprint, as one generated 60-term sum. */
   private val simhashBitsSql = (0 until 60).map(i =>
@@ -740,19 +742,25 @@ FROM t GROUP BY 1 ORDER BY source""",
 
     // mirror of TextAnalytics.dupNgramCoverage (overlapping 5-grams,
     // distinct per document, document-frequency > 1 = duplicated)
-    "q_dup_ngram_coverage" -> """
+    // n-grams collapse to the 60-bit token hash before the df count —
+    // mirror of the engine's NgramHashes kernel (hash of the joined
+    // n-gram string, distinct BY HASH; same constants, so any collision
+    // lands identically on both engines)
+    "q_dup_ngram_coverage" -> s"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 ng AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 5
-         THEN list_transform(range(1, len(toks) - 3),
-                i -> array_to_string(toks[i:i+4], ' '))
-         ELSE [] END)) AS ngram
+         THEN list_transform(
+                list_transform(range(1, len(toks) - 3),
+                  g -> array_to_string(toks[g:g+4], ' ')),
+                s -> ${tokenHashSqlOf("s")})
+         ELSE [] END)) AS ngh
        FROM t),
-dfq AS (SELECT ngram, count(*) AS df FROM ng GROUP BY 1)
+dfq AS (SELECT ngh, count(*) AS df FROM ng GROUP BY 1)
 SELECT doc_id, count(*) AS n_ngrams,
   CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_ngrams,
   CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
     AS dup_ngram_frac
-FROM ng JOIN dfq USING (ngram) GROUP BY 1 ORDER BY doc_id""",
+FROM ng JOIN dfq USING (ngh) GROUP BY 1 ORDER BY doc_id""",
 
     "q_tfidf_terms" -> """
 WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),

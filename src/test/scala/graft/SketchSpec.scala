@@ -92,6 +92,40 @@ class SketchSpec extends AnyFunSuite {
     assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty)
   }
 
+  test("NgramHashes kernel equals hash-of-joined-token-slices") {
+    import graft.functions.TextAnalytics
+    val sample = docs.limit(50)
+    val viaStrings = sample
+      .select($"doc_id", explode(array_distinct(
+        TextAnalytics.tokenNgrams(TextAnalytics.tokens($"text"), 5))).as("ngram"))
+      .select($"doc_id", Sketches.tokenHash($"ngram").as("ngh"))
+      .groupBy($"doc_id").agg(collect_set($"ngh").as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaKernel = sample
+      .select($"doc_id",
+        graft.expressions.NgramHashes.ngram_hashes($"text", 5).as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaKernel.keySet === viaStrings.keySet.union(viaKernel.keySet))
+    viaKernel.foreach { case (id, hs) =>
+      assert(hs.toSet === viaStrings.getOrElse(id, Seq.empty).toSet,
+        s"ngram hash set mismatch for doc $id")
+    }
+    // boundary semantics match split(): consecutive spaces make empty
+    // tokens, and short docs yield no n-grams at all
+    val edge = Seq((1L, "a  b c d e f"), (2L, "only four tokens here"), (3L, ""))
+      .toDF("doc_id", "text")
+    val viaK = edge.select($"doc_id",
+        graft.expressions.NgramHashes.ngram_hashes($"text", 5).as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaS = edge
+      .select($"doc_id", array_distinct(transform(
+        TextAnalytics.tokenNgrams(TextAnalytics.tokens($"text"), 5),
+        s => Sketches.tokenHash(s))).as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    viaK.foreach { case (id, hs) => assert(hs.toSet === viaS(id).toSet) }
+    assert(viaK(2L).isEmpty && viaK(3L).isEmpty)
+  }
+
   test("simhash of identical token multisets is identical") {
     val d = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "totally different words here")).toDF("doc_id", "text")
