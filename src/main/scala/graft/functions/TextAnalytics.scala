@@ -100,18 +100,24 @@ object TextAnalytics {
   def contaminationWith(docs: DataFrame, splits: DataFrame, n: Int = 8): DataFrame =
     contaminationImpl(docs.join(splits, "doc_id"), n)
 
+  /** N-grams travel as their 60-bit kernel hashes
+    * ([[graft.expressions.NgramHashes]]) — the Bloom probe, the
+    * survivors join, and the distinct all key on 8 bytes instead of
+    * ~80-byte 8-gram strings, and no n-gram string is ever built.
+    * The oracle hashes its string n-grams with the same constants, so
+    * collisions (if any) merge identically on both engines. */
   private def contaminationImpl(withSplit: DataFrame, n: Int): DataFrame = {
-    val ngrams = array_distinct(tokenNgrams(tokens(col("text")), n))
+    val ngrams = graft.expressions.NgramHashes.ngram_hashes(col("text"), n)
     val testNg = withSplit.filter(col("split") === "test")
-      .select(col("doc_id"), explode(ngrams).as("ngram"))
+      .select(col("doc_id"), explode(ngrams).as("ngh"))
     val trainNg = withSplit.filter(col("split") === "train")
-      .select(explode(ngrams).as("ngram"))
-    val survivors = BloomPrefilter.build(testNg, "ngram") match {
-      case Some(bf) => trainNg.filter(BloomPrefilter.mightContain(bf, col("ngram")))
+      .select(explode(ngrams).as("ngh"))
+    val survivors = BloomPrefilter.build(testNg, "ngh") match {
+      case Some(bf) => trainNg.filter(BloomPrefilter.mightContain(bf, col("ngh")))
       case None     => trainNg.filter(lit(false)) // no test docs -> no hits
     }
-    val hits = survivors.join(testNg, "ngram")
-      .select(col("doc_id"), col("ngram")).distinct()
+    val hits = survivors.join(testNg, "ngh")
+      .select(col("doc_id"), col("ngh")).distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("contaminated"))
     testNg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
       .join(hits, Seq("doc_id"), "left")
@@ -139,11 +145,11 @@ object TextAnalytics {
     * matched (bench doc, ngram) pairs. */
   def contaminationAgainst(docs: DataFrame, benchmark: DataFrame,
                            n: Int = 8): DataFrame = {
-    val ngrams = array_distinct(tokenNgrams(tokens(col("text")), n))
-    val benchNg = benchmark.select(col("bench_id"), explode(ngrams).as("ngram"))
-    val corpusNg = docs.select(explode(ngrams).as("ngram"))
-    val hits = corpusNg.join(broadcast(benchNg), "ngram")
-      .select(col("bench_id"), col("ngram")).distinct()
+    val ngrams = graft.expressions.NgramHashes.ngram_hashes(col("text"), n)
+    val benchNg = benchmark.select(col("bench_id"), explode(ngrams).as("ngh"))
+    val corpusNg = docs.select(explode(ngrams).as("ngh"))
+    val hits = corpusNg.join(broadcast(benchNg), "ngh")
+      .select(col("bench_id"), col("ngh")).distinct()
       .groupBy(col("bench_id")).agg(count(lit(1)).as("contaminated"))
     benchNg.groupBy(col("bench_id")).agg(count(lit(1)).as("n_ngrams"))
       .join(hits, Seq("bench_id"), "left")

@@ -70,6 +70,10 @@ object OracleSqlExt {
       .mkString(" UNION ALL ")
   }
 
+  /** 60-bit hash of an n-gram string bound to lambda variable `s` —
+    * mirror of the NgramHashes kernel values. */
+  private val ngramHashS = tokenHashSqlOf("s")
+
   /** Linear-counter bucket of a token (row LcHashIdx of the family). */
   private val lcBucketSql = {
     import graft.functions.Sketches.{P31, UnivA, UnivB}
@@ -662,7 +666,7 @@ SELECT lang, max(rate) AS rate, count(*) AS total_docs,
        CAST(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS kept_frac
 FROM u GROUP BY 1 ORDER BY lang""",
 
-    "q_contamination" -> """
+    "q_contamination" -> s"""
 WITH sp AS (
   SELECT doc_id, string_split(text, ' ') AS toks,
          CASE WHEN substr(md5(text), 1, 2) < 'f6' THEN 'train'
@@ -672,8 +676,10 @@ WITH sp AS (
 ng AS (
   SELECT doc_id, split,
          list_distinct(CASE WHEN len(toks) >= 8
-           THEN list_transform(range(1, len(toks) - 6),
-                  i -> array_to_string(toks[i:i+7], ' '))
+           THEN list_transform(
+                  list_transform(range(1, len(toks) - 6),
+                    g -> array_to_string(toks[g:g+7], ' ')),
+                  s -> $ngramHashS)
            ELSE [] END) AS ngrams
   FROM sp),
 tng AS (SELECT doc_id, unnest(ngrams) AS ngram FROM ng WHERE split = 'test'),
@@ -1028,13 +1034,15 @@ FROM j JOIN th USING (source) GROUP BY j.source ORDER BY j.source""",
 
     // mirror of TextAnalytics.contaminationAgainst with the bench suite
     // = doc_id % 97 == 0, corpus = the rest
-    "q_contamination_bench" -> """
+    "q_contamination_bench" -> s"""
 WITH sp AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 ng AS (
   SELECT doc_id,
          list_distinct(CASE WHEN len(toks) >= 8
-           THEN list_transform(range(1, len(toks) - 6),
-                  i -> array_to_string(toks[i:i+7], ' '))
+           THEN list_transform(
+                  list_transform(range(1, len(toks) - 6),
+                    g -> array_to_string(toks[g:g+7], ' ')),
+                  s -> $ngramHashS)
            ELSE [] END) AS ngrams
   FROM sp),
 bng AS (SELECT doc_id AS bench_id, unnest(ngrams) AS ngram
