@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.AsofStream
+import graft.streaming.AsofStream.AsofEvent
+import graft.operators.Relational
+
+/** Batch == stream equivalence for the as-of enrichment: the stateful
+  * streaming form fed event-time-ordered micro-batches must produce
+  * exactly the batch AsofJoin result on the same events. */
+class AsofStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streaming as-of enrichment equals the batch as-of join") {
+    implicit val sq = spark.sqlContext
+    val ev = Relational.eventsWithEpoch(spark, TestSpark.Sf0001)
+      .withColumn("tus", expr("ts div 1000"))
+    val asofEvents = ev
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"user_id", $"tus",
+        when($"event_type" === "click", 0).otherwise(1).as("tag"),
+        $"event_id".as("id"), $"value")
+      .as[AsofEvent]
+      .collect()
+      .sortBy(e => (e.tus, e.tag, e.id))
+
+    val input = MemoryStream[AsofEvent]
+    val q = AsofStream.enrich(input.toDS())
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    try {
+      // three event-time-ordered micro-batches (the ordering contract)
+      asofEvents.grouped(math.max(1, asofEvents.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.table("asof_out")
+    val batch = Relational.purchaseClickAsof(
+      Relational.eventsWithEpoch(spark, TestSpark.Sf0001))
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("same-timestamp reference ties resolve to max id, inclusively") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[AsofEvent]
+    val q = AsofStream.enrich(input.toDS())
+      .writeStream.format("memory").queryName("asof_ties")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        AsofEvent(7L, 100L, 0, 11L, 1.0),
+        AsofEvent(7L, 100L, 0, 12L, 2.0), // same ts, higher id wins
+        AsofEvent(7L, 100L, 1, 90L, 0.0), // equal ts -> click visible
+        AsofEvent(7L, 99L, 1, 89L, 0.0))) // before click -> null
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("asof_ties").orderBy($"purchase_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(89L, 90L))
+    assert(rows(0).isNullAt(3))
+    assert(rows(1).getLong(3) === 12L && rows(1).getDouble(4) === 2.0)
+    assert(rows(1).getLong(5) === 0L)
+  }
+}
