@@ -40,15 +40,23 @@ object SparkEntry {
       GroupAnalytics.groupsDf(Snapshots.watermarks(s, dir),
         Snapshots.groupOffsets(s, dir), Snapshots.groupsDim(s, dir)).persist())
 
-  /** The 0.3-threshold jaccard pair set feeds three queries
-    * (q_jaccard_pairs, q_dedup_clusters, q_dedup_corpus) — derive +
-    * persist once per (session, dir). */
-  private val jaccardMemo =
+  /** The scored candidate-pair set (both overlap measures) feeds the
+    * jaccard family AND q_containment_pairs — one posting-list
+    * explosion per (session, dir). */
+  private val scoredPairsMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  private def scoredPairs(s: SparkSession, dir: String): DataFrame =
+    scoredPairsMemo.getOrElseUpdate((s, dir),
+      functions.Dedup.scoredShinglePairs(docs(s, dir)).persist())
+
+  /** The 0.3-threshold jaccard pair set feeds three queries
+    * (q_jaccard_pairs, q_dedup_clusters, q_dedup_corpus) — a filter
+    * over the persisted scored set. */
   private def jaccardPairs03(s: SparkSession, dir: String): DataFrame =
-    jaccardMemo.getOrElseUpdate((s, dir),
-      functions.Dedup.jaccardPairs(docs(s, dir), threshold = 0.3).persist())
+    scoredPairs(s, dir).filter(col("jaccard") >= 0.3)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"),
+        col("n_b"), col("jaccard"))
 
   /** The cluster assignment over that pair set feeds both q_dedup_clusters
     * and q_dedup_corpus — run label propagation once per (session, dir)
@@ -230,6 +238,13 @@ object SparkEntry {
     "q_jaccard_pairs" -> ((s, dir) =>
       jaccardPairs03(s, dir)
         .orderBy(col("doc_a"), col("doc_b"))),
+    // one-sided overlap over the same scored candidate set: catches a
+    // short doc embedded in a long one, which symmetric jaccard misses
+    "q_containment_pairs" -> ((s, dir) =>
+      scoredPairs(s, dir).filter(col("containment") >= 0.6)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"),
+          col("n_b"), col("containment"))
+        .orderBy(col("doc_a"), col("doc_b"))),
     "q_dedup_clusters" -> ((s, dir) =>
       dedupClusters03(s, dir)
         .orderBy(col("doc_id"))),
@@ -280,6 +295,9 @@ object SparkEntry {
 
     "q_quality_by_source" -> ((s, dir) =>
       TextAnalytics.qualityBySource(docs(s, dir)).orderBy(col("source"))),
+    "q_quality_deciles" -> ((s, dir) =>
+      TextAnalytics.qualityDeciles(docs(s, dir))
+        .orderBy(col("source"), col("decile"))),
     "q_token_budget" -> ((s, dir) =>
       TextAnalytics.tokenBudget(docs(s, dir)).orderBy(col("lang"))),
     "q_mixture" -> ((s, dir) =>
@@ -410,7 +428,7 @@ object SparkEntry {
     groupsDfOf(s, dir).count()
     Snapshots.srSubjects(s, dir).count()
     Snapshots.topicConfigs(s, dir).count()
-    jaccardPairs03(s, dir).count()
+    scoredPairs(s, dir).count()
     dedupClusters03(s, dir).count()
     cosinePairs04(s, dir).count()
     pcaDirections(s, dir)

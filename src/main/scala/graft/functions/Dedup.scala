@@ -192,7 +192,31 @@ object Dedup {
   }
 
   def jaccardPairs(docs: DataFrame, n: Int = 5, maxDocFreq: Int = 100,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5): DataFrame =
+    scoredShinglePairs(docs, n, maxDocFreq)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"), col("n_b"),
+        col("jaccard"))
+
+  /** One-sided overlap (containment = inter / min(|A|, |B|)) over the
+    * same candidate set — the score that catches a short document
+    * embedded verbatim in a long one (quotes, boilerplate inclusion),
+    * where symmetric jaccard stays low because the union is dominated
+    * by the long side. Shares the scored-candidate derivation with
+    * jaccardPairs (one inverted-index build serves both). */
+  def containmentPairs(docs: DataFrame, n: Int = 5, maxDocFreq: Int = 100,
+                       threshold: Double = 0.6): DataFrame =
+    scoredShinglePairs(docs, n, maxDocFreq)
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"), col("n_b"),
+        col("containment"))
+
+  /** All candidate pairs sharing >= 1 (non-hot) shingle, scored with
+    * BOTH set-overlap measures (jaccard and containment) — the shared
+    * parent of jaccardPairs/containmentPairs, memoized per session by
+    * SparkEntry so the posting-list explosion runs once. */
+  def scoredShinglePairs(docs: DataFrame, n: Int = 5,
+                         maxDocFreq: Int = 100): DataFrame = {
     // Inverted index: at true corpus scale this index would be
     // materialized once as a table (it feeds both the sizes and the pairs
     // branch below); here it is recomputed per branch, which static
@@ -225,8 +249,7 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"), col("n_b"),
-        col("jaccard"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("n_a"), col("n_b")))
   }
 }

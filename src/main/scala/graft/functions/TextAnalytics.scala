@@ -326,6 +326,29 @@ object TextAnalytics {
           .as("quality_score"))
   }
 
+  /** Per-source quality deciles: each document ranked into its source's
+    * quality decile (ntile over the deterministic (score, doc_id)
+    * order), rolled up to per-decile counts and score bounds — the view
+    * that picks a per-source quality floor by mass rather than by a
+    * global threshold.
+    *
+    * Scale note: ntile is ONE window shuffle keyed by source; a single
+    * whale source serializes into one task's sort, so at 100 TB the
+    * exact-decile contract would be relaxed to approx-percentile
+    * cutoffs (A10's documented variant). Here the contract is exact,
+    * and min/max per decile are order-free. */
+  def qualityDeciles(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score"), col("doc_id"))
+    qualityScores(docs).join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("docs"),
+        min(col("quality_score")).as("q_lo"),
+        max(col("quality_score")).as("q_hi"))
+  }
+
   /** Language mixing weights for corpus assembly — the up/down-sampling
     * rates a pretraining mix applies per stratum. */
   val MixRates: Seq[(String, Double)] = Seq(

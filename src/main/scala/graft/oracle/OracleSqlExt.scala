@@ -529,6 +529,47 @@ FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
 WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.3
 ORDER BY doc_a, doc_b""",
 
+    // mirror of Dedup.containmentPairs (same candidate derivation as
+    // q_jaccard_pairs, one-sided overlap score)
+    "q_containment_pairs" -> """
+WITH sh AS (
+  SELECT DISTINCT doc_id, text[i:i+4] AS shingle
+  FROM documents, unnest(range(1, greatest(length(text) - 3, 1))) t(i)),
+rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 100),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shr GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+       sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CAST(inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS containment
+FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.6
+ORDER BY doc_a, doc_b""",
+
+    // mirror of TextAnalytics.qualityDeciles (ntile over the same
+    // deterministic (score, doc_id) order; min/max are order-free)
+    "q_quality_deciles" -> s"""
+WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(toks, x -> x IN $stop)) AS BIGINT) AS n_stop,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique
+      FROM t),
+q AS (SELECT doc_id, source,
+        0.4 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+          + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+          + 0.3 * (CAST(n_unique AS DOUBLE) / n_tokens) AS quality_score
+      FROM s),
+d AS (SELECT source, quality_score,
+        CAST(ntile(10) OVER (PARTITION BY source
+          ORDER BY quality_score, doc_id) AS BIGINT) AS decile
+      FROM q)
+SELECT source, decile, count(*) AS docs,
+       min(quality_score) AS q_lo, max(quality_score) AS q_hi
+FROM d GROUP BY 1, 2 ORDER BY source, decile""",
+
     "q_dedup_clusters" -> """
 WITH RECURSIVE sh AS (
   SELECT DISTINCT doc_id, text[i:i+4] AS shingle
