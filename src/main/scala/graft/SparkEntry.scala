@@ -112,6 +112,10 @@ object SparkEntry {
     "q_lag_topic" -> ((s, dir) =>
       GroupAnalytics.groupTopicLag(Snapshots.watermarks(s, dir), Snapshots.groupOffsets(s, dir))
         .orderBy(col("grp"), col("topic"))),
+    // lag regressed over the scan history (exact-integer least squares)
+    "q_lag_trend" -> ((s, dir) =>
+      GroupAnalytics.lagTrend(Snapshots.watermarks(s, dir), Snapshots.groupOffsets(s, dir))
+        .orderBy(col("grp"), col("topic"))),
     "q_waste_summary" -> ((s, dir) =>
       TopicAnalytics.wasteSummary(topicsDf(s, dir)).orderBy(col("category"))),
     "q_waste_detail" -> ((s, dir) =>
@@ -298,6 +302,10 @@ object SparkEntry {
     "q_quality_deciles" -> ((s, dir) =>
       TextAnalytics.qualityDeciles(docs(s, dir))
         .orderBy(col("source"), col("decile"))),
+    // the checkable at-scale percentile path: fixed-histogram estimate
+    // vs the exact median, with the resolution error reported
+    "q_histogram_quantile" -> ((s, dir) =>
+      TextAnalytics.histogramQuantile(docs(s, dir)).orderBy(col("source"))),
     "q_token_budget" -> ((s, dir) =>
       TextAnalytics.tokenBudget(docs(s, dir)).orderBy(col("lang"))),
     "q_mixture" -> ((s, dir) =>
@@ -379,6 +387,10 @@ object SparkEntry {
     // operators/RangeJoin.scala; oracle = DuckDB's IEJoin inequality join)
     "q_order_velocity" -> ((s, dir) =>
       Relational.orderVelocity(tbl(s, dir, "orders")).orderBy(col("o_orderkey"))),
+    // z-order (Morton) cell bounding boxes — the file-skipping statistics
+    // a 2-D-clustered layout exposes (sources/ZOrderLayout + ZOrderSpec)
+    "q_zorder_cells" -> ((s, dir) =>
+      Relational.zorderCells(tbl(s, dir, "orders")).orderBy(col("cell"))),
     "q_order_gaps" -> ((s, dir) =>
       Relational.orderGaps(tbl(s, dir, "orders")).orderBy(col("o_custkey"))),
     "q_small_qty_revenue" -> ((s, dir) =>

@@ -349,6 +349,42 @@ object TextAnalytics {
         max(col("quality_score")).as("q_hi"))
   }
 
+  /** Histogram-estimated median next to the exact one, per source — the
+    * CHECKABLE version of the at-scale percentile story: exact
+    * `percentile` needs the values sorted per group, while a fixed
+    * 256-bucket histogram is one hash aggregation of integer bucket ids
+    * (order-free, mergeable, constant memory — the same contract as
+    * percentile_approx, but deterministic and oracle-reproducible).
+    * The estimate is the lower edge of the first bucket whose
+    * cumulative count reaches half the group (edges k/256 are exact
+    * doubles — power-of-two denominator), and the report carries the
+    * |estimate − exact| error that tells you whether 1/256 resolution
+    * is enough to act on. */
+  def histogramQuantile(docs: DataFrame, buckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = qualityScores(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("quality_score"))
+    val hist = scored
+      .withColumn("b", least(lit(buckets - 1L),
+        floor(col("quality_score") * buckets)).cast("long"))
+      .groupBy(col("source"), col("b")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("source")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val est = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("source"))))
+      .filter(col("cum") * 2 >= col("n"))
+      .groupBy(col("source"))
+      .agg(min(col("b")).as("med_b"), max(col("n")).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        (col("med_b").cast("double") / buckets).as("est_median"))
+    val exact = scored.groupBy(col("source"))
+      .agg(expr("percentile(quality_score, 0.5)").as("exact_median"))
+    est.join(exact, "source")
+      .withColumn("abs_err", abs(col("est_median") - col("exact_median")))
+  }
+
   /** Language mixing weights for corpus assembly — the up/down-sampling
     * rates a pretraining mix applies per stratum. */
   val MixRates: Seq[(String, Double)] = Seq(

@@ -39,6 +39,38 @@ object GroupAnalytics {
     lagRows(wm, go).groupBy(col("cluster"), col("grp"), col("topic"))
       .agg(sum(col("lag")).as("total_lag"), count(lit(1)).as("partitions_with_lag"))
 
+  /** Lag TREND per (cluster, group, topic): per-scan total lag regressed
+    * against the scan index — the monitoring question the reference's
+    * single-scan lag join cannot answer: is this group falling behind,
+    * catching up, or holding?
+    *
+    * The least-squares slope is computed from EXACT integer sums
+    * (n·Σsy − Σs·Σy) / (n·Σs² − (Σs)²): every accumulator is a BIGINT
+    * (order-free on any partitioning); the single double division at
+    * the end is deterministic on every engine. Same P12 guards as
+    * lagRows, applied per scan. Two shuffles: the per-scan lag
+    * aggregation and the per-series regression aggregation (one key
+    * prefix apart); the watermark side broadcasts as in lagRows. */
+  def lagTrend(wm: DataFrame, go: DataFrame): DataFrame = {
+    val perScan = go.filter(col("committed") >= 0)
+      .join(broadcast(wm.select(col("cluster"), col("topic"),
+        col("partition_id"), col("s"), col("low"), col("high"))),
+        Seq("cluster", "topic", "partition_id", "s"))
+      .filter(col("high") - col("low") > 0)
+      .groupBy(col("cluster"), col("grp"), col("topic"), col("s"))
+      .agg(sum(col("high") - col("committed")).as("lag"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    perScan.groupBy(col("cluster"), col("grp"), col("topic"))
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("sx"), sum(col("lag")).as("sy"),
+        sum(col("s") * col("s")).as("sxx"), sum(col("s") * col("lag")).as("sxy"))
+      .filter(col("n") >= 2)
+      .select(col("cluster"), col("grp"), col("topic"), col("n").as("scans"),
+        (num.cast("double") / den.cast("double")).as("slope"),
+        when(num > 0, "growing").when(num < 0, "shrinking")
+          .otherwise("flat").as("trend"))
+  }
+
   /** The reference's `groups_df`: name, members, state, eval_elapsed_time,
     * overall_lag (A4: sum over topics, overwatch_resources/groups.py:95). */
   def groupsDf(wm: DataFrame, go: DataFrame, gd: DataFrame): DataFrame = {

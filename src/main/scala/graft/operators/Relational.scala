@@ -248,6 +248,25 @@ object Relational {
         coalesce(col("following_cents"), lit(0L)).as("following_cents"))
   }
 
+  /** Z-order cell map of orders over (order day, customer): each cell
+    * is a 256x256 rectangle of the 2-D key space (top 8 interleaved
+    * bits of each dimension), and the report shows every cell's
+    * bounding box — the statistics a z-ordered layout exposes to file
+    * skipping ([[graft.sources.ZOrderLayout]]; the layout itself is
+    * proven tighter than a 1-D sort in ZOrderSpec). One hash
+    * aggregation over row-local integer bit arithmetic. */
+  def zorderCells(orders: DataFrame): DataFrame = {
+    val d = orders.select(
+      expr("datediff(o_orderdate, DATE '1970-01-01')").cast("long").as("day"),
+      col("o_custkey"))
+    d.withColumn("cell", shiftright(
+        graft.sources.ZOrderLayout.interleave16(col("day"), col("o_custkey")), 16))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("orders"),
+        min(col("day")).as("day_lo"), max(col("day")).as("day_hi"),
+        min(col("o_custkey")).as("cust_lo"), max(col("o_custkey")).as("cust_hi"))
+  }
+
   /** Sessionization: a session break is a >30min gap per user; returns
     * per-user session/event counts and mean session length in events.
     * One window over (user, time) — a single shuffle on user_id. */

@@ -198,6 +198,28 @@ gov AS (
       s"""$base SELECT cluster, grp, topic, partition_id, "lag" FROM lag_rows ORDER BY grp, topic, partition_id""",
     "q_lag_topic" ->
       s"""$base SELECT cluster, grp, topic, CAST(sum("lag") AS BIGINT) AS total_lag, count(*) AS partitions_with_lag FROM lag_rows GROUP BY 1, 2, 3 ORDER BY grp, topic""",
+    // mirror of GroupAnalytics.lagTrend: exact-integer least squares over
+    // the per-scan lag series (the one double division is at the end)
+    "q_lag_trend" ->
+      s"""$base, lag_scan AS (
+  SELECT o.cluster, o.grp, o.topic, o.s,
+         CAST(sum(w.high - o.committed) AS BIGINT) AS lag
+  FROM group_offsets o JOIN watermarks w
+    ON o.cluster = w.cluster AND o.topic = w.topic
+   AND o.partition_id = w.partition_id AND o.s = w.s
+  WHERE o.committed >= 0 AND w.high - w.low > 0
+  GROUP BY 1, 2, 3, 4),
+tr AS (
+  SELECT cluster, grp, topic, count(*) AS n,
+         CAST(sum(s) AS BIGINT) AS sx, CAST(sum(lag) AS BIGINT) AS sy,
+         CAST(sum(s * s) AS BIGINT) AS sxx, CAST(sum(s * lag) AS BIGINT) AS sxy
+  FROM lag_scan GROUP BY 1, 2, 3)
+SELECT cluster, grp, topic, n AS scans,
+       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       CASE WHEN n * sxy - sx * sy > 0 THEN 'growing'
+            WHEN n * sxy - sx * sy < 0 THEN 'shrinking'
+            ELSE 'flat' END AS trend
+FROM tr WHERE n >= 2 ORDER BY grp, topic""",
     "q_waste_summary" -> (base + ", waste_summary AS (" +
       wastePreds.toSeq.sortBy(_._1).map { case (c, p) => wasteCat(c, p) }.mkString(" UNION ALL ") +
       ") SELECT category, topics_count, topic_partitions_sum, CASE WHEN total = 0 THEN NULL ELSE (topics_count * 100) // total END AS cluster_percentage FROM waste_summary, w_total ORDER BY category"),

@@ -570,6 +570,36 @@ SELECT source, decile, count(*) AS docs,
        min(quality_score) AS q_lo, max(quality_score) AS q_hi
 FROM d GROUP BY 1, 2 ORDER BY source, decile""",
 
+    // mirror of TextAnalytics.histogramQuantile (256-bucket estimate
+    // next to the exact median; bucket edges k/256 are exact doubles)
+    "q_histogram_quantile" -> s"""
+WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(toks, x -> x IN $stop)) AS BIGINT) AS n_stop,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique
+      FROM t),
+q AS (SELECT doc_id, source,
+        0.4 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+          + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+          + 0.3 * (CAST(n_unique AS DOUBLE) / n_tokens) AS quality_score
+      FROM s),
+h AS (SELECT source, least(255, CAST(floor(quality_score * 256) AS BIGINT)) AS b,
+             count(*) AS cnt
+      FROM q GROUP BY 1, 2),
+c AS (SELECT source, b, cnt,
+             sum(cnt) OVER (PARTITION BY source ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(cnt) OVER (PARTITION BY source) AS n
+      FROM h),
+e AS (SELECT source, CAST(max(n) AS BIGINT) AS n_docs, min(b) AS med_b
+      FROM c WHERE cum * 2 >= n GROUP BY 1),
+x AS (SELECT source, quantile_cont(quality_score, 0.5) AS exact_median
+      FROM q GROUP BY 1)
+SELECT e.source AS source, n_docs, CAST(med_b AS DOUBLE) / 256.0 AS est_median,
+       exact_median,
+       abs(CAST(med_b AS DOUBLE) / 256.0 - exact_median) AS abs_err
+FROM e JOIN x ON e.source = x.source ORDER BY source""",
+
     "q_dedup_clusters" -> """
 WITH RECURSIVE sh AS (
   SELECT DISTINCT doc_id, text[i:i+4] AS shingle
@@ -1005,6 +1035,27 @@ SELECT a.o_orderkey,
 FROM d a LEFT JOIN d b
   ON b.o_orderpriority = '1-URGENT' AND b.day > a.day AND b.day <= a.day + 7
 GROUP BY 1 ORDER BY a.o_orderkey""",
+
+    // mirror of Relational.zorderCells: the spread-bits ladder as a CTE
+    // chain (pure integer bit arithmetic, identical on both engines)
+    "q_zorder_cells" -> """
+WITH d AS (SELECT date_diff('day', DATE '1970-01-01', o_orderdate) AS day,
+                  o_custkey AS cust
+           FROM orders),
+s0 AS (SELECT day, cust, (day & 65535) AS a0, (cust & 65535) AS b0 FROM d),
+s1 AS (SELECT day, cust, ((a0 | (a0 << 8)) & 16711935) AS a1,
+              ((b0 | (b0 << 8)) & 16711935) AS b1 FROM s0),
+s2 AS (SELECT day, cust, ((a1 | (a1 << 4)) & 252645135) AS a2,
+              ((b1 | (b1 << 4)) & 252645135) AS b2 FROM s1),
+s3 AS (SELECT day, cust, ((a2 | (a2 << 2)) & 858993459) AS a3,
+              ((b2 | (b2 << 2)) & 858993459) AS b3 FROM s2),
+s4 AS (SELECT day, cust, ((a3 | (a3 << 1)) & 1431655765) AS a4,
+              ((b3 | (b3 << 1)) & 1431655765) AS b4 FROM s3),
+z AS (SELECT day, cust, ((a4 | (b4 << 1)) >> 16) AS cell FROM s4)
+SELECT cell, count(*) AS orders,
+       min(day) AS day_lo, max(day) AS day_hi,
+       min(cust) AS cust_lo, max(cust) AS cust_hi
+FROM z GROUP BY 1 ORDER BY cell""",
 
     // mirror of CountSketch.cmsHeavyHitters (Carter-Wegman rows shared
     // with minhash; cells rebuilt from the exact aggregate)
