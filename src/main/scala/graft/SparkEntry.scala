@@ -421,6 +421,14 @@ object SparkEntry {
         .orderBy(col("event_type"), col("minute"))),
     "q_funnel" -> ((s, dir) =>
       Relational.signupPurchaseFunnel(Relational.eventsWithEpoch(s, dir))),
+    // native sliding windows (each event in exactly 2 aligned windows)
+    "q_sliding_windows" -> ((s, dir) =>
+      Relational.slidingEventCounts(Relational.eventsWithEpoch(s, dir))
+        .orderBy(col("event_type"), col("w_start"))),
+    // native session_window: merge-on-overlap event-time sessions
+    "q_session_windows" -> ((s, dir) =>
+      Relational.sessionWindows(Relational.eventsWithEpoch(s, dir))
+        .orderBy(col("user_id"), col("s_start"))),
     "q_sessionize" -> ((s, dir) =>
       Relational.sessionize(Relational.eventsWithEpoch(s, dir))
         .orderBy(col("user_id"))))

@@ -152,6 +152,34 @@ object Relational {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"),
         countDistinct(col("user_id")).as("users"))
 
+  /** Sliding event-time windows (10 min size, 5 min slide) per event
+    * type — Spark's native `window()` operator; each event lands in
+    * exactly two epoch-aligned windows, which is what the oracle
+    * mirrors by exploding the two qualifying starts. Counts and exact
+    * DECIMAL value sums, keyed by epoch-second window start. */
+  def slidingEventCounts(ev: DataFrame): DataFrame =
+    ev.withColumn("tss", timestamp_micros(expr("ts div 1000")))
+      .groupBy(col("event_type"),
+        window(col("tss"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .select(col("event_type"), unix_micros(col("w.start")).as("w_start"),
+        col("events"), col("value_sum"))
+
+  /** Event-time session windows per user (30-minute gap) — Spark's
+    * native `session_window()`, the merge-on-overlap stateful window.
+    * Emitted keys are exact epoch-micro session bounds (end = last
+    * event + gap), so the oracle reproduces them with the gap-break
+    * island construction: a session breaks when the gap is >= 30 min
+    * (session_window's interval is [start, start + gap)). */
+  def sessionWindows(ev: DataFrame): DataFrame =
+    ev.withColumn("tss", timestamp_micros(expr("ts div 1000")))
+      .groupBy(col("user_id"), session_window(col("tss"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("events"),
+        countDistinct(col("event_type")).as("event_types"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("s_start"),
+        unix_micros(col("w.end")).as("s_end"), col("events"), col("event_types"))
+
   /** Two-stage funnel: users who signed up, and of those, users with a
     * purchase at-or-after their first signup. Stage joins stay on
     * user_id — one shuffle key end to end. */

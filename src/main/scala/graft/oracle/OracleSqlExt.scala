@@ -996,6 +996,37 @@ SELECT (SELECT count(DISTINCT user_id) FROM e) AS total_users,
        (SELECT count(*) FROM conv) AS converted,
        (SELECT count(*) FROM conv) * 100.0 / nullif((SELECT count(*) FROM su), 0) AS conversion_pct""",
 
+    // mirror of Relational.slidingEventCounts: the two epoch-aligned
+    // 10-min/5-min-slide windows containing each event, exploded
+    "q_sliding_windows" -> """
+WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS tus, "value" AS v FROM events),
+w AS (SELECT event_type, v,
+             unnest([ (tus // 300000000) * 300000000,
+                      (tus // 300000000) * 300000000 - 300000000 ]) AS w_start
+      FROM e)
+SELECT event_type, w_start, count(*) AS events,
+       CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM w GROUP BY 1, 2 ORDER BY event_type, w_start""",
+
+    // mirror of Relational.sessionWindows: gap-break island construction
+    // (a session breaks when the gap is >= 30 min — session_window's
+    // interval is [start, start + gap)); end = last event + gap
+    "q_session_windows" -> """
+WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+x AS (SELECT user_id, event_type, tus,
+             lag(tus) OVER (PARTITION BY user_id ORDER BY tus) AS prev
+      FROM e),
+y AS (SELECT user_id, event_type, tus,
+             CASE WHEN prev IS NULL OR tus - prev >= 1800000000 THEN 1 ELSE 0 END AS ns
+      FROM x),
+z AS (SELECT user_id, event_type, tus,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY tus
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM y)
+SELECT user_id, min(tus) AS s_start, max(tus) + 1800000000 AS s_end,
+       count(*) AS events, count(DISTINCT event_type) AS event_types
+FROM z GROUP BY user_id, sid ORDER BY user_id, s_start""",
+
     "q_sessionize" -> """
 WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS epoch_s FROM events),
 x AS (SELECT user_id, epoch_s,
