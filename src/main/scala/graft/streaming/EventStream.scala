@@ -33,4 +33,23 @@ object EventStream {
       .select(col("window.start").as("minute_start"), col("event_type"),
         col("events"), col("value_sum"))
   }
+
+  /** Event-time session windows per user (30-minute gap) — the native
+    * merge-on-overlap stateful window (the streaming face of
+    * operators/Relational.sessionWindows). In streaming append mode a
+    * session emits once the watermark passes its end, so state is
+    * O(open sessions) — the property that makes per-user sessionization
+    * run forever. Batch and stream produce identical rows once the
+    * watermark flushes (LakeAndEventStreamSpec). */
+  def sessionRollup(events: Dataset[Event],
+                    watermarkDelay: String = "0 seconds"): DataFrame = {
+    val withTs = events.withColumn("ts", timestamp_seconds(col("epoch_s")))
+    val maybeWatermarked =
+      if (events.isStreaming) withTs.withWatermark("ts", watermarkDelay) else withTs
+    maybeWatermarked
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("events"))
+      .select(col("user_id"), col("w.start").cast("long").as("s_start"),
+        col("w.end").cast("long").as("s_end"), col("events"))
+  }
 }

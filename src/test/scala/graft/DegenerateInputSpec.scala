@@ -78,4 +78,34 @@ class DegenerateInputSpec extends AnyFunSuite {
     val r = Ivf.knnIvf(tiny, k = 2, nQueries = 1, nCentroids = 16, nprobe = 4)
     assert(r.count() >= 1) // neighbors of query 0 among probed lists
   }
+
+  test("as-of and range joins handle empty sides") {
+    import graft.operators.{AsofJoin, RangeJoin}
+    val left = Seq((1L, 100L, "a")).toDF("k", "t", "lv")
+    val emptyRight = Seq.empty[(Long, Long, String)].toDF("k", "t", "rv")
+    // empty right: every left row survives with a null payload
+    val out = AsofJoin.asofJoin(left, emptyRight, Seq("k"), "t", Seq("rv")).collect()
+    assert(out.length === 1 && out.head.isNullAt(3))
+    // empty left: no rows, no throw
+    val emptyLeft = Seq.empty[(Long, Long, String)].toDF("k", "t", "lv")
+    assert(AsofJoin.asofJoin(emptyLeft, emptyRight.withColumnRenamed("rv", "rv"),
+      Seq("k"), "t", Seq("rv")).count() === 0)
+
+    val points = Seq((5L, 1L)).toDF("pt", "v")
+    val emptyIv = Seq.empty[(Long, Long, Long)].toDF("id", "lo", "hi")
+    assert(RangeJoin.pointInInterval(points, emptyIv, 8L).count() === 0)
+    val iv = Seq((1L, 0L, 10L)).toDF("id", "lo", "hi")
+    val emptyPts = Seq.empty[(Long, Long)].toDF("pt", "v")
+    assert(RangeJoin.pointInInterval(emptyPts, iv, 8L).count() === 0)
+  }
+
+  test("sketch and quantile reports handle the empty corpus") {
+    import graft.functions.CountSketch
+    assert(CountSketch.cmsHeavyHitters(emptyDocs).count() === 0)
+    assert(CountSketch.distinctSketch(emptyDocs).count() === 0)
+    assert(TextAnalytics.histogramQuantile(emptyDocs).count() === 0)
+    assert(TextAnalytics.qualityDeciles(emptyDocs).count() === 0)
+    assert(TextAnalytics.dupNgramCoverage(emptyDocs).count() === 0)
+    assert(Dedup.containmentPairs(emptyDocs).count() === 0)
+  }
 }

@@ -105,4 +105,38 @@ class LakeAndEventStreamSpec extends AnyFunSuite {
       assert(batch.size === 4) // (min0:click), (min1:view), (min1:click), (min2:view)
     } finally q.stop()
   }
+
+  test("streaming session windows equal the batch session windows at flush") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000L
+    // user 1: two sessions (gap 40 min); user 2: one session spanning
+    // both micro-batches (the merge-on-overlap case)
+    val events = Seq(
+      Event(1, base + 10, 1, "click", 1.0),
+      Event(2, base + 600, 1, "view", 1.0),
+      Event(3, base + 700, 2, "click", 1.0),
+      Event(4, base + 1500, 2, "view", 1.0),   // extends user 2's session
+      Event(5, base + 600 + 2400 + 10, 1, "click", 1.0)) // 40 min gap -> new session
+    val batch = EventStream.sessionRollup(spark.createDataset(events))
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionRollup(input.toDS())
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(events.take(3)); q.processAllAvailable()
+      input.addData(events.drop(3)); q.processAllAvailable()
+      // append mode emits a session only once the watermark passes its
+      // end: a far-future sentinel (user -1) advances the watermark
+      input.addData(Seq(Event(99, base + 100000, -1L, "flush", 0.0)))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT user_id, s_start, s_end, events FROM session_out WHERE user_id >= 0")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(batch.size === 3) // 2 sessions for user 1, 1 for user 2
+    } finally q.stop()
+  }
 }
