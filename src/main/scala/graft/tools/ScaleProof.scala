@@ -59,7 +59,7 @@ object ScaleProof {
 
     println(f"${"k"}%3s ${"docs"}%8s ${"candidates"}%12s ${"cand/doc"}%9s " +
       f"${"pairs"}%8s ${"xrep"}%6s ${"pairs_s"}%8s ${"cluster_s"}%10s " +
-      f"${"dupchunk%"}%9s ${"chunk_s"}%8s")
+      f"${"dupchunk%"}%9s ${"chunk_s"}%8s ${"testdocs"}%8s ${"cont_s"}%7s")
     args.headOption.getOrElse("1,4,20").split(",").map(_.trim.toInt).foreach { k =>
       val corpus = scaled(docs, k).localCheckpoint() // isolate scaling cost
       val nDocs = corpus.count()
@@ -82,9 +82,14 @@ object ScaleProof {
         .collect()(0)
       val t3 = System.nanoTime()
       val dupFrac = cd.getAs[Long]("d").toDouble / cd.getAs[Long]("n")
+      // contamination: the Bloom prefilter is a CONSTANT 1 MiB at every
+      // K (collected like IVF centroids); what must scale linearly is
+      // the runtime and the test-doc row count — and does
+      val nTest = graft.functions.TextAnalytics.contamination(corpus).count()
+      val t4 = System.nanoTime()
       println(f"$k%3d $nDocs%8d $cand%12d ${cand.toDouble / nDocs}%9.2f " +
         f"$nPairs%8d $xrep%6d ${(t1 - t0) / 1e9}%8.2f ${(t2 - t1) / 1e9}%10.2f " +
-        f"${dupFrac * 100}%8.2f%% ${(t3 - t2) / 1e9}%8.2f")
+        f"${dupFrac * 100}%8.2f%% ${(t3 - t2) / 1e9}%8.2f $nTest%8d ${(t4 - t3) / 1e9}%7.2f")
     }
     spark.stop()
   }
