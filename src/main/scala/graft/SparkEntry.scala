@@ -337,6 +337,10 @@ object SparkEntry {
       TextAnalytics.temperatureMixture(docs(s, dir)).orderBy(col("lang"))),
     "q_shards" -> ((s, dir) =>
       TextAnalytics.shardReport(docs(s, dir)).orderBy(col("shard"))),
+    // head-to-tail packing into fixed 2048-token training sequences,
+    // windowed WITHIN each hash shard (never a global sort)
+    "q_pack_sequences" -> ((s, dir) =>
+      TextAnalytics.packSequences(docs(s, dir)).orderBy(col("shard"))),
     "q_eval_sample" -> ((s, dir) =>
       TextAnalytics.evalSample(docs(s, dir)).orderBy(col("lang"), col("rnk"))),
     "q_embedding_dedup" -> ((s, dir) =>

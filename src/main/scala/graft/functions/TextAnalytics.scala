@@ -501,6 +501,37 @@ object TextAnalytics {
           .as("relative_load"))
   }
 
+  /** Sequence packing: lay each shard's documents head-to-tail (in
+    * deterministic doc_id order) into fixed CONTEXT-token training
+    * sequences, and report per-shard packing quality: sequences
+    * produced, mean fill, and how many documents straddle a sequence
+    * boundary (the ones a loader must split or mask). Packing is
+    * inherently order-dependent, so it runs as a running-total window
+    * WITHIN each hash shard — S independent sorted partitions (the
+    * shardReport sharding), never a global sort. A document's sequence
+    * is floor(preceding_tokens / CONTEXT); it straddles when its own
+    * span crosses a multiple of CONTEXT. */
+  def packSequences(docs: DataFrame, numShards: Int = 16,
+                    context: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val placed = docs
+      .select(col("doc_id"),
+        (graft.expressions.PolyHash.polyhash(col("text")) % numShards).as("shard"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq", expr(s"before div $context"))
+      .withColumn("straddles",
+        expr(s"(before + n_tokens - 1) div $context") > col("seq"))
+    placed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("tokens"),
+        (max(expr(s"(before + n_tokens - 1) div $context")) + 1L).as("sequences"),
+        sum(when(col("straddles"), 1L).otherwise(0L)).as("straddling_docs"))
+      .withColumn("mean_fill",
+        col("tokens").cast("double") / (col("sequences") * context))
+  }
+
   /** Integer grid for order-free rarity sums: per-token values are exact
     * BIGINT quotients on this scale, so their per-document sum is
     * partition-order independent (the same trick as IVF's 2^-20 mean

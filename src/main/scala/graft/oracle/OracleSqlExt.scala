@@ -1216,6 +1216,33 @@ SELECT lang, docs, tokens, raw_frac, alpha_weight,
 FROM w ORDER BY lang""",
 
     // mirror of TextAnalytics.shardReport (16 shards, polyhash sharding)
+    // mirror of TextAnalytics.packSequences: running-total placement
+    // within each hash shard, integer sequence ids and straddle flags
+    "q_pack_sequences" -> """
+WITH d AS (SELECT doc_id,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, length(text) + 1),
+        i -> CAST(ascii(text[i:i]) AS BIGINT))),
+      (acc, c) -> (acc * 31 + c) % 1000000007) % 16 AS shard,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+p AS (SELECT shard, n_tokens,
+        coalesce(CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS before
+      FROM d),
+q AS (SELECT shard, n_tokens, before,
+             before // 2048 AS seq,
+             CASE WHEN (before + n_tokens - 1) // 2048 > before // 2048
+                  THEN 1 ELSE 0 END AS straddles
+      FROM p),
+r AS (SELECT shard, count(*) AS docs, CAST(sum(n_tokens) AS BIGINT) AS tokens,
+             CAST(max((before + n_tokens - 1) // 2048) + 1 AS BIGINT) AS sequences,
+             CAST(sum(straddles) AS BIGINT) AS straddling_docs
+      FROM q GROUP BY 1)
+SELECT shard, docs, tokens, sequences, straddling_docs,
+       CAST(tokens AS DOUBLE) / (sequences * 2048) AS mean_fill
+FROM r ORDER BY shard""",
+
     "q_shards" -> """
 WITH h AS (SELECT
     list_reduce(list_prepend(CAST(0 AS BIGINT),
