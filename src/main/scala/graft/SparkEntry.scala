@@ -75,8 +75,13 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def cosinePairs04(s: SparkSession, dir: String): DataFrame =
+    scoredBucketPairsOf(s, dir).filter(col("score") >= 0.4)
+
+  /** The UNthresholded scored bucket-pair set additionally feeds
+    * q_knn_join — the L LSH self-joins run once per session. */
+  private def scoredBucketPairsOf(s: SparkSession, dir: String): DataFrame =
     cosineMemo.getOrElseUpdate((s, dir),
-      Similarity.cosineNearDups(emb(s, dir), threshold = 0.4).persist())
+      Similarity.scoredBucketPairs(emb(s, dir)).persist())
 
   /** The deflated power-iteration direction stack feeds three queries —
     * train once per (session, dir) (2 x 64 doubles of driver state, the
@@ -296,6 +301,10 @@ object SparkEntry {
         .orderBy(col("cid"))),
     "q_cosine_neardups" -> ((s, dir) =>
       cosinePairs04(s, dir).orderBy(col("vec_a"), col("vec_b"))),
+    // full k-NN join (top-k for EVERY vector) over the shared pair set
+    "q_knn_join" -> ((s, dir) =>
+      Similarity.knnJoinFrom(scoredBucketPairsOf(s, dir))
+        .orderBy(col("vec_id"), col("rank"))),
 
     "q_quality_by_source" -> ((s, dir) =>
       TextAnalytics.qualityBySource(docs(s, dir)).orderBy(col("source"))),
@@ -435,7 +444,11 @@ object SparkEntry {
         .orderBy(col("user_id"), col("s_start"))),
     "q_sessionize" -> ((s, dir) =>
       Relational.sessionize(Relational.eventsWithEpoch(s, dir))
-        .orderBy(col("user_id"))))
+        .orderBy(col("user_id"))),
+    // trailing-window z-score anomalies (exact integer sums, IEEE sqrt)
+    "q_event_anomalies" -> ((s, dir) =>
+      Relational.eventAnomalies(Relational.eventsWithEpoch(s, dir))
+        .orderBy(col("event_type"), col("minute"))))
 
   private def latestWm(s: SparkSession, dir: String): DataFrame =
     Snapshots.watermarks(s, dir).filter(col("s") === Snapshots.NumScans)
@@ -454,7 +467,7 @@ object SparkEntry {
     Snapshots.topicConfigs(s, dir).count()
     scoredPairs(s, dir).count()
     dedupClusters03(s, dir).count()
-    cosinePairs04(s, dir).count()
+    scoredBucketPairsOf(s, dir).count()
     pcaDirections(s, dir)
     ivfCentroids(s, dir)
   }

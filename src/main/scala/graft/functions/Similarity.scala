@@ -212,23 +212,52 @@ object Similarity {
         expr("percentile(nrm, 0.5)").as("median_norm"),
         expr("percentile(nrm, 0.75)").as("p75_norm"))
 
-  /** Pairwise near-duplicate detection by embedding cosine: all pairs
-    * above a similarity threshold among same-bucket candidates (the
-    * scalable embedding-near-dup dedup path). */
-  def cosineNearDups(emb: DataFrame, dim: Int = 64, threshold: Double = 0.4): DataFrame = {
+  /** ALL same-bucket candidate pairs, scored (vec_a < vec_b) — the
+    * shared parent of cosineNearDups (threshold filter) and knnJoinLsh
+    * (per-vector top-k); SparkEntry memoizes it so the L self-joins run
+    * once per session for every consumer. Scoring happens BEFORE the
+    * pair dedup: the dot product is a cheap codegen loop while
+    * dropDuplicates shuffles its input — so the shuffle carries only
+    * (id, id, score) rows, never embedding arrays. */
+  def scoredBucketPairs(emb: DataFrame, dim: Int = 64): DataFrame = {
     val b = bucketed(emb, dim)
-    // Score and threshold BEFORE deduplicating: the dot product is cheap
-    // (native codegen loop) while dropDuplicates shuffles its input — so
-    // the shuffle should carry only (id, id, score) survivors, not 1M
-    // candidate rows with two embedding arrays each.
     b.as("a").join(b.as("b"),
       col("a.table") === col("b.table") && col("a.key") === col("b.key") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(dot(col("a.embedding"), col("b.embedding")) /
           (col("a.norm") * col("b.norm")), 9).as("score"))
-      .filter(col("score") >= threshold)
       .dropDuplicates("vec_a", "vec_b")
+  }
+
+  /** Pairwise near-duplicate detection by embedding cosine: all pairs
+    * above a similarity threshold among same-bucket candidates (the
+    * scalable embedding-near-dup dedup path). */
+  def cosineNearDups(emb: DataFrame, dim: Int = 64, threshold: Double = 0.4): DataFrame =
+    scoredBucketPairs(emb, dim).filter(col("score") >= threshold)
+
+  /** Full k-NN JOIN: top-k neighbors for EVERY vector — not a bounded
+    * query set — from the same-bucket candidate pairs. The all-pairs
+    * building block for graph-based dedup/clustering. Nothing
+    * broadcasts: candidates come from the L per-table self-joins, each
+    * symmetric pair is scored once and emitted in both directions, and
+    * the top-k is one per-vector ranking window. */
+  def knnJoinLsh(emb: DataFrame, dim: Int = 64, k: Int = 3): DataFrame =
+    knnJoinFrom(scoredBucketPairs(emb, dim), k)
+
+  /** Same, over an already-computed scored pair set. */
+  def knnJoinFrom(pairs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = pairs.select(col("vec_a").as("vec_id"),
+        col("vec_b").as("neighbor_id"), col("score"))
+      .unionByName(pairs.select(col("vec_b").as("vec_id"),
+        col("vec_a").as("neighbor_id"), col("score")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("score"))
   }
 
   /** Embedding near-dup CLUSTERS: connected components over the cosine

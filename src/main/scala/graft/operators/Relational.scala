@@ -180,6 +180,40 @@ object Relational {
       .select(col("user_id"), unix_micros(col("w.start")).as("s_start"),
         unix_micros(col("w.end")).as("s_end"), col("events"), col("event_types"))
 
+  /** Trailing-window anomaly detection on the per-minute money stream,
+    * per event type: a minute is anomalous when its cents total sits
+    * more than `zLimit` sample standard deviations from the trailing
+    * `trailing` observed minutes' mean. Everything before the final
+    * z-score is EXACT integer arithmetic (per-minute cents sums, window
+    * sums of cents and cents², all BIGINT — magnitudes stay far below
+    * 2^53 so even the double conversions are exact), and IEEE sqrt /
+    * division are correctly rounded — so the z-score is reproducible
+    * bit-for-bit on any engine and partitioning. One aggregation plus
+    * one per-type ordered window (trailing = OBSERVED minutes, a ROWS
+    * frame — empty minutes don't exist in the stream). */
+  def eventAnomalies(ev: DataFrame, trailing: Int = 10, minPrior: Int = 5,
+                     zLimit: Double = 3.0): DataFrame = {
+    val perMin = ev.withColumn("minute", expr("epoch_s div 60"))
+      .groupBy(col("event_type"), col("minute"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("minute"))
+      .rowsBetween(-trailing, -1)
+    perMin
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("s", sum(col("cents")).over(w))
+      .withColumn("ss", sum(col("cents") * col("cents")).over(w))
+      .filter(col("k") >= minPrior)
+      .withColumn("mean", col("s").cast("double") / col("k"))
+      .withColumn("variance",
+        greatest(col("ss").cast("double") / col("k") - col("mean") * col("mean"),
+          lit(1e-6)))
+      .withColumn("z",
+        round((col("cents").cast("double") - col("mean")) / sqrt(col("variance")), 9))
+      .filter(abs(col("z")) > zLimit)
+      .select(col("event_type"), col("minute"), col("cents"), col("z"))
+  }
+
   /** Two-stage funnel: users who signed up, and of those, users with a
     * purchase at-or-after their first signup. Stage joins stay on
     * user_id — one shuffle key end to end. */

@@ -239,6 +239,48 @@ s AS (
   FROM c JOIN n x ON c.vec_a = x.vec_id JOIN n y ON c.vec_b = y.vec_id)
 SELECT vec_a, vec_b, score FROM s WHERE score >= 0.4 ORDER BY vec_a, vec_b""",
 
+    // mirror of Similarity.knnJoinFrom over the full scored pair set
+    "q_knn_join" -> s"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+$lshBucketsCte,
+c AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+  FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.key = b2.key AND a.vec_id < b2.vec_id),
+s AS (
+  SELECT vec_a, vec_b, round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 9) AS score
+  FROM c JOIN n x ON c.vec_a = x.vec_id JOIN n y ON c.vec_b = y.vec_id),
+sym AS (SELECT vec_a AS vec_id, vec_b AS neighbor_id, score FROM s
+        UNION ALL
+        SELECT vec_b AS vec_id, vec_a AS neighbor_id, score FROM s),
+r AS (SELECT vec_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, neighbor_id) AS rnk
+      FROM sym)
+SELECT vec_id, CAST(rnk AS BIGINT) AS "rank", neighbor_id, score
+FROM r WHERE rnk <= 3 ORDER BY vec_id, "rank"""",
+
+    // mirror of Relational.eventAnomalies (exact BIGINT window sums; the
+    // z-score's doubles are all exactly-representable integers or
+    // correctly-rounded IEEE ops)
+    "q_event_anomalies" -> """
+WITH m AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 60 AS minute,
+                  CAST(sum(CAST(floor("value" * 100) AS BIGINT)) AS BIGINT) AS cents
+           FROM events GROUP BY 1, 2),
+w AS (SELECT event_type, minute, cents,
+             count(*) OVER tw AS k,
+             CAST(sum(cents) OVER tw AS BIGINT) AS s,
+             CAST(sum(cents * cents) OVER tw AS BIGINT) AS ss
+      FROM m
+      WINDOW tw AS (PARTITION BY event_type ORDER BY minute
+                    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+z AS (SELECT event_type, minute, cents,
+             round((CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / k)
+               / sqrt(greatest(CAST(ss AS DOUBLE) / k
+                 - (CAST(s AS DOUBLE) / k) * (CAST(s AS DOUBLE) / k), 0.000001)), 9) AS z
+      FROM w WHERE k >= 5)
+SELECT event_type, minute, cents, z
+FROM z WHERE abs(z) > 3.0 ORDER BY event_type, minute""",
+
     "q_knn_lsh" -> s"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
