@@ -332,6 +332,18 @@ object SparkEntry {
           .select(col("doc_id").as("bench_id"), col("text")))
         .orderBy(col("bench_id"))
     }),
+    // crawl-over-crawl diff: v2 derives deterministically from the
+    // fixture (13 drops a doc, 17 edits one, 19 adds a copy)
+    "q_corpus_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val v2 = d.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(d.filter(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text")))
+      TextAnalytics.corpusDiff(d, v2).orderBy(col("status"))
+    }),
     "q_chunk_dedup" -> ((s, dir) =>
       TextAnalytics.chunkDedup(docs(s, dir)).orderBy(col("doc_id"))),
     "q_quality_filter" -> ((s, dir) =>

@@ -385,6 +385,24 @@ object TextAnalytics {
       .withColumn("abs_err", abs(col("est_median") - col("exact_median")))
   }
 
+  /** Two-version corpus diff — the crawl-over-crawl incremental view
+    * (ChangeFeed's topic churn, for corpora): per status, how many
+    * documents were added, removed, content-modified, or unchanged
+    * between versions. Content comparison is by md5 computed INSIDE
+    * each scan, so the full-outer join on doc_id ships 16-byte hashes,
+    * never text — one shuffle per side at any corpus size. */
+  def corpusDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("doc_id"), md5(col("text")).as("h1"))
+    val b = v2.select(col("doc_id"), md5(col("text")).as("h2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") === col("h2"), "unchanged")
+          .otherwise("modified"))
+      .groupBy(col("status")).agg(count(lit(1)).as("docs"))
+  }
+
   /** Language mixing weights for corpus assembly — the up/down-sampling
     * rates a pretraining mix applies per stratum. */
   val MixRates: Seq[(String, Double)] = Seq(

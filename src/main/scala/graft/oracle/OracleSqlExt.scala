@@ -1157,6 +1157,20 @@ SELECT lang, count(DISTINCT token) AS distinct_exact,
        CAST(count(DISTINCT bucket) AS DOUBLE) / ${graft.functions.CountSketch.LcBuckets}.0 AS load_factor
 FROM hb GROUP BY 1 ORDER BY lang""",
 
+    // mirror of TextAnalytics.corpusDiff over the derived v2
+    "q_corpus_diff" -> """
+WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+v2 AS (SELECT doc_id,
+              md5(CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END) AS h2
+       FROM documents WHERE doc_id % 13 <> 0
+       UNION ALL
+       SELECT doc_id + 10000000, md5(text) FROM documents WHERE doc_id % 19 = 0),
+j AS (SELECT h1, h2 FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+SELECT CASE WHEN h1 IS NULL THEN 'added' WHEN h2 IS NULL THEN 'removed'
+            WHEN h1 = h2 THEN 'unchanged' ELSE 'modified' END AS status,
+       count(*) AS docs
+FROM j GROUP BY 1 ORDER BY status""",
+
     // mirror of TextAnalytics.chunkDedup (non-overlapping 32-token windows)
     "q_chunk_dedup" -> """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
