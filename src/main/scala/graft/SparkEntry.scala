@@ -117,6 +117,10 @@ object SparkEntry {
     "q_lag_topic" -> ((s, dir) =>
       GroupAnalytics.groupTopicLag(Snapshots.watermarks(s, dir), Snapshots.groupOffsets(s, dir))
         .orderBy(col("grp"), col("topic"))),
+    // per-group lag distribution (one hot partition hides in a total)
+    "q_lag_percentiles" -> ((s, dir) =>
+      GroupAnalytics.lagPercentiles(Snapshots.watermarks(s, dir),
+        Snapshots.groupOffsets(s, dir)).orderBy(col("grp"))),
     // lag regressed over the scan history (exact-integer least squares)
     "q_lag_trend" -> ((s, dir) =>
       GroupAnalytics.lagTrend(Snapshots.watermarks(s, dir), Snapshots.groupOffsets(s, dir))
@@ -457,6 +461,11 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       Relational.sessionize(Relational.eventsWithEpoch(s, dir))
         .orderBy(col("user_id"))),
+    // salted-join cohort revenue: the oracle runs the PLAIN join, so the
+    // hash gate doubles as the salting equivalence proof
+    "q_cohort_revenue" -> ((s, dir) =>
+      Relational.cohortRevenue(Relational.eventsWithEpoch(s, dir))
+        .orderBy(col("cohort_day"))),
     // trailing-window z-score anomalies (exact integer sums, IEEE sqrt)
     "q_event_anomalies" -> ((s, dir) =>
       Relational.eventAnomalies(Relational.eventsWithEpoch(s, dir))

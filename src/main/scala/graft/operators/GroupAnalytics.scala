@@ -71,6 +71,18 @@ object GroupAnalytics {
           .otherwise("flat").as("trend"))
   }
 
+  /** Per-group lag DISTRIBUTION at the latest scan: partition count and
+    * exact p50/p90/max lag — the shape alerting actually wants (one hot
+    * partition hides inside a healthy total). Exact percentiles are
+    * order-free; the at-scale relaxation is the documented
+    * percentile_approx variant (A10). */
+  def lagPercentiles(wm: DataFrame, go: DataFrame): DataFrame =
+    lagRows(wm, go).groupBy(col("cluster"), col("grp"))
+      .agg(count(lit(1)).as("partitions"),
+        expr("percentile(lag, 0.5)").as("p50_lag"),
+        expr("percentile(lag, 0.9)").as("p90_lag"),
+        max(col("lag")).as("max_lag"))
+
   /** The reference's `groups_df`: name, members, state, eval_elapsed_time,
     * overall_lag (A4: sum over topics, overwatch_resources/groups.py:95). */
   def groupsDf(wm: DataFrame, go: DataFrame, gd: DataFrame): DataFrame = {

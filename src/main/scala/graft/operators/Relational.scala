@@ -180,6 +180,26 @@ object Relational {
       .select(col("user_id"), unix_micros(col("w.start")).as("s_start"),
         unix_micros(col("w.end")).as("s_end"), col("events"), col("event_types"))
 
+  /** Signup-cohort revenue via the SALTED join ([[SkewJoin]]): the
+    * purchase fact side gets a random salt and the per-user cohort
+    * dimension replicates `salt` times, spreading any hot user over
+    * `salt` tasks — the manual skew guard when AQE's runtime split
+    * isn't enough. Salting is plan-level only: results are identical
+    * to the plain equi-join (which is exactly what the DuckDB oracle
+    * runs — the driver gate doubles as the salting equivalence proof).
+    * Money stays exact integer cents. */
+  def cohortRevenue(ev: DataFrame): DataFrame = {
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), floor(col("value") * 100).cast("long").as("cents"))
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(expr("epoch_s div 86400")).as("cohort_day"))
+    SkewJoin.saltedInnerJoin(purchases, cohort, "user_id", salt = 8)
+      .groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("purchases"), sum(col("cents")).as("cents"),
+        countDistinct(col("user_id")).as("buyers"))
+  }
+
   /** Trailing-window anomaly detection on the per-minute money stream,
     * per event type: a minute is anomalous when its cents total sits
     * more than `zLimit` sample standard deviations from the trailing

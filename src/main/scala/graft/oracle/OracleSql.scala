@@ -198,6 +198,14 @@ gov AS (
       s"""$base SELECT cluster, grp, topic, partition_id, "lag" FROM lag_rows ORDER BY grp, topic, partition_id""",
     "q_lag_topic" ->
       s"""$base SELECT cluster, grp, topic, CAST(sum("lag") AS BIGINT) AS total_lag, count(*) AS partitions_with_lag FROM lag_rows GROUP BY 1, 2, 3 ORDER BY grp, topic""",
+    // mirror of GroupAnalytics.lagPercentiles (exact percentiles ==
+    // quantile_cont, the established parity)
+    "q_lag_percentiles" ->
+      s"""$base SELECT cluster, grp, count(*) AS partitions,
+       quantile_cont("lag", 0.5) AS p50_lag,
+       quantile_cont("lag", 0.9) AS p90_lag,
+       CAST(max("lag") AS BIGINT) AS max_lag
+FROM lag_rows GROUP BY 1, 2 ORDER BY grp""",
     // mirror of GroupAnalytics.lagTrend: exact-integer least squares over
     // the per-scan lag series (the one double division is at the end)
     "q_lag_trend" ->

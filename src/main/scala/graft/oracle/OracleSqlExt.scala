@@ -259,6 +259,21 @@ r AS (SELECT vec_id, neighbor_id, score,
 SELECT vec_id, CAST(rnk AS BIGINT) AS "rank", neighbor_id, score
 FROM r WHERE rnk <= 3 ORDER BY vec_id, "rank"""",
 
+    // mirror of Relational.cohortRevenue — the PLAIN equi-join (salting
+    // is plan-level only, so hash-matching this IS the equivalence proof)
+    "q_cohort_revenue" -> """
+WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS epoch_s,
+                  "value" AS v FROM events),
+p AS (SELECT user_id, CAST(floor(v * 100) AS BIGINT) AS cents
+      FROM e WHERE event_type = 'purchase'),
+c AS (SELECT user_id, CAST(min(epoch_s // 86400) AS BIGINT) AS cohort_day
+      FROM e WHERE event_type = 'signup' GROUP BY 1)
+SELECT cohort_day, count(*) AS purchases,
+       CAST(sum(cents) AS BIGINT) AS cents,
+       count(DISTINCT p.user_id) AS buyers
+FROM p JOIN c USING (user_id)
+GROUP BY 1 ORDER BY cohort_day""",
+
     // mirror of Relational.eventAnomalies (exact BIGINT window sums; the
     // z-score's doubles are all exactly-representable integers or
     // correctly-rounded IEEE ops)
