@@ -25,7 +25,15 @@ object GraftExtensions {
     "min_hash_sig" -> (children => MinHashSig(children.head)),
     "winnow_sig" -> (children => WinnowSig(children.head)),
     "sim_hash_sig" -> (children => SimHashSig(children.head)),
-    "ngram_hashes" -> (children => NgramHashes(children.head)),
+    // n is an optional int literal (default 5) — it must not be silently
+    // dropped: ngram_hashes(text, 8) has different semantics
+    "ngram_hashes" -> (children => children match {
+      case Seq(c) => NgramHashes(c)
+      case Seq(c, n) => NgramHashes(c,
+        n.eval().asInstanceOf[Number].intValue())
+      case _ => throw new IllegalArgumentException(
+        s"ngram_hashes expects 1 or 2 arguments, got ${children.length}")
+    }),
     "array_max_abs" -> (children => ArrayMaxAbs(children.head)),
     "quantize_max_err" -> (children => QuantizeMaxErr(children.head)))
 

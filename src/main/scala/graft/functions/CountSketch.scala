@@ -7,7 +7,8 @@ import graft.expressions.PolyHash
 /** Fixed-memory frequency sketches over the token stream — the two
   * classic structures a 100 TB pipeline uses when exact per-key state
   * no longer fits: a Count-Min sketch (heavy-hitter frequency estimates
-  * from Depth x Width = 4 KiB of counters, Cormode & Muthukrishnan 2005)
+  * from Depth x Width = 4096 64-bit counters = 32 KiB of state, Cormode
+  * & Muthukrishnan 2005)
   * and a linear-counting distinct sketch (occupancy of a fixed bucket
   * array, Whang et al. 1990).
   *
@@ -18,7 +19,7 @@ import graft.expressions.PolyHash
   * every occurrence — on a real cluster the exact aggregate is the
   * expensive path the sketch REPLACES, so the point of these queries is
   * the sketch-vs-exact error report itself: the driver-checkable
-  * evidence of how much accuracy 4 KiB of state buys. Hashing is the
+  * evidence of how much accuracy 32 KiB of state buys. Hashing is the
   * wrap-free Carter-Wegman family over the 30-bit polyhash shared with
   * MinHash ([[Sketches.UnivA]]) — every bucket id reproduces exactly in
   * the DuckDB oracle from the same constants.

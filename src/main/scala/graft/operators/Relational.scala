@@ -331,8 +331,8 @@ object Relational {
   }
 
   /** Z-order cell map of orders over (order day, customer): each cell
-    * is a 256x256 rectangle of the 2-D key space (top 8 interleaved
-    * bits of each dimension), and the report shows every cell's
+    * is a 256x256 rectangle of the 2-D key space on this fixture (the
+    * 31-bit-per-dimension interleave never aliases larger key domains), and the report shows every cell's
     * bounding box — the statistics a z-ordered layout exposes to file
     * skipping ([[graft.sources.ZOrderLayout]]; the layout itself is
     * proven tighter than a 1-D sort in ZOrderSpec). One hash
@@ -342,7 +342,7 @@ object Relational {
       expr("datediff(o_orderdate, DATE '1970-01-01')").cast("long").as("day"),
       col("o_custkey"))
     d.withColumn("cell", shiftright(
-        graft.sources.ZOrderLayout.interleave16(col("day"), col("o_custkey")), 16))
+        graft.sources.ZOrderLayout.interleave31(col("day"), col("o_custkey")), 16))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("orders"),
         min(col("day")).as("day_lo"), max(col("day")).as("day_hi"),

@@ -1124,22 +1124,24 @@ FROM d a LEFT JOIN d b
   ON b.o_orderpriority = '1-URGENT' AND b.day > a.day AND b.day <= a.day + 7
 GROUP BY 1 ORDER BY a.o_orderkey""",
 
-    // mirror of Relational.zorderCells: the spread-bits ladder as a CTE
-    // chain (pure integer bit arithmetic, identical on both engines)
+    // mirror of Relational.zorderCells: the 31-bit spread ladder as a
+    // CTE chain (pure integer bit arithmetic, identical on both engines)
     "q_zorder_cells" -> """
 WITH d AS (SELECT date_diff('day', DATE '1970-01-01', o_orderdate) AS day,
                   o_custkey AS cust
            FROM orders),
-s0 AS (SELECT day, cust, (day & 65535) AS a0, (cust & 65535) AS b0 FROM d),
-s1 AS (SELECT day, cust, ((a0 | (a0 << 8)) & 16711935) AS a1,
-              ((b0 | (b0 << 8)) & 16711935) AS b1 FROM s0),
-s2 AS (SELECT day, cust, ((a1 | (a1 << 4)) & 252645135) AS a2,
-              ((b1 | (b1 << 4)) & 252645135) AS b2 FROM s1),
-s3 AS (SELECT day, cust, ((a2 | (a2 << 2)) & 858993459) AS a3,
-              ((b2 | (b2 << 2)) & 858993459) AS b3 FROM s2),
-s4 AS (SELECT day, cust, ((a3 | (a3 << 1)) & 1431655765) AS a4,
-              ((b3 | (b3 << 1)) & 1431655765) AS b4 FROM s3),
-z AS (SELECT day, cust, ((a4 | (b4 << 1)) >> 16) AS cell FROM s4)
+s0 AS (SELECT day, cust, (day & 2147483647) AS a0, (cust & 2147483647) AS b0 FROM d),
+s1 AS (SELECT day, cust, ((a0 | (a0 << 16)) & 281470681808895) AS a1,
+              ((b0 | (b0 << 16)) & 281470681808895) AS b1 FROM s0),
+s2 AS (SELECT day, cust, ((a1 | (a1 << 8)) & 71777214294589695) AS a2,
+              ((b1 | (b1 << 8)) & 71777214294589695) AS b2 FROM s1),
+s3 AS (SELECT day, cust, ((a2 | (a2 << 4)) & 1085102592571150095) AS a3,
+              ((b2 | (b2 << 4)) & 1085102592571150095) AS b3 FROM s2),
+s4 AS (SELECT day, cust, ((a3 | (a3 << 2)) & 3689348814741910323) AS a4,
+              ((b3 | (b3 << 2)) & 3689348814741910323) AS b4 FROM s3),
+s5 AS (SELECT day, cust, ((a4 | (a4 << 1)) & 6148914691236517205) AS a5,
+              ((b4 | (b4 << 1)) & 6148914691236517205) AS b5 FROM s4),
+z AS (SELECT day, cust, ((a5 | (b5 << 1)) >> 16) AS cell FROM s5)
 SELECT cell, count(*) AS orders,
        min(day) AS day_lo, max(day) AS day_hi,
        min(cust) AS cust_lo, max(cust) AS cust_hi

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming as-of enrichment — the stateful counterpart of
@@ -10,20 +11,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * row at-or-before it.
   *
   * State per key is ONE row — the latest reference (ts, id, value) seen
-  * so far — not a buffer of history: the state store scales with live
-  * keys, exactly like OffsetStream's per-partition watermark state.
+  * so far — not a buffer of history, and it expires `ttlSeconds` of
+  * EVENT time after that reference (the DocStream watermark-TTL
+  * pattern): user_id is an UNBOUNDED key domain, so without expiry the
+  * store would grow with every user ever seen, not live ones. The TTL
+  * is the attribution horizon — a purchase more than `ttlSeconds`
+  * after the user's last click attributes to nothing, which is what
+  * "last touch within N" means operationally. (The batch operator has
+  * no horizon; the equivalence test uses a TTL longer than the fixture
+  * span, where the two definitions coincide.)
+  *
   * Within a micro-batch, rows are processed in (ts, tag, id) order, so
   * a reference row at exactly the subject's timestamp is visible
   * (inclusive as-of, the batch operator's tie rule) and same-timestamp
   * reference duplicates resolve to the max id (the batch dedup rule).
-  *
   * Ordering contract: event-time order must hold ACROSS micro-batches
   * per key (within a batch any order is fine — the sort restores it).
-  * A reference row arriving after a later-ts subject row was already
-  * emitted cannot retroactively re-enrich it; that is the inherent
-  * trade of emit-on-arrival streaming attribution. The equivalence
-  * test feeds batches in event-time order and proves stream output ==
-  * the batch as-of join.
   */
 object AsofStream extends Serializable {
 
@@ -36,30 +39,50 @@ object AsofStream extends Serializable {
 
   case class LastRef(tus: Long, id: Long, value: Double)
 
-  def enrich(events: Dataset[AsofEvent]): Dataset[Enriched] = {
+  def enrich(events: Dataset[AsofEvent],
+             ttlSeconds: Long = 30L * 86400): Dataset[Enriched] = {
     import events.sparkSession.implicits._
-    def update(user: Long, it: Iterator[AsofEvent],
+    // the watermarked column must SURVIVE into the grouped dataset or
+    // Spark rejects the event-time timeout (DocStream's tuple pattern)
+    val withTs = events
+      .withColumn("ets", timestamp_micros(col("tus")))
+      .withWatermark("ets", "0 seconds")
+      .select(col("user_id"), col("tus"), col("tag"), col("id"), col("value"),
+        col("ets"))
+      .as[(Long, Long, Int, Long, Double, java.sql.Timestamp)]
+    def update(user: Long, it: Iterator[(Long, Long, Int, Long, Double, java.sql.Timestamp)],
                state: GroupState[LastRef]): Iterator[Enriched] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        return Iterator.empty
+      }
       val out = Seq.newBuilder[Enriched]
-      it.toSeq.sortBy(e => (e.tus, e.tag, e.id)).foreach { e =>
-        if (e.tag == 0) {
+      it.toSeq.sortBy(e => (e._2, e._3, e._4)).foreach { e =>
+        val (tus, tag, id, value) = (e._2, e._3, e._4, e._5)
+        if (tag == 0) {
           val better = state.getOption.forall(s =>
-            s.tus < e.tus || (s.tus == e.tus && s.id < e.id))
-          if (better) state.update(LastRef(e.tus, e.id, e.value))
+            s.tus < tus || (s.tus == tus && s.id < id))
+          if (better) state.update(LastRef(tus, id, value))
         } else {
           state.getOption match {
-            case Some(s) if s.tus <= e.tus =>
-              out += Enriched(e.id, user, e.tus, s.id, s.value,
-                (e.tus - s.tus) / 1000000L)
+            case Some(s) if s.tus <= tus =>
+              out += Enriched(id, user, tus, s.id, s.value,
+                (tus - s.tus) / 1000000L)
             case _ =>
-              out += Enriched(e.id, user, e.tus, null, null, null)
+              out += Enriched(id, user, tus, null, null, null)
           }
         }
       }
+      // the horizon arms off the LAST REFERENCE's event time: the state
+      // row dies ttlSeconds after the click it holds (clamped one tick
+      // past the watermark — Spark rejects timeouts already in the past)
+      state.getOption.foreach(s =>
+        state.setTimeoutTimestamp(math.max(s.tus / 1000L + ttlSeconds * 1000L,
+          state.getCurrentWatermarkMs() + 1)))
       out.result().iterator
     }
-    events.groupByKey(_.user_id)
+    withTs.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout())(update)
+        GroupStateTimeout.EventTimeTimeout())(update)
   }
 }

@@ -46,6 +46,28 @@ class AsofStreamSpec extends AnyFunSuite {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("state expires ttlSeconds of event time after its reference") {
+    implicit val sq = spark.sqlContext
+    val us = 1000000L
+    val input = MemoryStream[AsofEvent]
+    val q = AsofStream.enrich(input.toDS(), ttlSeconds = 60L)
+      .writeStream.format("memory").queryName("asof_ttl")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(AsofEvent(1L, 100L * us, 0, 10L, 5.0)))
+      q.processAllAvailable()
+      // another key's event advances the watermark past 100s + 60s TTL
+      input.addData(Seq(AsofEvent(2L, 500L * us, 0, 20L, 1.0)))
+      q.processAllAvailable()
+      // user 1's click state has expired: the purchase attributes to nothing
+      input.addData(Seq(AsofEvent(1L, 600L * us, 1, 30L, 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("asof_ttl").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(0) === 30L && rows.head.isNullAt(3))
+  }
+
   test("same-timestamp reference ties resolve to max id, inclusively") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[AsofEvent]

@@ -18,7 +18,7 @@ class ZOrderSpec extends AnyFunSuite {
   private def mortonRef(a: Long, b: Long): Long = {
     var z = 0L
     var i = 0
-    while (i < 16) {
+    while (i < 31) {
       z |= ((a >> i) & 1L) << (2 * i)
       z |= ((b >> i) & 1L) << (2 * i + 1)
       i += 1
@@ -26,11 +26,12 @@ class ZOrderSpec extends AnyFunSuite {
     z
   }
 
-  test("interleave16 matches the bit-by-bit reference") {
+  test("interleave31 matches the bit-by-bit reference") {
     val vals = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
-      (12345L, 54321L), (40000L, 7L), (9131L, 1499L))
+      (12345L, 54321L), (40000L, 7L), (9131L, 1499L),
+      (150000L, 70000L), (2147483647L, 2147483647L)) // > 16-bit domains
     val got = vals.toDF("a", "b")
-      .select(ZOrderLayout.interleave16($"a", $"b").as("z"))
+      .select(ZOrderLayout.interleave31($"a", $"b").as("z"))
       .as[Long].collect()
     assert(got.toSeq === vals.map { case (a, b) => mortonRef(a, b) })
   }
