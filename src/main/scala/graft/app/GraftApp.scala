@@ -140,7 +140,8 @@ object GraftApp {
         GroupAnalytics.groupTopicLag(wm, go),
         SchemaRegistryOps.counts(Snapshots.srSubjects(spark, sfDir),
           wm.filter(org.apache.spark.sql.functions.col("s") === Snapshots.NumScans)),
-        Deltas.partitionDeltas(wm)) +
+        Deltas.partitionDeltas(wm),
+        lagTrend = Some(GroupAnalytics.lagTrend(wm, go))) +
         topicsLatency.render(labels) + "\n" +
         groupsLatency.render(labels) + "\n"
       Files.writeString(Paths.get(s"$outDir/metrics_${cluster.name}.prom"), text)

@@ -48,11 +48,19 @@ object MetricsExposition {
     * per-partition new-message deltas (W1, exposed as a gauge of the last
     * interval). */
   def exposition(clusterTotals: DataFrame, groupTopicLag: DataFrame,
-                 srCounts: DataFrame, partitionDeltas: DataFrame): String = {
+                 srCounts: DataFrame, partitionDeltas: DataFrame,
+                 lagTrend: Option[DataFrame] = None): String = {
     val latestDelta = partitionDeltas
       .groupBy(col("cluster"), col("topic"), col("partition_id"))
       .agg(max_by(col("delta"), col("scan_ts")).as("delta"))
-    Seq(
+    // beyond the reference's catalog: the lag-trend slope (exact-integer
+    // least squares over the scan history, GroupAnalytics.lagTrend) —
+    // the alertable is-it-falling-behind signal
+    val trendGauge = lagTrend.map(t =>
+      gauge("kafka_overwatch_consumer_group_lag_slope",
+        "Lag least-squares slope over the scan history (positive = falling behind)",
+        t, Seq("cluster", "grp", "topic"), "slope")).toSeq
+    (Seq(
       gauge("kafka_overwatch_cluster_topics_count", "Total topics per cluster",
         clusterTotals, Seq("cluster"), "topics_count"),
       gauge("kafka_overwatch_cluster_partitions_count", "Total partitions per cluster",
@@ -67,6 +75,7 @@ object MetricsExposition {
         srCounts, Seq("registry"), "schemas_count"),
       gauge("kafka_overwatch_topic_partition_new_messages", "New messages in the last scan interval",
         latestDelta, Seq("cluster", "topic", "partition_id"), "delta"))
+      ++ trendGauge)
       .mkString("\n") + "\n"
   }
 }

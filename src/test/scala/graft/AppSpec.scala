@@ -96,8 +96,11 @@ class AppSpec extends AnyFunSuite {
       GroupAnalytics.groupTopicLag(wm, go),
       graft.operators.SchemaRegistryOps.counts(Snapshots.srSubjects(spark, dir),
         wm.filter(org.apache.spark.sql.functions.col("s") === Snapshots.NumScans)),
-      Deltas.partitionDeltas(wm))
+      Deltas.partitionDeltas(wm),
+      lagTrend = Some(GroupAnalytics.lagTrend(wm, go)))
     assert(text.contains("# TYPE kafka_overwatch_cluster_topics_count gauge"))
+    assert(text.contains("# TYPE kafka_overwatch_consumer_group_lag_slope gauge"))
+    assert(text.contains("""kafka_overwatch_consumer_group_lag_slope{cluster="c1",grp="g_active""""))
     // the fleet spans two clusters: 5 even-length topics on c1, 4 odd on c2
     assert(text.contains("""kafka_overwatch_cluster_topics_count{cluster="c1"} 5"""))
     assert(text.contains("""kafka_overwatch_cluster_topics_count{cluster="c2"} 4"""))
