@@ -45,6 +45,19 @@ object ScaleProof {
     replicas.reduce(_ unionByName _)
   }
 
+  /** K disjoint user-offset replicas of the events table: per-replica
+    * as-of/session/anomaly structure is identical (same per-user event
+    * sequences under shifted ids), so runtimes should scale ~linearly
+    * in total events with NO cross-replica interaction. */
+  def scaledEvents(ev: DataFrame, k: Int): DataFrame = {
+    val replicas = (0 until k).map { r =>
+      ev.select((col("user_id") + lit(r.toLong * 1000000L)).as("user_id"),
+        (col("event_id") + lit(r.toLong * 100000000L)).as("event_id"),
+        col("ts"), col("event_type"), col("value"), col("epoch_s"))
+    }
+    replicas.reduce(_ unionByName _)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
