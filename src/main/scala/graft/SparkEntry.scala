@@ -336,6 +336,17 @@ object SparkEntry {
           .select(col("doc_id").as("bench_id"), col("text")))
         .orderBy(col("bench_id"))
     }),
+    // the text-cleaning pipeline under the oracle gate: the corpus is
+    // deterministically dirtied (tags + an email + a phone per doc) so
+    // every scrub stage actually fires, then the impact report must
+    // hash-match DuckDB running the same RE2-safe regex chain
+    "q_text_cleaning" -> ((s, dir) => {
+      val dirty = docs(s, dir).select(col("doc_id"),
+        concat(lit("<b>title</b> "), col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1 (555) 123-4567 now")).as("text"))
+      functions.TextCleaning.cleaningReport(dirty).orderBy(col("doc_id"))
+    }),
     // crawl-over-crawl diff: v2 derives deterministically from the
     // fixture (13 drops a doc, 17 edits one, 19 adds a copy)
     "q_corpus_diff" -> ((s, dir) => {

@@ -1174,6 +1174,30 @@ SELECT lang, count(DISTINCT token) AS distinct_exact,
        CAST(count(DISTINCT bucket) AS DOUBLE) / ${graft.functions.CountSketch.LcBuckets}.0 AS load_factor
 FROM hb GROUP BY 1 ORDER BY lang""",
 
+    // mirror of TextCleaning.cleaningReport over the dirtied corpus —
+    // the same regex chain (RE2-safe subset) with DuckDB's 'g' flag
+    "q_text_cleaning" -> """
+WITH dirty AS (
+  SELECT doc_id,
+         '<b>title</b> ' || text || ' contact user' || CAST(doc_id AS VARCHAR)
+           || '@example.com or +1 (555) 123-4567 now' AS text
+  FROM documents),
+cl AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS raw_len,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '<[^>]*>', '', 'g'),
+                 '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+?[0-9][0-9 ()+.-]{7,}[0-9]', '<PHONE>', 'g'),
+           '[ \t\r\n]+', ' ', 'g')) AS cleaned
+  FROM dirty)
+SELECT doc_id, raw_len, CAST(length(cleaned) AS BIGINT) AS clean_len,
+       raw_len <> CAST(length(cleaned) AS BIGINT) AS changed
+FROM cl ORDER BY doc_id""",
+
     // mirror of TextAnalytics.corpusDiff over the derived v2
     "q_corpus_diff" -> """
 WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
