@@ -403,6 +403,11 @@ object SparkEntry {
       TextAnalytics.splitSummary(docs(s, dir)).orderBy(col("lang"), col("split"))),
     "q_quantize_report" -> ((s, dir) =>
       Similarity.quantizationReport(emb(s, dir)).orderBy(col("vec_id"))),
+    // per-modality payload size profile (drives binary-lake partition
+    // and decode-batch sizing; payloads never shuffle)
+    "q_multimodal_sizes" -> ((s, dir) =>
+      functions.Multimodal.sizeStats(
+        functions.Multimodal.assetsFrom(docs(s, dir))).orderBy(col("kind"))),
     "q_multimodal_features" -> ((s, dir) =>
       functions.Multimodal.featureStats(
         functions.Multimodal.decodeFeatures(

@@ -93,6 +93,20 @@ object Multimodal {
     * one double division at the end, so the result is order-independent
     * and bit-reproducible (an avg over per-asset doubles would depend on
     * accumulation order and could never hash-match an oracle). */
+  /** Per-modality payload size profile — the stats that drive partition
+    * and batch sizing for a binary lake (maxPartitionBytes, decode batch
+    * shape): counts, min/max/exact-median bytes, total volume. All
+    * order-free aggregates over the byte length computed inside the
+    * scan; the payload itself never reaches the shuffle. */
+  def sizeStats(assets: Dataset[Asset]): DataFrame =
+    assets.toDF()
+      .select(col("kind"), length(col("payload")).cast("long").as("bytes"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_assets"),
+        min(col("bytes")).as("min_bytes"), max(col("bytes")).as("max_bytes"),
+        expr("percentile(bytes, 0.5)").as("median_bytes"),
+        sum(col("bytes")).as("total_bytes"))
+
   def featureStats(features: Dataset[AssetFeatures]): DataFrame =
     features.toDF()
       .select(col("kind"), col("n_bytes"), posexplode(col("counts")))

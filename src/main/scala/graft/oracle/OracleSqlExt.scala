@@ -447,6 +447,19 @@ FROM f a JOIN f b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
 ORDER BY doc_a, doc_b""",
 
+    // mirror of Multimodal.sizeStats (ASCII corpus: char length ==
+    // byte length, the q_multimodal_features convention)
+    "q_multimodal_sizes" -> """
+WITH a AS (
+  SELECT ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+         CAST(length(text) AS BIGINT) AS bytes
+  FROM documents)
+SELECT kind, count(*) AS n_assets,
+       min(bytes) AS min_bytes, max(bytes) AS max_bytes,
+       quantile_cont(bytes, 0.5) AS median_bytes,
+       CAST(sum(bytes) AS BIGINT) AS total_bytes
+FROM a GROUP BY 1 ORDER BY kind""",
+
     "q_multimodal_features" -> """
 WITH a AS (
   SELECT doc_id AS asset_id,
