@@ -88,11 +88,6 @@ object Multimodal {
         slice(sequence(lit(0), lit(everyN * (cap - 1)), lit(everyN)), 1, cap)
           .as("frame_indexes"))
 
-  /** Per-kind feature rollup (the downstream consumer of decode): pooled
-    * byte distribution per modality from EXACT integer sums — the mean is
-    * one double division at the end, so the result is order-independent
-    * and bit-reproducible (an avg over per-asset doubles would depend on
-    * accumulation order and could never hash-match an oracle). */
   /** Per-modality payload size profile — the stats that drive partition
     * and batch sizing for a binary lake (maxPartitionBytes, decode batch
     * shape): counts, min/max/exact-median bytes, total volume. All
@@ -107,6 +102,11 @@ object Multimodal {
         expr("percentile(bytes, 0.5)").as("median_bytes"),
         sum(col("bytes")).as("total_bytes"))
 
+  /** Per-kind feature rollup (the downstream consumer of decode): pooled
+    * byte distribution per modality from EXACT integer sums — the mean is
+    * one double division at the end, so the result is order-independent
+    * and bit-reproducible (an avg over per-asset doubles would depend on
+    * accumulation order and could never hash-match an oracle). */
   def featureStats(features: Dataset[AssetFeatures]): DataFrame =
     features.toDF()
       .select(col("kind"), col("n_bytes"), posexplode(col("counts")))

@@ -29,7 +29,7 @@ object JoinScaleProof {
 
     println(f"${"k"}%3s ${"events"}%9s ${"asof_rows"}%10s ${"asof_s"}%7s " +
       f"${"anom_rows"}%10s ${"anom_s"}%7s")
-    args.headOption.getOrElse("1,4,16").split(",").map(_.trim.toInt).foreach { k =>
+    args.headOption.getOrElse("1,1,4,16").split(",").map(_.trim.toInt).foreach { k =>
       val corpus = ScaleProof.scaledEvents(ev, k).localCheckpoint()
       val t0 = System.nanoTime()
       val asofRows = graft.operators.Relational.purchaseClickAsof(corpus).count()

@@ -50,6 +50,7 @@ object ScaleProof {
     * sequences under shifted ids), so runtimes should scale ~linearly
     * in total events with NO cross-replica interaction. */
   def scaledEvents(ev: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k out of range: $k")
     val replicas = (0 until k).map { r =>
       ev.select((col("user_id") + lit(r.toLong * 1000000L)).as("user_id"),
         (col("event_id") + lit(r.toLong * 100000000L)).as("event_id"),
