@@ -83,6 +83,16 @@ object SparkEntry {
     cosineMemo.getOrElseUpdate((s, dir),
       Similarity.scoredBucketPairs(emb(s, dir)).persist())
 
+  /** The unthresholded minhash candidate set (band candidates + est)
+    * feeds q_minhash_pairs AND q_minhash_calibration — signatures and
+    * the banded self-join run once per (session, dir). */
+  private val minhashMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def minhashCandidates(s: SparkSession, dir: String): DataFrame =
+    minhashMemo.getOrElseUpdate((s, dir),
+      Sketches.minHashPairs(docs(s, dir), threshold = 0.0).persist())
+
   /** The deflated power-iteration direction stack feeds three queries —
     * train once per (session, dir) (2 x 64 doubles of driver state, the
     * IVF centroid contract). Component 1 of the stack IS topDirection
@@ -271,8 +281,23 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))),
     "q_minhash_pairs" -> ((s, dir) =>
-      Sketches.minHashPairs(docs(s, dir), threshold = 0.3)
+      minhashCandidates(s, dir).filter(col("est_jaccard") >= 0.3)
         .orderBy(col("doc_a"), col("doc_b"))),
+    // estimator calibration: minhash est vs TRUE shingle jaccard (from
+    // the shared scored-pair set) per estimate bucket — the measured
+    // accuracy report for the sketch path (order-free error stats)
+    "q_minhash_calibration" -> ((s, dir) => {
+      val est = minhashCandidates(s, dir)
+      val truth = scoredPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      est.join(truth, Seq("doc_a", "doc_b"), "left")
+        .groupBy(floor(col("est_jaccard") * 8).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("pairs"),
+          count(col("jaccard")).as("with_truth"),
+          expr("percentile(abs(est_jaccard - jaccard), 0.5)").as("p50_abs_err"),
+          max(abs(col("est_jaccard") - col("jaccard"))).as("max_abs_err"))
+        .orderBy(col("bucket"))
+    }),
     // radius 4 -> 5 bands of ~13-bit keys: recall 1.0 within the radius
     // (SketchSpec) with selective buckets; radius 10 would need 11 bands
     // of ~6-bit keys whose fan-out grows quadratically per bucket.
@@ -505,6 +530,7 @@ object SparkEntry {
     scoredPairs(s, dir).count()
     dedupClusters03(s, dir).count()
     scoredBucketPairsOf(s, dir).count()
+    minhashCandidates(s, dir).count()
     pcaDirections(s, dir)
     ivfCentroids(s, dir)
   }
