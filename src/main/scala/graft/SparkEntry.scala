@@ -276,6 +276,10 @@ object SparkEntry {
         .groupBy(col("cluster_id")).agg(count(lit(1)).as("members"))
         .groupBy(col("members")).agg(count(lit(1)).as("clusters"))
         .orderBy(col("members"))),
+    // per-source redundancy rollup over the shared cluster assignment
+    "q_dedup_rate_by_source" -> ((s, dir) =>
+      Dedup.dedupRateBySource(docs(s, dir), dedupClusters03(s, dir))
+        .orderBy(col("source"))),
     "q_dedup_corpus" -> ((s, dir) =>
       Dedup.dropClusterDuplicates(docs(s, dir), dedupClusters03(s, dir))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))

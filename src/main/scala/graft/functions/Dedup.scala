@@ -191,6 +191,29 @@ object Dedup {
         col("sim"))
   }
 
+  /** Per-source dedup retention rollup — the "which feeds are
+    * redundant" view that decides re-crawl budgets: document counts,
+    * distinct-content counts, exact-dup volume, and how many documents
+    * the near-dup clustering would drop (cluster members with keep =
+    * false, from the caller's shared cluster assignment). Rates are
+    * single exact-integer divisions. */
+  def dedupRateBySource(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val exact = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        countDistinct(md5(col("text"))).as("distinct_content"))
+    val nearDropped = docs.select(col("doc_id"), col("source"))
+      .join(clusters.filter(!col("keep")).select(col("doc_id")), "doc_id")
+      .groupBy(col("source")).agg(count(lit(1)).as("near_dup_dropped"))
+    exact.join(nearDropped, Seq("source"), "left")
+      .select(col("source"), col("docs"), col("distinct_content"),
+        (col("docs") - col("distinct_content")).as("exact_dup_docs"),
+        coalesce(col("near_dup_dropped"), lit(0L)).as("near_dup_dropped"))
+      .withColumn("exact_dup_rate",
+        (col("docs") - col("distinct_content")).cast("double") / col("docs"))
+      .withColumn("near_dup_rate",
+        col("near_dup_dropped").cast("double") / col("docs"))
+  }
+
   def jaccardPairs(docs: DataFrame, n: Int = 5, maxDocFreq: Int = 100,
                    threshold: Double = 0.5): DataFrame =
     scoredShinglePairs(docs, n, maxDocFreq)

@@ -716,6 +716,44 @@ SELECT e.source AS source, n_docs, CAST(med_b AS DOUBLE) / 256.0 AS est_median,
        abs(CAST(med_b AS DOUBLE) / 256.0 - exact_median) AS abs_err
 FROM e JOIN x ON e.source = x.source ORDER BY source""",
 
+    // mirror of Dedup.dedupRateBySource (cluster CTEs reused verbatim)
+    "q_dedup_rate_by_source" -> """
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, text[i:i+4] AS shingle
+  FROM documents, unnest(range(1, greatest(length(text) - 3, 1))) t(i)),
+rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 100),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shr GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.3),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+cl AS (SELECT node AS doc_id, min(label) = node AS keep
+       FROM reach GROUP BY node),
+ex AS (SELECT source, count(*) AS docs,
+              count(DISTINCT md5(text)) AS distinct_content
+       FROM documents GROUP BY 1),
+nd AS (SELECT d.source, count(*) AS near_dup_dropped
+       FROM documents d JOIN cl ON d.doc_id = cl.doc_id
+       WHERE NOT cl.keep GROUP BY 1)
+SELECT ex.source AS source, docs, distinct_content,
+       docs - distinct_content AS exact_dup_docs,
+       coalesce(near_dup_dropped, 0) AS near_dup_dropped,
+       CAST(docs - distinct_content AS DOUBLE) / docs AS exact_dup_rate,
+       CAST(coalesce(near_dup_dropped, 0) AS DOUBLE) / docs AS near_dup_rate
+FROM ex LEFT JOIN nd ON ex.source = nd.source ORDER BY source""",
+
     "q_dedup_clusters" -> """
 WITH RECURSIVE sh AS (
   SELECT DISTINCT doc_id, text[i:i+4] AS shingle
