@@ -287,19 +287,25 @@ object SparkEntry {
     "q_minhash_pairs" -> ((s, dir) =>
       minhashCandidates(s, dir).filter(col("est_jaccard") >= 0.3)
         .orderBy(col("doc_a"), col("doc_b"))),
-    // estimator calibration: minhash est vs TRUE shingle jaccard (from
-    // the shared scored-pair set) per estimate bucket — the measured
-    // accuracy report for the sketch path (order-free error stats)
+    // estimator calibration: minhash est vs the TRUE full-shingle
+    // jaccard per estimate bucket — truth comes from row-local distinct
+    // shingle-hash arrays intersected per candidate pair (NOT the
+    // df-capped scored-pair set, whose hot-shingle cap would conflate
+    // cap bias with estimator error), so every candidate gets a truth
+    // value and the error stats measure the estimator alone
     "q_minhash_calibration" -> ((s, dir) => {
+      val hs = docs(s, dir).select(col("doc_id"),
+        array_distinct(Dedup.shingleHashes(col("text"))).as("hs"))
       val est = minhashCandidates(s, dir)
-      val truth = scoredPairs(s, dir)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      est.join(truth, Seq("doc_a", "doc_b"), "left")
-        .groupBy(floor(col("est_jaccard") * 8).cast("long").as("bucket"))
+        .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+        .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+        .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+        .withColumn("true_j", col("inter").cast("double") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
+      est.groupBy(floor(col("est_jaccard") * 8).cast("long").as("bucket"))
         .agg(count(lit(1)).as("pairs"),
-          count(col("jaccard")).as("with_truth"),
-          expr("percentile(abs(est_jaccard - jaccard), 0.5)").as("p50_abs_err"),
-          max(abs(col("est_jaccard") - col("jaccard"))).as("max_abs_err"))
+          expr("percentile(abs(est_jaccard - true_j), 0.5)").as("p50_abs_err"),
+          max(abs(col("est_jaccard") - col("true_j"))).as("max_abs_err"))
         .orderBy(col("bucket"))
     }),
     // radius 4 -> 5 bands of ~13-bit keys: recall 1.0 within the radius

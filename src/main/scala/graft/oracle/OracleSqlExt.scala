@@ -414,8 +414,9 @@ FROM shrd JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
 WHERE CAST(shared AS DOUBLE) / (sa.n_fp + sb.n_fp - shared) >= 0.3
 ORDER BY doc_a, doc_b""",
 
-    // mirror of q_minhash_calibration: the minhash-estimate CTEs joined
-    // to the true-jaccard candidate CTEs (both reused verbatim)
+    // mirror of q_minhash_calibration: minhash-estimate CTEs joined to
+    // TRUE full-shingle jaccard (distinct shingle-hash list intersects
+    // per candidate pair — not the df-capped index)
     "q_minhash_calibration" -> s"""
 WITH sh AS (
   SELECT doc_id,
@@ -435,29 +436,18 @@ p AS (
            AS est_jaccard,
          ($minhashBandShareSql) AS band_share
   FROM f a JOIN f b ON a.doc_id < b.doc_id),
-tsh AS (
-  SELECT DISTINCT doc_id, text[i:i+4] AS shingle
-  FROM documents, unnest(range(1, greatest(length(text) - 3, 1))) t(i)),
-trare AS (SELECT shingle FROM tsh GROUP BY 1 HAVING count(*) <= 100),
-tshr AS (SELECT tsh.doc_id, tsh.shingle FROM tsh JOIN trare USING (shingle)),
-tsizes AS (SELECT doc_id, count(*) AS n_sh FROM tshr GROUP BY 1),
-tinter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM tshr a JOIN tshr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-truth AS (
-  SELECT doc_a, doc_b,
-         CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
-  FROM tinter JOIN tsizes sa ON doc_a = sa.doc_id
-  JOIN tsizes sb ON doc_b = sb.doc_id),
+hs AS (SELECT doc_id, list_distinct(xs) AS hs FROM xs),
 cal AS (
-  SELECT p.est_jaccard, truth.jaccard
-  FROM p LEFT JOIN truth USING (doc_a, doc_b)
+  SELECT p.est_jaccard,
+         CAST(len(list_intersect(xa.hs, xb.hs)) AS DOUBLE)
+           / (len(xa.hs) + len(xb.hs) - len(list_intersect(xa.hs, xb.hs)))
+           AS true_j
+  FROM p JOIN hs xa ON p.doc_a = xa.doc_id JOIN hs xb ON p.doc_b = xb.doc_id
   WHERE p.band_share)
 SELECT CAST(floor(est_jaccard * 8) AS BIGINT) AS bucket,
-       count(*) AS pairs, count(jaccard) AS with_truth,
-       quantile_cont(abs(est_jaccard - jaccard), 0.5) AS p50_abs_err,
-       max(abs(est_jaccard - jaccard)) AS max_abs_err
+       count(*) AS pairs,
+       quantile_cont(abs(est_jaccard - true_j), 0.5) AS p50_abs_err,
+       max(abs(est_jaccard - true_j)) AS max_abs_err
 FROM cal GROUP BY 1 ORDER BY bucket""",
 
     "q_minhash_pairs" -> s"""
