@@ -22,6 +22,14 @@ object Sketches {
   val MinHashBands = 16
   val RowsPerBand: Int = NumHashes / MinHashBands
 
+  /** Per-bucket anchor count for the banded join (see
+    * minHashBandCandidates). 32 was chosen from the measured band-key
+    * document-frequency distribution (tools.BandDfProbe): no bucket at
+    * sf0.001/sf0.01 exceeds df 12, so the cap is a no-op at oracle-gate
+    * scale, while sf0.1's hottest bucket (df 106) gets its pair fan-out
+    * halved and the growth law becomes provably linear. */
+  val BandAnchors = 32
+
   /** Carter-Wegman universal permutation family h_i(x) = (a_i*x + b_i)
     * mod p over the Mersenne prime p = 2^31-1 — the textbook minhash
     * family. With x < 2^30 (polyhash) and a_i < p the product stays below
@@ -88,26 +96,56 @@ object Sketches {
 
   /** The raw band-join candidate stream (multi-band duplicates included),
     * BEFORE the est-jaccard filter — the quantity whose growth rate decides
-    * whether the sketch path survives scale: band-key selectivity must keep
-    * candidates/doc ~constant as the corpus grows (tools.ScaleProof records
-    * this; SketchScaleSpec regression-guards it). */
-  def minHashBandCandidates(docs: DataFrame, n: Int = 5): DataFrame = {
+    * whether the sketch path survives scale.
+    *
+    * Anchored emission (the hot-bucket bound): within each (band,
+    * band_key) bucket only the `anchors` smallest doc_ids pair against
+    * the rest, so a bucket of df members emits <= anchors * df candidates
+    * instead of df^2/2 and TOTAL candidates are <= anchors * MinHashBands
+    * * nDocs — linear in the corpus unconditionally, a provable bound
+    * rather than an empirical trend. Recall: buckets with df <= anchors+1
+    * (every bucket at oracle-gate scale, tools.BandDfProbe) emit ALL
+    * their pairs — identical output to the uncapped join; in hotter
+    * buckets every member still pairs with the bucket's minimum doc_id,
+    * so bucket CONNECTIVITY (what near-dup clustering consumes) is
+    * preserved exactly, and only non-anchor/non-anchor pairs that share
+    * no other band are lost (measured 0 of 93 pairs at sf0.001, < 3.5%
+    * at 20x that corpus — tools.BandDfProbe; a df-DROP cap like the
+    * jaccard path's maxDocFreq was measured and REJECTED: hot buckets
+    * are substantially REAL near-dup clusters, and dropping them lost
+    * 2333 of 7060 true pairs at 20x).
+    *
+    * NOT mirrored on the SimHash side: its banding is pigeonhole-exact
+    * (recall 1.0 within the radius) and an anchor cap would break that
+    * guarantee; its hot-bucket exposure is bounded by radius <= 7 keys
+    * being >= 8 bits wide (see simHashPairs scale note). */
+  def minHashBandCandidates(docs: DataFrame, n: Int = 5,
+                            anchors: Int = BandAnchors): DataFrame = {
     val bands = bandsOf(minHashSignatures(docs, n))
-    bands.as("a")
-      .join(bands.as("b"),
+    val byBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_key")).orderBy(col("doc_id"))
+    // row_number orders by doc_id, so a.doc_id < b.doc_id already implies
+    // rank(a) < rank(b): the anchor filter composes with the existing
+    // ordering predicate instead of replacing it. Both join inputs are the
+    // same ranked subtree -> one exchange, reused (plan-asserted in
+    // SketchScaleSpec).
+    val ranked = bands.withColumn("rk", row_number().over(byBucket))
+    ranked.filter(col("rk") <= anchors).as("a")
+      .join(ranked.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
   }
 
-  def minHashPairs(docs: DataFrame, threshold: Double = 0.5, n: Int = 5): DataFrame =
+  def minHashPairs(docs: DataFrame, threshold: Double = 0.5, n: Int = 5,
+                   anchors: Int = BandAnchors): DataFrame =
     // Estimate and threshold BEFORE deduplicating (the SimHash/cosine
     // pattern): the signature agreement count is cheap codegen over rows
     // the join already holds, while dropDuplicates shuffles its input —
     // so the exchange carries only (doc_a, doc_b, est) survivors, never
     // two 64-long signature arrays per candidate.
-    minHashBandCandidates(docs, n)
+    minHashBandCandidates(docs, n, anchors)
       .select(col("doc_a"), col("doc_b"),
         (expr(s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
           .cast("double") / NumHashes).as("est_jaccard"))

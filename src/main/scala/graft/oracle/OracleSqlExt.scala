@@ -43,12 +43,28 @@ object OracleSqlExt {
       .mkString(", ") + "]"
   }
 
-  /** >= 1 of the 16 bands fully agrees (4 consecutive positions each). */
-  private val minhashBandShareSql = {
-    import graft.functions.Sketches.{MinHashBands, RowsPerBand}
-    (0 until MinHashBands).map(g => "(" + (1 to RowsPerBand).map(r =>
-      s"a.sig[${g * RowsPerBand + r}] = b.sig[${g * RowsPerBand + r}]")
-      .mkString(" AND ") + ")").mkString(" OR ")
+  /** Banded candidate pairs over `f`(doc_id, sig) — the exact mirror of
+    * Sketches.minHashBandCandidates: 16 band keys (4 consecutive sig
+    * positions each; DuckDB [a:b] slicing is 1-based end-inclusive like
+    * Spark's slice(arr, start, len)), per-bucket row_number by doc_id,
+    * and anchored emission (only the BandAnchors smallest doc_ids of a
+    * bucket pair against the rest — the hot-bucket fan-out bound). */
+  private val minhashCandCtes = {
+    import graft.functions.Sketches.{BandAnchors, MinHashBands, RowsPerBand}
+    s"""bk AS (
+  SELECT doc_id, sig, g.band AS band,
+         sig[g.band * $RowsPerBand + 1 : g.band * $RowsPerBand + $RowsPerBand] AS bkey
+  FROM f, (SELECT unnest(range($MinHashBands)) AS band) g),
+rk AS (
+  SELECT doc_id, sig, band, bkey,
+         row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rk
+  FROM bk),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 64
+           AS est_jaccard
+  FROM rk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+    AND a.doc_id < b.doc_id AND a.rk <= $BandAnchors)"""
   }
 
   /** CMS mirrors (graft.functions.CountSketch): one UNION ALL branch per
@@ -264,7 +280,7 @@ FROM r WHERE rnk <= 3 ORDER BY vec_id, "rank"""",
     "q_cohort_revenue" -> """
 WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS epoch_s,
                   "value" AS v FROM events),
-p AS (SELECT user_id, CAST(floor(v * 100) AS BIGINT) AS cents
+p AS (SELECT user_id, CAST(round(v * 100) AS BIGINT) AS cents
       FROM e WHERE event_type = 'purchase'),
 c AS (SELECT user_id, CAST(min(epoch_s // 86400) AS BIGINT) AS cohort_day
       FROM e WHERE event_type = 'signup' GROUP BY 1)
@@ -279,7 +295,7 @@ GROUP BY 1 ORDER BY cohort_day""",
     // correctly-rounded IEEE ops)
     "q_event_anomalies" -> """
 WITH m AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 60 AS minute,
-                  CAST(sum(CAST(floor("value" * 100) AS BIGINT)) AS BIGINT) AS cents
+                  CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) AS cents
            FROM events GROUP BY 1, 2),
 w AS (SELECT event_type, minute, cents,
              count(*) OVER tw AS k,
@@ -430,20 +446,14 @@ xs AS (
            (acc, c) -> (acc * 31 + c) % 1000000007)) AS xs
   FROM sh),
 f AS (SELECT doc_id, $minhashSigSql AS sig FROM xs),
-p AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST(len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 64
-           AS est_jaccard,
-         ($minhashBandShareSql) AS band_share
-  FROM f a JOIN f b ON a.doc_id < b.doc_id),
+$minhashCandCtes,
 hs AS (SELECT doc_id, list_distinct(xs) AS hs FROM xs),
 cal AS (
   SELECT p.est_jaccard,
          CAST(len(list_intersect(xa.hs, xb.hs)) AS DOUBLE)
            / (len(xa.hs) + len(xb.hs) - len(list_intersect(xa.hs, xb.hs)))
            AS true_j
-  FROM p JOIN hs xa ON p.doc_a = xa.doc_id JOIN hs xb ON p.doc_b = xb.doc_id
-  WHERE p.band_share)
+  FROM cand p JOIN hs xa ON p.doc_a = xa.doc_id JOIN hs xb ON p.doc_b = xb.doc_id)
 SELECT CAST(floor(est_jaccard * 8) AS BIGINT) AS bucket,
        count(*) AS pairs,
        quantile_cont(abs(est_jaccard - true_j), 0.5) AS p50_abs_err,
@@ -463,14 +473,9 @@ xs AS (
            (acc, c) -> (acc * 31 + c) % 1000000007)) AS xs
   FROM sh),
 f AS (SELECT doc_id, $minhashSigSql AS sig FROM xs),
-p AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST(len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 64
-           AS est_jaccard,
-         ($minhashBandShareSql) AS band_share
-  FROM f a JOIN f b ON a.doc_id < b.doc_id)
-SELECT doc_a, doc_b, est_jaccard FROM p
-WHERE band_share AND est_jaccard >= 0.3
+$minhashCandCtes
+SELECT doc_a, doc_b, est_jaccard FROM cand
+WHERE est_jaccard >= 0.3
 ORDER BY doc_a, doc_b""",
 
     "q_simhash_pairs" -> s"""
@@ -1202,7 +1207,7 @@ ORDER BY purchase_id""",
     "q_order_velocity" -> """
 WITH d AS (SELECT o_orderkey, o_orderpriority,
                   date_diff('day', DATE '1970-01-01', o_orderdate) AS day,
-                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
            FROM orders)
 SELECT a.o_orderkey,
        count(b.o_orderkey) AS following_urgent,
