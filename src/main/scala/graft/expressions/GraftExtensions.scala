@@ -26,11 +26,29 @@ object GraftExtensions {
     "winnow_sig" -> (children => WinnowSig(children.head)),
     "sim_hash_sig" -> (children => SimHashSig(children.head)),
     // n is an optional int literal (default 5) — it must not be silently
-    // dropped: ngram_hashes(text, 8) has different semantics
+    // dropped: ngram_hashes(text, 8) has different semantics. The second
+    // argument shapes the kernel itself, so it must be a FOLDABLE integer
+    // >= 1: a column reference here would mis-resolve (eval() on an
+    // unbound attribute), and n = 0 or negative would index out of the
+    // token-boundary arrays.
     "ngram_hashes" -> (children => children match {
       case Seq(c) => NgramHashes(c)
-      case Seq(c, n) => NgramHashes(c,
-        n.eval().asInstanceOf[Number].intValue())
+      case Seq(c, n) =>
+        val integral = n.dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType => true
+          case _ => false
+        }
+        if (!n.foldable || !integral)
+          throw new IllegalArgumentException(
+            "ngram_hashes: n must be an integer literal, got " + n.sql)
+        val nv = n.eval().asInstanceOf[Number]
+        if (nv == null || nv.intValue() < 1)
+          throw new IllegalArgumentException(
+            s"ngram_hashes: n must be >= 1, got $nv")
+        NgramHashes(c, nv.intValue())
       case _ => throw new IllegalArgumentException(
         s"ngram_hashes expects 1 or 2 arguments, got ${children.length}")
     }),

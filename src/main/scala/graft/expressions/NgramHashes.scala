@@ -26,6 +26,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class NgramHashes(child: Expression, n: Int = 5)
     extends UnaryExpression {
+  require(n >= 1, s"ngram_hashes: n must be >= 1, got $n")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -49,6 +50,7 @@ object NgramHashes {
   private val Empty = Array.emptyLongArray
 
   def compute(bytes: Array[Byte], n: Int): Array[Long] = {
+    if (n < 1) return Empty // defense in depth: the expression requires n >= 1
     // token i spans [starts(i), ends(i)); split-on-' ' semantics keep
     // empty tokens, matching split()/string_split on both engines
     var tokens = 1

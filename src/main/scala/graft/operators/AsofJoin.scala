@@ -39,29 +39,35 @@ object AsofJoin {
   /** @param payloadCols right-side columns carried to the matched left
     *                    rows (null when no right row precedes the left
     *                    row — left-outer semantics).
+    *
+    * The payload travels as ONE struct column filled by ONE
+    * last(ignoreNulls) window, then unpacked: per-column windows were
+    * REJECTED (ADVICE r3) because a right row carrying a NULL in one
+    * payload field would make that field fall back to an OLDER right
+    * row while its siblings came from the newer one — a frankenrow
+    * mixing two right rows. The struct wrapper is non-null for every
+    * right row (even when all its fields are null), so the matched
+    * right row stays atomic, and one window beats |payload| windows
+    * over the same frame anyway.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, payloadCols: Seq[String]): DataFrame = {
-    val rTypes = right.select(payloadCols.map(col): _*).schema
-    val lTagged = payloadCols.zip(rTypes).foldLeft(
-      left.withColumn("__tag", lit(1))) { case (df, (c, f)) =>
-        df.withColumn(s"__r_$c", lit(null).cast(f.dataType))
-    }
+    val payloadType = right.select(payloadCols.map(col): _*).schema
+    val lTagged = left.withColumn("__tag", lit(1))
+      .withColumn("__r", lit(null).cast(payloadType))
     val rTagged = right.select(
-      keys.map(col) ++ Seq(col(tsCol), lit(0).as("__tag")) ++
-        payloadCols.map(c => col(c).as(s"__r_$c")): _*)
+      keys.map(col) ++ Seq(col(tsCol), lit(0).as("__tag"),
+        struct(payloadCols.map(col): _*).as("__r")): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = payloadCols.foldLeft(
-      lTagged.unionByName(rTagged, allowMissingColumns = true)) { (df, c) =>
-        df.withColumn(s"__f_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    val filled = lTagged.unionByName(rTagged, allowMissingColumns = true)
+      .withColumn("__f", last(col("__r"), ignoreNulls = true).over(w))
 
     val outCols = left.columns.map(col).toSeq ++
-      payloadCols.map(c => col(s"__f_$c").as(c))
+      payloadCols.map(c => col("__f").getField(c).as(c))
     filled.filter(col("__tag") === 1).select(outCols: _*)
   }
 }

@@ -187,10 +187,13 @@ object Relational {
     * isn't enough. Salting is plan-level only: results are identical
     * to the plain equi-join (which is exactly what the DuckDB oracle
     * runs — the driver gate doubles as the salting equivalence proof).
-    * Money stays exact integer cents. */
+    * Money is converted once per row with round(value * 100) — the
+    * half-up cents convention, mirrored verbatim in the oracle (a
+    * floor() here was REJECTED: IEEE 19.99 * 100 = 1998.999..., so
+    * floor silently dropped a cent) — and accumulates as BIGINT. */
   def cohortRevenue(ev: DataFrame): DataFrame = {
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), floor(col("value") * 100).cast("long").as("cents"))
+      .select(col("user_id"), round(col("value") * 100, 0).cast("long").as("cents"))
     val cohort = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id"))
       .agg(min(expr("epoch_s div 86400")).as("cohort_day"))
@@ -204,7 +207,8 @@ object Relational {
     * per event type: a minute is anomalous when its cents total sits
     * more than `zLimit` sample standard deviations from the trailing
     * `trailing` observed minutes' mean. Everything before the final
-    * z-score is EXACT integer arithmetic (per-minute cents sums, window
+    * z-score is EXACT integer arithmetic AFTER the one per-row
+    * round(value * 100) cents conversion (per-minute cents sums, window
     * sums of cents and cents², all BIGINT — magnitudes stay far below
     * 2^53 so even the double conversions are exact), and IEEE sqrt /
     * division are correctly rounded — so the z-score is reproducible
@@ -215,7 +219,7 @@ object Relational {
                      zLimit: Double = 3.0): DataFrame = {
     val perMin = ev.withColumn("minute", expr("epoch_s div 60"))
       .groupBy(col("event_type"), col("minute"))
-      .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type")).orderBy(col("minute"))
       .rowsBetween(-trailing, -1)
@@ -301,8 +305,9 @@ object Relational {
     * interval self range join ([[RangeJoin]]): intervals are
     * (day+1 .. day+7] per order, points are the urgent orders' days;
     * bucket width 8 ≥ span, so each interval replicates to at most two
-    * buckets. Money accumulates as exact integer cents (floor(price *
-    * 100)) — BIGINT sums are order-free on any partitioning.
+    * buckets. Money accumulates as integer cents (round(price * 100),
+    * the half-up convention) — BIGINT sums are order-free on any
+    * partitioning.
     *
     * Because both measures are ADDITIVE and the bounds are day-granular,
     * the point side collapses to one row per day before the join (count
@@ -314,7 +319,7 @@ object Relational {
   def orderVelocity(orders: DataFrame): DataFrame = {
     val d = orders.select(col("o_orderkey"), col("o_orderpriority"),
       expr("datediff(o_orderdate, DATE '1970-01-01')").cast("long").as("day"),
-      floor(col("o_totalprice") * lit(100)).cast("long").as("cents"))
+      round(col("o_totalprice") * lit(100), 0).cast("long").as("cents"))
     val points = d.filter(col("o_orderpriority") === "1-URGENT")
       .groupBy(col("day"))
       .agg(count(lit(1)).as("d_cnt"), sum(col("cents")).as("d_cents"))

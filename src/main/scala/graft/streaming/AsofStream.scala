@@ -64,8 +64,13 @@ object AsofStream extends Serializable {
             s.tus < tus || (s.tus == tus && s.id < id))
           if (better) state.update(LastRef(tus, id, value))
         } else {
+          // horizon is enforced HERE, not only via state expiry: a state
+          // row can outlive its horizon by one micro-batch (the timeout
+          // fires only once the watermark passes ref.tus + TTL), so the
+          // enrichment match re-checks the gap to keep "attributes to
+          // nothing beyond ttlSeconds" exact regardless of watermark lag.
           state.getOption match {
-            case Some(s) if s.tus <= tus =>
+            case Some(s) if s.tus <= tus && tus - s.tus <= ttlSeconds * 1000000L =>
               out += Enriched(id, user, tus, s.id, s.value,
                 (tus - s.tus) / 1000000L)
             case _ =>

@@ -20,7 +20,7 @@ class AnomalyStreamSpec extends AnyFunSuite {
     val perMin = Relational.eventsWithEpoch(spark, TestSpark.Sf0001)
       .withColumn("minute", expr("epoch_s div 60"))
       .groupBy($"event_type", $"minute")
-      .agg(sum(floor($"value" * 100).cast("long")).as("cents"))
+      .agg(sum(round($"value" * 100, 0).cast("long")).as("cents")) // round: the batch cents convention
       .as[MinuteAgg].collect().sortBy(m => (m.minute, m.event_type))
 
     val input = MemoryStream[MinuteAgg]

@@ -68,6 +68,39 @@ class AsofStreamSpec extends AnyFunSuite {
     assert(rows.head.getLong(0) === 30L && rows.head.isNullAt(3))
   }
 
+  test("horizon is exact even when state outlives it by a micro-batch") {
+    // regression (ADVICE r3): the TTL was enforced only by the
+    // watermark-driven state timeout, so a subject arriving > ttl after
+    // the reference in the VERY NEXT micro-batch (watermark not yet past
+    // ref + ttl) still attributed to the stale reference. The enrichment
+    // match must re-check the gap itself.
+    implicit val sq = spark.sqlContext
+    val us = 1000000L
+    val input = MemoryStream[AsofEvent]
+    val q = AsofStream.enrich(input.toDS(), ttlSeconds = 60L)
+      .writeStream.format("memory").queryName("asof_horizon")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(AsofEvent(1L, 100L * us, 0, 10L, 5.0)))
+      q.processAllAvailable()
+      // inside the horizon (gap 50s <= 60s): matches, state alive
+      input.addData(Seq(AsofEvent(1L, 150L * us, 1, 29L, 0.0)))
+      q.processAllAvailable()
+      // watermark is at 150s — before 100s + 60s... barely, but the state
+      // row survives until the watermark PASSES it; the purchase at 400s
+      // is 300s past the click and must STILL attribute to nothing even
+      // though the state row may not have timed out yet.
+      input.addData(Seq(AsofEvent(1L, 400L * us, 1, 30L, 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("asof_horizon").orderBy($"purchase_id").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getLong(0) === 29L && rows(0).getLong(3) === 10L)
+    assert(rows(0).getLong(5) === 50L)
+    assert(rows(1).getLong(0) === 30L && rows(1).isNullAt(3),
+      s"stale reference leaked past the horizon: ${rows(1)}")
+  }
+
   test("same-timestamp reference ties resolve to max id, inclusively") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[AsofEvent]

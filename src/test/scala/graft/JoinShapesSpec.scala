@@ -64,6 +64,23 @@ class JoinShapesSpec extends AnyFunSuite {
       (2L, 10L, "c", None)))         // right row strictly later -> null
   }
 
+  test("asofJoin payload stays atomic when a right row carries a null field") {
+    // regression (ADVICE r3): with per-column fill windows, rv2's null at
+    // t=60 fell back to t=20's "x20" while rv1 came from t=60 — a payload
+    // mixing two right rows. The struct fill must emit BOTH fields from
+    // the matched (latest) right row, nulls included.
+    val left = Seq((1L, 100L, "a")).toDF("k", "t", "lv")
+    val right = Seq((1L, 20L, "r20", "x20"),
+        (1L, 60L, "r60", null.asInstanceOf[String]))
+      .toDF("k", "t", "rv1", "rv2")
+    val out = AsofJoin.asofJoin(left, right, Seq("k"), "t", Seq("rv1", "rv2"))
+      .collect()
+    assert(out.length === 1)
+    assert(out(0).getString(3) === "r60")
+    assert(out(0).isNullAt(4),
+      s"rv2 must be the matched row's null, not an older row's value: ${out(0)}")
+  }
+
   test("asofJoin plans one key shuffle, no nested-loop and no broadcast") {
     val plan = physical(Relational.purchaseClickAsof(events))
     assert(!plan.contains("BroadcastNestedLoopJoin"))

@@ -45,6 +45,24 @@ class SkewAndSqlSpec extends AnyFunSuite {
     assert(r.getDouble(3) === 0.0)
   }
 
+  test("ngram_hashes SQL form validates its n argument") {
+    GraftExtensions.register(spark)
+    // happy path: a foldable integer literal (arithmetic folds too)
+    assert(spark.sql("SELECT size(ngram_hashes('a b c', 2)) AS n")
+      .collect()(0).getInt(0) === 2)
+    // n = 0 / negative would index out of the token-boundary arrays
+    for (bad <- Seq("0", "-3")) {
+      val e = intercept[Exception](
+        spark.sql(s"SELECT ngram_hashes('a b c', $bad)").collect())
+      assert(e.getMessage.contains("must be >= 1"), e.getMessage)
+    }
+    // a non-foldable n would eval() an unbound attribute and mis-resolve
+    val e2 = intercept[Exception](
+      spark.sql("SELECT ngram_hashes('a b', length('xy') + id) FROM range(1)")
+        .collect())
+    assert(e2.getMessage.contains("integer literal"), e2.getMessage)
+  }
+
   test("extensions class registers functions on a fresh session") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
