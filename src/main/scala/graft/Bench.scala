@@ -1,6 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** 3 decimal places: millisecond resolution keeps the one-line JSON
+    * ~2.5 KB for 100+ queries — BENCH_r03.json was tail-truncated by the
+    * driver's capture because full-precision doubles tripled the line. */
+  private def fmt(sec: Double): String = f"$sec%.3f"
+
+  private val QueryTiming = "\"(q_[a-zA-Z0-9_]+)\":([0-9.]+)".r
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -26,11 +34,31 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = warmupSec + (if (results.nonEmpty) results.values.sum else 0.0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"queries":$qs,"sf":"$sfDir"}""")
+    val total = warmupSec + results.map(_._2).sum
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warmup_sec":${fmt(warmupSec)},"queries":$qs,"sf":"$sfDir"}"""
+
+    // Sidecar copy in the repo (committed each round): the full per-query
+    // map survives even if the driver's stdout capture truncates, and the
+    // PREVIOUS run's sidecar doubles as the regression baseline.
+    val sidecar = new java.io.File("BENCH_LOCAL.json")
+    val prev: Map[String, Double] =
+      if (sidecar.exists()) {
+        val text = scala.io.Source.fromFile(sidecar)
+        try QueryTiming.findAllMatchIn(text.mkString)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        finally text.close()
+      } else Map.empty
+    for ((name, sec) <- results; p <- prev.get(name)
+         if sec >= p * 1.25 && sec - p >= 0.15)
+      System.err.println(f"[bench_diff] $name: ${p}%.3f -> ${sec}%.3f " +
+        f"(${sec / p}%.2fx vs previous BENCH_LOCAL)")
+    val out = new java.io.PrintWriter(sidecar, "UTF-8")
+    try out.println(line) finally out.close()
+
+    println(line)
     spark.stop()
   }
 }
