@@ -119,9 +119,11 @@ object Notifications {
     * assuming a role] to the classpath — same pattern as the reflective
     * kafka-clients binding). Role assumption mirrors the reference's
     * optional role_arn session (aws_sns/__init__.py:58-66). */
-  final class AwsSnsTransport(roleArn: Option[String] = None) extends SnsTransport {
+  class AwsSnsTransport(roleArn: Option[String] = None) extends SnsTransport {
+    /** Classloading seam — overridable in tests (see KafkaAdminApi). */
+    protected def forName(n: String): Class[_] = Class.forName(n)
     private def cls(n: String): Class[_] =
-      try Class.forName(n)
+      try forName(n)
       catch {
         case e: ClassNotFoundException => throw new IllegalStateException(
           s"aws sdk is not on the classpath (while loading $n); add " +

@@ -23,8 +23,13 @@ import scala.jdk.CollectionConverters._
 class KafkaAdminApi(config: Map[String, String],
                     requestTimeoutMs: Long = 60000L) extends AdminApi {
 
+  /** The one classloading seam (overridable in tests so the
+    * absent-classpath failure mode stays testable even with the
+    * signature-contract stubs on the test classpath). */
+  protected def forName(name: String): Class[_] = Class.forName(name)
+
   private def cls(name: String): Class[_] =
-    try Class.forName(name)
+    try forName(name)
     catch {
       case e: ClassNotFoundException => throw new IllegalStateException(
         s"kafka-clients is not on the classpath (while loading $name); " +

@@ -134,7 +134,12 @@ class AdminFetcherSpec extends AnyFunSuite {
   }
 
   test("KafkaAdminApi fails fast and clearly when kafka-clients is absent") {
-    val api = new KafkaAdminApi(Map("bootstrap.servers" -> "localhost:9092"))
+    // the signature-contract stubs put real kafka FQNs on the TEST
+    // classpath, so absence is simulated through the forName seam
+    val api = new KafkaAdminApi(Map("bootstrap.servers" -> "localhost:9092")) {
+      override protected def forName(name: String): Class[_] =
+        throw new ClassNotFoundException(name)
+    }
     val e = intercept[IllegalStateException] { api.listTopicNames() }
     assert(e.getMessage.contains("kafka-clients is not on the classpath"))
     assert(e.getCause.isInstanceOf[ClassNotFoundException])

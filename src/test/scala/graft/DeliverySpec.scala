@@ -121,7 +121,12 @@ class DeliverySpec extends AnyFunSuite {
   }
 
   test("aws sns transport fails fast and clearly without the sdk") {
-    val t = new Notifications.AwsSnsTransport()
+    // absence simulated via the forName seam (contract stubs put real
+    // aws-sdk FQNs on the test classpath)
+    val t = new Notifications.AwsSnsTransport() {
+      override protected def forName(n: String): Class[_] =
+        throw new ClassNotFoundException(n)
+    }
     val e = intercept[IllegalStateException](t.publish("arn:x", "s", "m", None))
     assert(e.getMessage.contains("aws sdk is not on the classpath"))
   }
