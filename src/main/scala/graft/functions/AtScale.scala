@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Dataset}
+import org.apache.spark.sql.functions._
+
+/** The at-scale switchboard (VERDICT r3 item 7): session-conf-driven
+  * substitution of bounded-state approximations for exact operators.
+  *
+  * Exact `percentile` is a TypedImperativeAggregate that BUFFERS EVERY
+  * VALUE of the group — correct, oracle-reproducible, and the right
+  * default for the driver's correctness gate, but a 10^9-row group at
+  * 100 TB holds 8 GB of longs in one aggregation buffer. With
+  * `spark.graft.quantiles.approx=true` every quantile built through
+  * this helper becomes `percentile_approx` (KLL-sketch style digest:
+  * fixed-size state, mergeable across partitions, no global collect),
+  * with `spark.graft.quantiles.accuracy` as the error knob
+  * (err <= 1/accuracy of rank).
+  *
+  * Plan note: BOTH forms plan as ObjectHashAggregate — Spark's operator
+  * for object-buffer aggregates — so the physical operator NAME does not
+  * change; what changes is the buffer inside it (all values vs a
+  * fixed-size digest). AtScaleSpec pins the expression substitution and
+  * the error bound instead.
+  *
+  * The toggle is read when the QUERY IS BUILT (DataFrame construction),
+  * not at execution, so flip it before calling the operator.
+  */
+object AtScale {
+  val ApproxQuantilesKey = "spark.graft.quantiles.approx"
+  val AccuracyKey = "spark.graft.quantiles.accuracy"
+
+  def approxEnabled(ds: Dataset[_]): Boolean =
+    ds.sparkSession.conf.get(ApproxQuantilesKey, "false").toBoolean
+
+  def accuracy(ds: Dataset[_]): Int =
+    ds.sparkSession.conf.get(AccuracyKey, "10000").toInt
+
+  /** Exact linear-interpolation percentile, or its bounded-state
+    * approximation when the session is in at-scale mode. The approx
+    * form is cast to double so the output schema is identical. */
+  def quantile(ds: Dataset[_], c: Column, p: Double): Column =
+    if (approxEnabled(ds))
+      percentile_approx(c, lit(p), lit(accuracy(ds))).cast("double")
+    else percentile(c, lit(p))
+}

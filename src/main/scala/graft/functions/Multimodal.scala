@@ -99,7 +99,7 @@ object Multimodal {
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n_assets"),
         min(col("bytes")).as("min_bytes"), max(col("bytes")).as("max_bytes"),
-        expr("percentile(bytes, 0.5)").as("median_bytes"),
+        AtScale.quantile(assets, col("bytes"), 0.5).as("median_bytes"),
         sum(col("bytes")).as("total_bytes"))
 
   /** Per-kind feature rollup (the downstream consumer of decode): pooled

@@ -122,8 +122,8 @@ object Pca {
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
         min(col("proj")).as("min_proj"), max(col("proj")).as("max_proj"),
-        expr("percentile(proj, 0.25)").as("p25_proj"),
-        expr("percentile(proj, 0.5)").as("median_proj"),
-        expr("percentile(proj, 0.75)").as("p75_proj"))
+        AtScale.quantile(emb, col("proj"), 0.25).as("p25_proj"),
+        AtScale.quantile(emb, col("proj"), 0.5).as("median_proj"),
+        AtScale.quantile(emb, col("proj"), 0.75).as("p75_proj"))
   }
 }

@@ -208,9 +208,9 @@ object Similarity {
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
         min(col("nrm")).as("min_norm"), max(col("nrm")).as("max_norm"),
-        expr("percentile(nrm, 0.25)").as("p25_norm"),
-        expr("percentile(nrm, 0.5)").as("median_norm"),
-        expr("percentile(nrm, 0.75)").as("p75_norm"))
+        AtScale.quantile(emb, col("nrm"), 0.25).as("p25_norm"),
+        AtScale.quantile(emb, col("nrm"), 0.5).as("median_norm"),
+        AtScale.quantile(emb, col("nrm"), 0.75).as("p75_norm"))
 
   /** ALL same-bucket candidate pairs, scored (vec_a < vec_b) — the
     * shared parent of cosineNearDups (threshold filter) and knnJoinLsh

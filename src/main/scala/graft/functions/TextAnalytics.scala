@@ -197,7 +197,7 @@ object TextAnalytics {
     val scored = qualityScores(docs.select(col("doc_id"), col("text")))
       .join(docs.select(col("doc_id"), col("source"), col("n_chars")), "doc_id")
     val thresholds = scored.groupBy(col("source"))
-      .agg(expr(s"percentile(quality_score, $q)").as("threshold"))
+      .agg(AtScale.quantile(scored, col("quality_score"), q).as("threshold"))
     scored.join(broadcast(thresholds), "source")
       .groupBy(col("source"))
       .agg(max(col("threshold")).as("threshold"),
@@ -682,8 +682,8 @@ object TextAnalytics {
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("docs"),
-        expr("percentile(quality_score, 0.5)").as("median_quality"),
-        expr("percentile(quality_score, 0.1)").as("p10_quality"),
+        AtScale.quantile(docs, col("quality_score"), 0.5).as("median_quality"),
+        AtScale.quantile(docs, col("quality_score"), 0.1).as("p10_quality"),
         min(col("quality_score")).as("min_quality"),
         max(col("quality_score")).as("max_quality"))
 

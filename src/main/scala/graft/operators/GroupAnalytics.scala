@@ -74,13 +74,13 @@ object GroupAnalytics {
   /** Per-group lag DISTRIBUTION at the latest scan: partition count and
     * exact p50/p90/max lag — the shape alerting actually wants (one hot
     * partition hides inside a healthy total). Exact percentiles are
-    * order-free; the at-scale relaxation is the documented
-    * percentile_approx variant (A10). */
+    * order-free; [[graft.functions.AtScale]] switches them to the
+    * bounded-state percentile_approx under the at-scale session conf. */
   def lagPercentiles(wm: DataFrame, go: DataFrame): DataFrame =
     lagRows(wm, go).groupBy(col("cluster"), col("grp"))
       .agg(count(lit(1)).as("partitions"),
-        expr("percentile(lag, 0.5)").as("p50_lag"),
-        expr("percentile(lag, 0.9)").as("p90_lag"),
+        graft.functions.AtScale.quantile(wm, col("lag"), 0.5).as("p50_lag"),
+        graft.functions.AtScale.quantile(wm, col("lag"), 0.9).as("p90_lag"),
         max(col("lag")).as("max_lag"))
 
   /** The reference's `groups_df`: name, members, state, eval_elapsed_time,

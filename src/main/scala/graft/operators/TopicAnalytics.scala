@@ -133,8 +133,8 @@ object TopicAnalytics {
     * quantile_cont; switch to percentile_approx at 100 TB scale. */
   def mostActive(topics: DataFrame): DataFrame = {
     val q = topics.agg(
-      percentile(col("new_messages"), lit(0.75)).as("q_new"),
-      percentile(col("total_messages"), lit(0.75)).as("q_total"))
+      graft.functions.AtScale.quantile(topics, col("new_messages"), 0.75).as("q_new"),
+      graft.functions.AtScale.quantile(topics, col("total_messages"), 0.75).as("q_total"))
     topics.crossJoin(broadcast(q))
       .filter(col("new_messages") > col("q_new") &&
         col("total_messages") > col("q_total") && col("active_groups") > 0)
@@ -158,6 +158,8 @@ object TopicAnalytics {
     * arithmetic (std from exact integer sums; sample stddev). Reference
     * prints topics_df.describe() each scan (processing/clusters.py:108-109). */
   def describeStats(topics: DataFrame): DataFrame = {
+    if (graft.functions.AtScale.approxEnabled(topics))
+      return describeStatsApprox(topics, graft.functions.AtScale.accuracy(topics))
     def statsFor(c: String) = topics.agg(
       count(lit(1)).as("cnt"),
       sum(col(c)).as("sx"),

@@ -83,8 +83,8 @@ object ClusterReporting {
     val topicAggs = Seq(
       count(lit(1)).as("t_total"),
       sum(col("partitions")).as("t_partitions"),
-      percentile(col("new_messages"), lit(0.75)).as("q_new"),
-      percentile(col("total_messages"), lit(0.75)).as("q_total"),
+      graft.functions.AtScale.quantile(topics, col("new_messages"), 0.75).as("q_new"),
+      graft.functions.AtScale.quantile(topics, col("total_messages"), 0.75).as("q_total"),
       collect_list(when(col("active_groups") > 0,
         struct(col("name"),
           struct(col("partitions"), col("total_messages"), col("new_messages"),
