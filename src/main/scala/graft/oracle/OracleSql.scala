@@ -97,7 +97,8 @@ topic_configs AS (
 sr_topics AS (
   SELECT DISTINCT topic FROM watermarks WHERE topic NOT IN $injectedTopicsIn),
 sr_derived AS (
-  SELECT 'sr1' AS registry, topic || '-value' AS subject, CAST(1 AS BIGINT) AS version,
+  SELECT CASE WHEN length(topic) % 2 = 0 THEN 'sr1' ELSE 'sr2' END AS registry,
+         topic || '-value' AS subject, CAST(1 AS BIGINT) AS version,
          1000 + (list_reduce(list_prepend(CAST(0 AS BIGINT),
            list_transform(range(1, length(topic) + 1), i -> CAST(ascii(topic[i:i]) AS BIGINT))),
            (acc, c) -> (acc * 31 + c) % 1000000007) % 100000) AS schema_id,

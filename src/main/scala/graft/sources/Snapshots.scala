@@ -93,10 +93,10 @@ object Snapshots {
     }
   // (registry, subject, version, schema_id, schema_type, schema_string)
   val SrInjectedRows: Seq[(String, String, Long, Long, String, String)] = Seq(
-    ("sr1", "click-key", 1L, 201L, "AVRO", "{}"),
-    ("sr1", "orphan-value", 1L, 202L, "JSON", "{}"),
+    ("sr2", "click-key", 1L, 201L, "AVRO", "{}"), // click is a c2 topic
+    ("sr2", "orphan-value", 1L, 202L, "JSON", "{}"),
     ("sr1", "plain_subject", 1L, 203L, "PROTOBUF", "{}"),
-    ("sr1", "t_gone-value", 2L, 204L, "AVRO", "{}"))
+    ("sr1", "t_gone-value", 2L, 204L, "AVRO", "{}")) // t_gone is a c1 topic
 
   /** The driver's events table stores ts as parquet TIMESTAMP(NANOS),
     * which Spark only reads via the nanosAsLong legacy conf (ts -> BIGINT
@@ -232,10 +232,21 @@ object Snapshots {
           .otherwise(lit(true)))
   }
 
+  /** Registry serving a topic's cluster — the fleet runs TWO schema
+    * registries, one per cluster (the J5 linkage made visible in the
+    * fixture), under the same trivially-mirrored rule as clusterOf.
+    * Subjects are still checked against the FLEET-WIDE topic list in the
+    * unused-subject anti-join: the reference models one shared topic
+    * namespace (reporting/schema_registry.py:22-27), and a subject is
+    * "unused" only when no topic anywhere matches it. */
+  def registryOf(topic: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(length(topic) % 2 === 0, "sr1").otherwise("sr2")
+
   /** sr_subjects: (registry, subject, version, schema_id, schema_type, schema_string).
     * Reference: Subject/Schema, kafka_overwatch/kafka_overwatch/schema_registry/schema.py:14-50.
-    * One AVRO subject per event-derived topic (TopicNameStrategy `-value`),
-    * plus literal subjects exercising `-key`, orphaned, and no-suffix cases
+    * One AVRO subject per event-derived topic (TopicNameStrategy `-value`)
+    * on its cluster's registry (registryOf), plus literal subjects
+    * exercising `-key`, orphaned, and no-suffix cases
     * for the unused-subject anti-join (reporting/schema_registry.py:22-27). */
   def srSubjects(spark: SparkSession, dir: String): DataFrame =
     memoize(spark, s"sr|$dir")(srSubjectsUncached(spark, dir))
@@ -251,7 +262,8 @@ object Snapshots {
     val derived = topics
       .withColumn("schema_id",
         lit(1000L) + graft.expressions.PolyHash.polyhash($"topic") % lit(100000L))
-      .select(lit("sr1").as("registry"), concat($"topic", lit("-value")).as("subject"),
+      .select(registryOf($"topic").as("registry"),
+        concat($"topic", lit("-value")).as("subject"),
         lit(1L).as("version"), $"schema_id", lit("AVRO").as("schema_type"),
         lit("""{"type":"record","name":"r"}""").as("schema_string"))
     val injected = SrInjectedRows

@@ -106,7 +106,9 @@ class AppSpec extends AnyFunSuite {
     assert(text.contains("""kafka_overwatch_cluster_topics_count{cluster="c2"} 4"""))
     assert(text.contains("""kafka_overwatch_consumer_group_lag{cluster="c1",grp="g_active""""))
     assert(text.contains("""kafka_overwatch_consumer_group_lag{cluster="c2",grp="g_active""""))
-    assert(text.contains("""kafka_overwatch_subjects_count{registry="sr1"} 9"""))
+    // two registries (sr1 serves c1, sr2 serves c2) — 9 subjects total
+    assert(text.contains("""kafka_overwatch_subjects_count{registry="sr1"} 5"""))
+    assert(text.contains("""kafka_overwatch_subjects_count{registry="sr2"} 4"""))
     assert(text.contains("kafka_overwatch_topic_partition_new_messages{"))
   }
 

@@ -73,4 +73,28 @@ class MultiClusterSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long)].collect().map(_._1).toSet
     assert(t === Set("c1", "c2", "c3"))
   }
+
+  test("schema registries span the fleet and align with their clusters") {
+    val sr = Snapshots.srSubjects(spark, TestSpark.Sf0001)
+    // two registries, both populated (VERDICT r3 item 8)
+    val perRegistry = sr.groupBy($"registry").count()
+      .as[(String, Long)].collect().toMap
+    assert(perRegistry.keySet === Set("sr1", "sr2"))
+    assert(perRegistry.values.forall(_ > 0))
+    // J5 linkage: every derived (-value) subject whose base topic exists
+    // sits on the registry serving that topic's cluster (sr1<->c1,
+    // sr2<->c2)
+    val topics = Snapshots.watermarks(spark, TestSpark.Sf0001)
+      .select($"topic", $"cluster").distinct()
+    val misfiled = graft.operators.SchemaRegistryOps.withBaseName(sr)
+      .join(topics, $"base" === $"topic")
+      .filter(($"registry" === "sr1") =!= ($"cluster" === "c1"))
+      .count()
+    assert(misfiled === 0L)
+    // SR analytics group per registry without mixing
+    val counts = graft.operators.SchemaRegistryOps.counts(sr,
+      Snapshots.watermarks(spark, TestSpark.Sf0001)
+        .filter($"s" === Snapshots.NumScans))
+    assert(counts.count() === 2)
+  }
 }
