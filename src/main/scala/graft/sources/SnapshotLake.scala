@@ -85,4 +85,43 @@ object SnapshotLake {
         col("high"), col("scan_ts"), col("s"))
     baseline.unionByName(wm.filter(col("s") >= keepFrom))
   }
+
+  /** Lake retention (SURVEY §7.4, VERDICT r3 item 9): at a 60 s scan
+    * cadence the lake gains ~1.4k scan partitions per cluster per day;
+    * this folds every scan older than the last `keepLast` into the
+    * compact() baseline row and PHYSICALLY replaces the lake, so disk is
+    * O(keepLast), not O(history).
+    *
+    * Equivalence contract, asserted in LakeAndEventStreamSpec:
+    *  - W2 baselineDeltas rows at retained scans are unchanged (the
+    *    baseline row carries the frozen first-observed high);
+    *  - W3 logStart is unchanged (max low is carried);
+    *  - W1 partitionDeltas between retained consecutive scans are
+    *    unchanged; the one synthetic baseline->oldest-retained delta is
+    *    the aggregated catch-up over the dropped interval (the exact sum
+    *    of the deltas it replaces).
+    *
+    * The swap goes through Hadoop FileSystem rename (works on any DFS the
+    * lake lives on), with the new lake fully written before the old one
+    * is replaced — a crash leaves either the old lake or the new one. */
+  def applyRetention(spark: SparkSession, path: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val wm = readWatermarks(spark, path)
+    val maxS = wm.agg(max(col("s"))).collect()(0).getLong(0)
+    val tmp = path + ".retaining"
+    writeWatermarks(compact(wm, maxS - keepLast + 1), tmp) // eager: full write
+    val conf = spark.sparkContext.hadoopConfiguration
+    val lake = new org.apache.hadoop.fs.Path(path)
+    val staged = new org.apache.hadoop.fs.Path(tmp)
+    val expired = new org.apache.hadoop.fs.Path(path + ".expired")
+    val fs = lake.getFileSystem(conf)
+    if (fs.exists(expired)) fs.delete(expired, true)
+    if (!fs.rename(lake, expired))
+      throw new java.io.IOException(s"retention: could not stage out $lake")
+    if (!fs.rename(staged, lake)) {
+      fs.rename(expired, lake) // roll back
+      throw new java.io.IOException(s"retention: could not swap in $staged")
+    }
+    fs.delete(expired, true)
+  }
 }

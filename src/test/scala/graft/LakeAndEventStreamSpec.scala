@@ -77,6 +77,67 @@ class LakeAndEventStreamSpec extends AnyFunSuite {
     assert(wasteOf(compacted) === wasteOf(wm))
   }
 
+  test("retention bounds the lake while W1-W3 stay invariant on the window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Deltas
+    // grow the 3-scan fixture into an 8-scan history (the retention
+    // scenario: a 60 s cadence accumulating scans)
+    val base = Snapshots.watermarks(spark, TestSpark.Sf0001)
+    val latest = base.filter($"s" === Snapshots.NumScans)
+    val extra = (1 to 5).map { i =>
+      latest
+        .withColumn("s", lit(Snapshots.NumScans + i.toLong))
+        .withColumn("high", $"high" + lit(7L * i))
+        .withColumn("low", $"low" + lit(i.toLong))
+        .withColumn("scan_ts",
+          lit(Snapshots.Epoch0 + Snapshots.Step * (Snapshots.NumScans + i)))
+    }.reduce(_ unionByName _)
+    val maxS = Snapshots.NumScans + 5L
+    val dir = java.nio.file.Files.createTempDirectory("graft-lake-ret")
+      .toString + "/wm"
+    SnapshotLake.writeWatermarks(base.unionByName(extra), dir)
+    val before = SnapshotLake.readWatermarks(spark, dir).localCheckpoint()
+
+    val keepLast = 3
+    val keepFrom = maxS - keepLast + 1
+    val tsFrom = Snapshots.Epoch0 + Snapshots.Step * keepFrom
+    SnapshotLake.applyRetention(spark, dir, keepLast)
+    val after = SnapshotLake.readWatermarks(spark, dir).localCheckpoint()
+
+    // bounded: keepLast live scans + ONE baseline ordinal, rows AND dirs
+    assert(after.select("s").distinct().count() === keepLast + 1L)
+    val c1Dirs = new java.io.File(dir + "/cluster=c1").list()
+      .count(_.startsWith("s="))
+    assert(c1Dirs === keepLast + 1)
+    assert(after.count() < before.count())
+
+    def w3(df: org.apache.spark.sql.DataFrame) =
+      Deltas.logStart(df).as[(String, String, Long, Long, Boolean)]
+        .collect().toSet
+    assert(w3(after) === w3(before))
+
+    def w2(df: org.apache.spark.sql.DataFrame) =
+      Deltas.baselineDeltas(df).filter($"scan_ts" >= tsFrom)
+        .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(w2(after) === w2(before))
+
+    // W1: deltas between retained consecutive scans are untouched...
+    def w1(df: org.apache.spark.sql.DataFrame, from: Long) =
+      Deltas.partitionDeltas(df).filter($"scan_ts" > from)
+        .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(w1(after, tsFrom) === w1(before, tsFrom))
+    // ...and the one synthetic baseline->oldest-retained delta is the
+    // exact aggregated catch-up over the scans it replaced
+    val catchUp = Deltas.partitionDeltas(after.filter($"topic" === "click"))
+      .filter($"scan_ts" === tsFrom)
+      .agg(sum($"delta")).as[Long].collect()(0)
+    val replaced = Deltas.partitionDeltas(before.filter($"topic" === "click"))
+      .filter($"scan_ts" <= tsFrom)
+      .agg(sum($"delta")).as[Long].collect()(0)
+    assert(catchUp === replaced)
+  }
+
   test("streaming minute rollup with watermark equals the batch rollup") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
