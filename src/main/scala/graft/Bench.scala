@@ -43,7 +43,10 @@ object Bench {
     // Sidecar copy in the repo (committed each round): the full per-query
     // map survives even if the driver's stdout capture truncates, and the
     // PREVIOUS run's sidecar doubles as the regression baseline.
-    val sidecar = new java.io.File("BENCH_LOCAL.json")
+    // overridable so off-contract runs (e.g. the BenchAtScale x10 corpus)
+    // don't clobber the sf0.1 baseline the driver rounds compare against
+    val sidecar = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
     val prev: Map[String, Double] =
       if (sidecar.exists()) {
         val text = scala.io.Source.fromFile(sidecar)
