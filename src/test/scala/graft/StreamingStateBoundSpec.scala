@@ -77,6 +77,39 @@ class StreamingStateBoundSpec extends AnyFunSuite {
     assertPlateau(observed.result())
   }
 
+  test("DocStream TTL semantics hold on the RocksDB state store") {
+    // the deployment config from the scaladoc above, actually executed:
+    // same churn, same plateau, on the provider a 100x fleet would run
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[DocStream.DocIngest]
+      val q = DocStream.curate(input.toDS(), minQuality = 0.0,
+          watermarkDelay = "0 seconds", ttlSeconds = 60L)
+        .writeStream.format("noop").outputMode("append").start()
+      val observed = Seq.newBuilder[Long]
+      try {
+        for (p <- 0 until Phases) {
+          val ts = new java.sql.Timestamp(p * 300L * 1000L)
+          input.addData((0 until KeysPerPhase).map { i =>
+            DocStream.DocIngest(p * 10000L + i,
+              s"phase $p rocks $i with alpha beta gamma delta tokens",
+              "en", "web", ts)
+          })
+          q.processAllAvailable()
+          observed += stateRows(q)
+        }
+        assert(q.lastProgress.stateOperators.exists(
+          _.customMetrics.containsKey("rocksdbFilesCopied")),
+          "query did not actually run on the RocksDB provider")
+      } finally q.stop()
+      assertPlateau(observed.result())
+    } finally spark.conf.unset(key)
+  }
+
   test("AsofStream reference state plateaus while distinct users grow") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
