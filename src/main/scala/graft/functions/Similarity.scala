@@ -219,9 +219,34 @@ object Similarity {
     * pair dedup: the dot product is a cheap codegen loop while
     * dropDuplicates shuffles its input — so the shuffle carries only
     * (id, id, score) rows, never embedding arrays. */
-  def scoredBucketPairs(emb: DataFrame, dim: Int = 64): DataFrame = {
+  /** Per-bucket anchor count for scoredBucketPairs — the minhash
+    * BandAnchors technique applied to the embedding side: with L fixed
+    * tables, bucket population grows linearly with the corpus, so the
+    * same-bucket pair set grows QUADRATICALLY (measured: 279 s of the
+    * x20 bench warmup before this bound). Only the `anchors` smallest
+    * vec_ids of a bucket pair with the rest: candidates <= anchors * L
+    * * n, provably linear. Ranking by vec_id makes the bounded low-id
+    * query set (the knn convention) automatic anchors — their candidate
+    * sets are EXACTLY the uncapped ones — and every bucket member still
+    * pairs with its bucket's minimum, so connected components for
+    * embedding dedup are preserved. At true corpus scale the quality
+    * knob is BitsPerTable (buckets should grow with n to keep
+    * population flat); the anchor bound is the guard that makes a
+    * misconfigured table count degrade gracefully instead of
+    * quadratically. */
+  val BucketAnchors = 64
+
+  def scoredBucketPairs(emb: DataFrame, dim: Int = 64,
+                        anchors: Int = BucketAnchors): DataFrame = {
     val b = bucketed(emb, dim)
-    b.as("a").join(b.as("b"),
+    val byBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("table"), col("key")).orderBy(col("vec_id"))
+    // row_number over vec_id composes with the a.vec_id < b.vec_id
+    // predicate (rank(a) < rank(b) already); plans as a WindowGroupLimit
+    // below the exchange, and the probe side carries no window.
+    val ranked = b.withColumn("rk", row_number().over(byBucket))
+    ranked.filter(col("rk") <= anchors).as("a")
+      .join(ranked.as("b"),
       col("a.table") === col("b.table") && col("a.key") === col("b.key") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

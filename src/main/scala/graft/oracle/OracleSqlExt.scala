@@ -144,6 +144,21 @@ ${pcaIters("", "e")}"""
       .mkString(" UNION ALL ") + ")"
   }
 
+  /** Anchored same-bucket candidate pairs over `b` — the exact mirror of
+    * Similarity.scoredBucketPairs' per-bucket anchor emission (only the
+    * BucketAnchors smallest vec_ids of a bucket pair with the rest). */
+  private val lshCandCtes = {
+    import graft.functions.Similarity.BucketAnchors
+    s"""rb AS (
+  SELECT vec_id, tbl, key,
+         row_number() OVER (PARTITION BY tbl, key ORDER BY vec_id) AS rk
+  FROM b),
+c AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+  FROM rb a JOIN b b2 ON a.tbl = b2.tbl AND a.key = b2.key
+    AND a.vec_id < b2.vec_id AND a.rk <= $BucketAnchors)"""
+  }
+
   /** Full IVF mirror (graft.functions.Ivf.knnIvf): deterministic seeds
     * (first k by vec_id), three unrolled Lloyd iterations with the
     * 2^-20-grid integer mean (the order-free trick that makes iterative
@@ -247,9 +262,7 @@ FROM per CROSS JOIN tot ORDER BY cid"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
 $lshBucketsCte,
-c AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
-  FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.key = b2.key AND a.vec_id < b2.vec_id),
+$lshCandCtes,
 s AS (
   SELECT vec_a, vec_b, round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 9) AS score
   FROM c JOIN n x ON c.vec_a = x.vec_id JOIN n y ON c.vec_b = y.vec_id)
@@ -260,9 +273,7 @@ SELECT vec_a, vec_b, score FROM s WHERE score >= 0.4 ORDER BY vec_a, vec_b""",
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
 $lshBucketsCte,
-c AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
-  FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.key = b2.key AND a.vec_id < b2.vec_id),
+$lshCandCtes,
 s AS (
   SELECT vec_a, vec_b, round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 9) AS score
   FROM c JOIN n x ON c.vec_a = x.vec_id JOIN n y ON c.vec_b = y.vec_id),
@@ -1527,9 +1538,7 @@ ORDER BY stage""",
 WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
 $lshBucketsCte,
-c AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
-  FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.key = b2.key AND a.vec_id < b2.vec_id),
+$lshCandCtes,
 s AS (
   SELECT vec_a, vec_b FROM (
     SELECT vec_a, vec_b,

@@ -83,6 +83,29 @@ class SketchScaleSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("embedding bucket anchors bound the pair set, query candidates exact") {
+    import graft.functions.Similarity
+    // sf0.1: 2000 vectors over 16 buckets/table -> buckets well above the
+    // anchor count, so the cap genuinely engages here
+    val emb = spark.read.parquet(s"${TestSpark.Sf01}/embeddings.parquet")
+    val n = emb.count()
+    val capped = Similarity.scoredBucketPairs(emb)
+      .select("vec_a", "vec_b").localCheckpoint()
+    val uncapped = Similarity.scoredBucketPairs(emb, anchors = Int.MaxValue)
+      .select("vec_a", "vec_b").localCheckpoint()
+    // subset, and the provable linear bound
+    assert(capped.except(uncapped).count() === 0L)
+    assert(capped.count() <=
+      Similarity.BucketAnchors.toLong * Similarity.NumTables * n)
+    assert(capped.count() < uncapped.count(), "cap did not engage at sf0.1")
+    // the bounded low-id query set (the knn convention) keeps EXACTLY its
+    // uncapped candidates: vec_a < vec_b, so filtering vec_a covers both
+    val qCapped = capped.filter(col("vec_a") < 10)
+    val qUncapped = uncapped.filter(col("vec_a") < 10)
+    assert(qCapped.count() === qUncapped.count())
+    assert(qUncapped.except(qCapped).count() === 0L)
+  }
+
   test("anchor rank is planned as a pushed-down group limit, not a full sort") {
     val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
       .select(col("doc_id"), col("text"))
