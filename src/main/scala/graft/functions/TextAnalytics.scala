@@ -661,16 +661,32 @@ object TextAnalytics {
     * hash collisions would inflate df identically on both engines
     * (same constants), keeping parity bit-exact by construction. */
   def dupNgramCoverage(docs: DataFrame, n: Int = 5): DataFrame = {
-    val ng = docs.select(col("doc_id"),
-      explode(graft.expressions.NgramHashes.ngram_hashes(col("text"), n)).as("ngh"))
-    val dfreq = ng.groupBy(col("ngh")).agg(count(lit(1)).as("df"))
-    ng.join(dfreq, "ngh")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_ngrams"),
-        sum(when(col("df") > 1, 1L).otherwise(0L)).as("dup_ngrams"))
-      .select(col("doc_id"), col("n_ngrams"), col("dup_ngrams"),
-        (col("dup_ngrams").cast("double") / col("n_ngrams"))
-          .as("dup_ngram_frac"))
+    // No join back on the hash key: the original (groupBy df + re-join +
+    // per-doc agg) shape sort-merge-joined the full n-gram stream against
+    // the hash-frequency table — the dominant cost at 20x bench scale
+    // (30 s of a 43x super-linear growth; the join inputs spill).
+    // Algebraic identity instead: n_ngrams is ROW-LOCAL (the kernel's
+    // distinct-set size), and dup_ngrams = n_ngrams - (# hashes this doc
+    // is the ONLY holder of). Singleton ownership falls out of the same
+    // df aggregation for free — min(doc_id) of a df=1 group IS the
+    // owner — so the n-gram stream crosses exactly one exchange, and the
+    // remaining doc-level join moves one skinny row per document.
+    val withSet = docs
+      .select(col("doc_id"),
+        graft.expressions.NgramHashes.ngram_hashes(col("text"), n).as("hs"))
+      .filter(size(col("hs")) > 0) // sub-n docs: absent, as in the join form
+    val uniquePerDoc = withSet
+      .select(col("doc_id"), explode(col("hs")).as("ngh"))
+      .groupBy(col("ngh"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
+      .filter(col("df") === 1)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("uniq"))
+    withSet.select(col("doc_id"), size(col("hs")).cast("long").as("n_ngrams"))
+      .join(uniquePerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        (col("n_ngrams") - coalesce(col("uniq"), lit(0L))).as("dup_ngrams"))
+      .withColumn("dup_ngram_frac",
+        col("dup_ngrams").cast("double") / col("n_ngrams"))
   }
 
   /** Per-source curation rollup: document counts and ORDER-FREE quality
