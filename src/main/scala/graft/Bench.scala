@@ -29,16 +29,22 @@ object Bench {
     val warmupSec = (System.nanoTime() - w0) / 1e9
     // noop sink: materializes every output row/column (count() would let
     // Catalyst prune the query down to a row count)
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+      catch {
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name: $e")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = warmupSec + results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warmup_sec":${fmt(warmupSec)},"queries":$qs,"sf":"$sfDir"}"""
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warmup_sec":${fmt(warmupSec)},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
 
     // Sidecar copy in the repo (committed each round): the full per-query
     // map survives even if the driver's stdout capture truncates, and the
@@ -47,15 +53,29 @@ object Bench {
     // don't clobber the sf0.1 baseline the driver rounds compare against
     val sidecar = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
-    val prev: Map[String, Double] =
+    val (prev, prevFailed): (Map[String, Double], Set[String]) =
       if (sidecar.exists()) {
         val text = scala.io.Source.fromFile(sidecar)
-        try QueryTiming.findAllMatchIn(text.mkString)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        finally text.close()
-      } else Map.empty
-    for ((name, sec) <- results; p <- prev.get(name)
-         if sec >= p * 1.25 && sec - p >= 0.15)
+        try {
+          val body = text.mkString
+          val timings = QueryTiming.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val pf = "\"failed\":\\[([^\\]]*)\\]".r.findFirstMatchIn(body)
+            .map(_.group(1)).getOrElse("")
+          (timings, "q_[a-zA-Z0-9_]+".r.findAllIn(pf).toSet)
+        } finally text.close()
+      } else (Map.empty, Set.empty)
+    // a failed query's near-zero timing is noise, not a baseline: skip
+    // diffs in BOTH directions for failed runs, but say so explicitly —
+    // a query that regresses from working to erroring must not be the
+    // one case the regression detector stays silent on.
+    for ((name, _) <- results if failed(name) && !prevFailed(name))
+      System.err.println(s"[bench_diff] $name: FAILED (was " +
+        prev.get(name).map(p => f"${p}%.3fs").getOrElse("absent") +
+        " in previous BENCH_LOCAL)")
+    for ((name, sec) <- results
+         if !failed(name) && !prevFailed(name); p <- prev.get(name)
+         if p > 0 && sec >= p * 1.25 && sec - p >= 0.15)
       System.err.println(f"[bench_diff] $name: ${p}%.3f -> ${sec}%.3f " +
         f"(${sec / p}%.2fx vs previous BENCH_LOCAL)")
     val out = new java.io.PrintWriter(sidecar, "UTF-8")

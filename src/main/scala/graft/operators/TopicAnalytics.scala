@@ -157,41 +157,34 @@ object TopicAnalytics {
     * written as explicit expressions so the oracle can reproduce the exact
     * arithmetic (std from exact integer sums; sample stddev). Reference
     * prints topics_df.describe() each scan (processing/clusters.py:108-109). */
-  def describeStats(topics: DataFrame): DataFrame = {
-    if (graft.functions.AtScale.approxEnabled(topics))
-      return describeStatsApprox(topics, graft.functions.AtScale.accuracy(topics))
-    def statsFor(c: String) = topics.agg(
-      count(lit(1)).as("cnt"),
-      sum(col(c)).as("sx"),
-      sum(col(c) * col(c)).as("sxx"),
-      min(col(c)).cast("double").as("min_v"),
-      percentile(col(c), lit(0.25)).as("q25"),
-      percentile(col(c), lit(0.5)).as("q50"),
-      percentile(col(c), lit(0.75)).as("q75"),
-      max(col(c)).cast("double").as("max_v"))
-      .select(lit(c).as("column"), col("cnt"),
-        (col("sx").cast("double") / col("cnt")).as("mean"),
-        sqrt((col("sxx").cast("double") - col("sx").cast("double") * col("sx") / col("cnt"))
-          / (col("cnt") - 1)).as("std"),
-        col("min_v"), col("q25"), col("q50"), col("q75"), col("max_v"))
-    statsFor("total_messages").unionByName(statsFor("new_messages"))
-  }
+  def describeStats(topics: DataFrame): DataFrame =
+    describeStatsWith(topics, (c, q) =>
+      graft.functions.AtScale.quantile(topics, col(c), q))
 
-  /** The 100 TB form of describeStats: single-pass `percentile_approx`
-    * (bounded-error t-digest style sketch, mergeable across partitions —
-    * no global sort) in place of exact `percentile` (which must hold each
-    * group's values). Same schema; accuracy knob = the approximation
-    * parameter. The oracle-checked exact form stays the correctness
-    * witness; this is the one a 1000-executor job should call. */
-  def describeStatsApprox(topics: DataFrame, accuracy: Int = 10000): DataFrame = {
+  /** The 100 TB form of describeStats with an explicit accuracy:
+    * single-pass `percentile_approx` (bounded-error KLL-style sketch,
+    * mergeable across partitions — no global sort) in place of exact
+    * `percentile` (which must hold each group's values). Same schema.
+    * The oracle-checked exact form stays the correctness witness;
+    * describeStats itself switches here under the AtScale session conf. */
+  def describeStatsApprox(topics: DataFrame, accuracy: Int = 10000): DataFrame =
+    describeStatsWith(topics, (c, q) =>
+      percentile_approx(col(c), lit(q), lit(accuracy)).cast("double"))
+
+  /** One shared stats shape — the quantile builder is the ONLY thing the
+    * exact and approx forms differ in (they were near-identical copies
+    * before, a review finding: a change to the stats columns had to land
+    * twice or the two forms silently diverged). */
+  private def describeStatsWith(topics: DataFrame,
+      quantile: (String, Double) => Column): DataFrame = {
     def statsFor(c: String) = topics.agg(
       count(lit(1)).as("cnt"),
       sum(col(c)).as("sx"),
       sum(col(c) * col(c)).as("sxx"),
       min(col(c)).cast("double").as("min_v"),
-      percentile_approx(col(c), lit(0.25), lit(accuracy)).cast("double").as("q25"),
-      percentile_approx(col(c), lit(0.5), lit(accuracy)).cast("double").as("q50"),
-      percentile_approx(col(c), lit(0.75), lit(accuracy)).cast("double").as("q75"),
+      quantile(c, 0.25).as("q25"),
+      quantile(c, 0.5).as("q50"),
+      quantile(c, 0.75).as("q75"),
       max(col(c)).cast("double").as("max_v"))
       .select(lit(c).as("column"), col("cnt"),
         (col("sx").cast("double") / col("cnt")).as("mean"),

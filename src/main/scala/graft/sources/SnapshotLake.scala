@@ -103,11 +103,19 @@ object SnapshotLake {
     *
     * The swap goes through Hadoop FileSystem rename (works on any DFS the
     * lake lives on), with the new lake fully written before the old one
-    * is replaced — a crash leaves either the old lake or the new one. */
+    * is moved. Plain DFS renames cannot swap two directories atomically,
+    * so there IS a crash window between "old moved aside" and "new moved
+    * in" where `path` is absent — that state is self-describing (the
+    * `.expired` sibling holds the complete old lake) and recoverRetention
+    * repairs it; call it before reads on startup. A crash anywhere else
+    * leaves the lake untouched (the staged copy is a sibling). */
   def applyRetention(spark: SparkSession, path: String, keepLast: Int): Unit = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    recoverRetention(spark, path)
     val wm = readWatermarks(spark, path)
-    val maxS = wm.agg(max(col("s"))).collect()(0).getLong(0)
+    val maxRow = wm.agg(max(col("s"))).collect()(0)
+    if (maxRow.isNullAt(0)) return // empty lake: nothing to retain
+    val maxS = maxRow.getLong(0)
     val tmp = path + ".retaining"
     writeWatermarks(compact(wm, maxS - keepLast + 1), tmp) // eager: full write
     val conf = spark.sparkContext.hadoopConfiguration
@@ -119,9 +127,29 @@ object SnapshotLake {
     if (!fs.rename(lake, expired))
       throw new java.io.IOException(s"retention: could not stage out $lake")
     if (!fs.rename(staged, lake)) {
-      fs.rename(expired, lake) // roll back
+      if (!fs.rename(expired, lake)) // roll back
+        throw new java.io.IOException(
+          s"retention: swap-in of $staged failed AND rollback of $expired " +
+            s"failed — the old lake is intact at $expired; restore it manually")
       throw new java.io.IOException(s"retention: could not swap in $staged")
     }
     fs.delete(expired, true)
+  }
+
+  /** Repair the one non-atomic window in applyRetention: if a crash left
+    * `path` absent with the old lake parked at `.expired`, move it back
+    * (the staged `.retaining` copy, possibly incomplete, is discarded —
+    * retention re-runs idempotently from the restored lake). No-op on a
+    * healthy lake. */
+  def recoverRetention(spark: SparkSession, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val lake = new org.apache.hadoop.fs.Path(path)
+    val staged = new org.apache.hadoop.fs.Path(path + ".retaining")
+    val expired = new org.apache.hadoop.fs.Path(path + ".expired")
+    val fs = lake.getFileSystem(conf)
+    if (!fs.exists(lake) && fs.exists(expired) && !fs.rename(expired, lake))
+      throw new java.io.IOException(
+        s"retention recovery: could not restore $expired to $lake")
+    if (fs.exists(staged)) fs.delete(staged, true)
   }
 }

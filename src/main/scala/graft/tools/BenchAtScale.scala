@@ -59,7 +59,10 @@ object BenchAtScale {
       val df = spark.read.parquet(s"$src/$table.parquet")
       val scaled = (0 until k).map(r => per(df, r)).reduce(_ unionByName _)
       scaled.write.mode("overwrite").parquet(s"$out/$table.parquet")
-      println(s"[scale] $table x$k -> ${scaled.count()} rows")
+      // count from the WRITTEN parquet (footer metadata only) — counting
+      // `scaled` would re-execute the whole replication a second time
+      println(s"[scale] $table x$k -> " +
+        s"${spark.read.parquet(s"$out/$table.parquet").count()} rows")
     }
     def copy(table: String): Unit = replicate(table)((df, r) =>
       if (r == 0) df else df.limit(0))

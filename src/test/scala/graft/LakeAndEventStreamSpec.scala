@@ -138,6 +138,42 @@ class LakeAndEventStreamSpec extends AnyFunSuite {
     assert(catchUp === replaced)
   }
 
+  test("retention recovers the crash window and tolerates an empty lake") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val wm = Snapshots.watermarks(spark, TestSpark.Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lake-rec")
+      .toString + "/wm"
+    SnapshotLake.writeWatermarks(wm, dir)
+    val want = SnapshotLake.readWatermarks(spark, dir)
+      .select("cluster", "topic", "partition_id", "low", "high", "scan_ts", "s")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSet
+    // simulate the non-atomic window: lake moved aside, swap-in never ran
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".expired")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + ".retaining")) // stale stage
+    SnapshotLake.recoverRetention(spark, dir)
+    val got = SnapshotLake.readWatermarks(spark, dir)
+      .select("cluster", "topic", "partition_id", "low", "high", "scan_ts", "s")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".retaining")))
+    // applyRetention itself self-recovers and runs through
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".expired")))
+    SnapshotLake.applyRetention(spark, dir, keepLast = 2)
+    assert(SnapshotLake.readWatermarks(spark, dir).count() > 0)
+    // empty lake: zero rows (but schema-ful files — a partitioned write
+    // of zero rows leaves no footers at all) -> no-op, no NPE, untouched
+    val emptyDir = java.nio.file.Files.createTempDirectory("graft-lake-empty")
+      .toString + "/wm"
+    wm.filter(lit(false)).write.mode("overwrite").parquet(emptyDir)
+    SnapshotLake.applyRetention(spark, emptyDir, keepLast = 2)
+    assert(SnapshotLake.readWatermarks(spark, emptyDir).count() === 0L)
+  }
+
   test("streaming minute rollup with watermark equals the batch rollup") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

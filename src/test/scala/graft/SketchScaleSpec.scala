@@ -104,6 +104,26 @@ class SketchScaleSpec extends AnyFunSuite {
     val qUncapped = uncapped.filter(col("vec_a") < 10)
     assert(qCapped.count() === qUncapped.count())
     assert(qUncapped.except(qCapped).count() === 0L)
+
+    // THRESHOLDED-pair recall under the cap (the anchor cap preserves
+    // candidate-graph connectivity, NOT the thresholded graph's — a
+    // review finding, measured in tools.EmbAnchorProbe): floor the
+    // retention at the default operating point, and assert the
+    // bitsPerTable knob actually recovers it (more buckets -> flatter
+    // population -> cap disengages: loss 234 -> 30 pairs at bits 4 -> 6).
+    def thresholded(anchors: Int, bits: Int) =
+      Similarity.scoredBucketPairs(emb, anchors = anchors, bitsPerTable = bits)
+        .filter(col("score") >= 0.4).select("vec_a", "vec_b").localCheckpoint()
+    val c4 = thresholded(Similarity.BucketAnchors, 4)
+    val u4 = thresholded(Int.MaxValue, 4)
+    val lost4 = u4.except(c4).count()
+    assert(c4.count() >= (u4.count() * 0.55).toLong,
+      s"cap dropped below the measured retention floor: ${c4.count()} of ${u4.count()}")
+    val c6 = thresholded(Similarity.BucketAnchors, 6)
+    val u6 = thresholded(Int.MaxValue, 6)
+    val lost6 = u6.except(c6).count()
+    assert(lost6 * 3 <= lost4,
+      s"bits knob no longer recovers cap loss: lost $lost4 at bits=4 vs $lost6 at bits=6")
   }
 
   test("anchor rank is planned as a pushed-down group limit, not a full sort") {
