@@ -455,6 +455,14 @@ object SparkEntry {
       functions.CountSketch.cmsHeavyHitters(docs(s, dir)).orderBy(col("rnk"))),
     "q_distinct_sketch" -> ((s, dir) =>
       functions.CountSketch.distinctSketch(docs(s, dir)).orderBy(col("lang"))),
+    // HyperLogLog distinct estimate (integer-grid harmonic sum — see
+    // CountSketch.hllDistinct) with the exact-vs-estimate error report
+    "q_hll_distinct" -> ((s, dir) =>
+      functions.CountSketch.hllDistinct(docs(s, dir)).orderBy(col("lang"))),
+    // interpolated-bigram LM rarity (the bigram perplexity surrogate —
+    // see TextAnalytics.bigramRarity)
+    "q_bigram_rarity" -> ((s, dir) =>
+      TextAnalytics.bigramRarity(docs(s, dir)).orderBy(col("doc_id"))),
 
     // --- relational / event-time breadth ---
     // as-of join (union + running-last window, one shuffle — see

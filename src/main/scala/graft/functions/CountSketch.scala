@@ -77,6 +77,69 @@ object CountSketch {
         col("est"), (col("est") - col("cnt")).as("overestimate"))
   }
 
+  /** HyperLogLog precision: p = 9 -> m = 512 registers (~4.6% standard
+    * error), the classic Flajolet et al. 2007 estimator. */
+  val HllP = 9
+  val HllM: Long = 1L << HllP
+  /** The rho window is the 51 bits of the 60-bit token hash above the 9
+    * bucket bits; rho ranges 1..52 (52 = all-zero window). */
+  val HllRhoMax = 52
+
+  /** Per-language HyperLogLog distinct-token estimate next to the exact
+    * count — the third member of the fixed-memory family (CMS for
+    * frequencies, linear counting for occupancy-regime distincts, HLL
+    * for unbounded-cardinality distincts: 512 6-bit registers cover any
+    * cardinality the 60-bit hash can express, where the linear counter
+    * saturates past its bucket count).
+    *
+    * Register build: bucket = h mod m (low 9 bits), rho = leading-zero
+    * count of the remaining 51-bit window + 1 — computed on BOTH
+    * engines as 52 - length(bin(w)) (bin() renders minimal binary, so
+    * its length is floor(log2 w) + 1 exactly; w = 0 -> 52). The
+    * harmonic mean stays on an integer grid: sum over registers of
+    * 2^(52 - M[b]) as exact BIGINT (absent registers contribute 2^52),
+    * one trailing IEEE division — bit-identical on any partitioning and
+    * in the oracle, the IVF-mean trick applied to HLL.
+    *
+    * raw_est is the uncorrected estimator alpha_m * m^2 / sum(2^-M);
+    * the small-range linear-counting correction needs ln() (libm — not
+    * oracle-safe), so the report emits the pieces (zero_registers, the
+    * exact count, rel_err) and leaves the correction to the caller.
+    *
+    * Shape at 100 TB: one hash aggregation to (lang, bucket) registers
+    * — at most m rows per language — then a per-language rollup; the
+    * exact count lives in the same exploded scan. The sketch side never
+    * holds more than m * languages rows. */
+  def hllDistinct(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("lang"),
+        explode(TextAnalytics.tokens(col("text"))).as("token"))
+      .withColumn("h", Sketches.tokenHash(col("token")))
+      .withColumn("bucket", col("h") % lit(HllM))
+      .withColumn("w", expr(s"h div $HllM"))
+      .withColumn("rho",
+        when(col("w") === lit(0L), lit(HllRhoMax))
+          .otherwise(lit(HllRhoMax) - length(bin(col("w")))))
+    val regs = toks.groupBy(col("lang"), col("bucket"))
+      .agg(max(col("rho")).as("m"))
+    val exact = toks.groupBy(col("lang"))
+      .agg(countDistinct(col("token")).as("distinct_exact"))
+    val agg = regs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("occupied"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRhoMax - m)")).as("s_occ"))
+      .withColumn("zero_registers", lit(HllM) - col("occupied"))
+      .withColumn("s_int",
+        col("s_occ") + col("zero_registers") * lit(1L << HllRhoMax))
+    agg.join(exact, "lang")
+      .select(col("lang"), col("distinct_exact"), col("occupied"),
+        col("zero_registers"),
+        (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512.0))
+          * lit(262144.0) * lit(4503599627370496.0)
+          / col("s_int").cast("double")).as("raw_est"))
+      .withColumn("rel_err",
+        (col("raw_est") - col("distinct_exact").cast("double"))
+          / col("distinct_exact").cast("double"))
+  }
+
   /** Per-language exact distinct-token count next to the linear
     * counter's occupied-bucket count — both order-free distinct
     * aggregates in ONE pass. load_factor = occupied / buckets is an

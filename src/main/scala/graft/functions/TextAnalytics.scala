@@ -596,6 +596,75 @@ object TextAnalytics {
           / lit(RarityScale.toDouble)).as("rarity"))
   }
 
+  /** Grid for [[bigramRarity]]: inverse interpolated probabilities reach
+    * ~(N + V)/2, so the grid must leave BIGINT headroom for
+    * scale * (N + V)/2 * bigrams-per-doc. 2^30 keeps ~9 significant
+    * figures on common transitions and is wrap-free past 10^7 corpus
+    * bigrams; shrink the `scale` argument as log2(N + V) grows (the
+    * documented at-scale knob — the score needs ~7 figures, so even
+    * 2^20 serves corpora 10^3 times larger). */
+  val BigramRarityScale: Long = 1L << 30
+
+  /** Interpolated-bigram rarity — the bigram upgrade of [[rarityScores]].
+    * CCNet-style perplexity filtering scores documents under an n-gram
+    * LM; perplexity itself needs ln(), which forks from the oracle on
+    * libm, so the score stays the parity-safe surrogate: the mean over
+    * the document's token bigrams of the INVERSE interpolated bigram
+    * probability
+    *
+    *   p(cur | prev) = 1/2 * (c(prev,cur) + 1) / (c(prev,·) + V)
+    *                 + 1/2 * (c(·,cur) + 1) / (N + V)
+    *
+    * where c(prev,·) counts corpus bigrams starting with prev, c(·,cur)
+    * bigrams ending in cur, N is the total bigram count and V the
+    * continuation vocabulary — an add-one-smoothed ML bigram
+    * interpolated with the continuation unigram (the Jelinek-Mercer
+    * shape, lambda = 1/2). 1/p is large exactly when a transition is
+    * surprising under the corpus LM — boilerplate scores near the
+    * corpus floor, scrambled/ocr-noise text scores high, which is the
+    * ranking perplexity filters act on.
+    *
+    * Order-free numerics: p is a deterministic IEEE expression over
+    * integer-derived doubles (bit-identical across engines — the
+    * sourceDivergence pattern), floor-quantized onto the `scale` grid,
+    * summed as exact BIGINT, converted to double once at the end.
+    * Documents with fewer than two tokens have no bigrams and emit no
+    * row (the contract; the oracle's unnest mirrors it for free).
+    *
+    * Shape at 100 TB: one bigram-count aggregation with map-side
+    * partial combine, two vocab-sized margins rolled up FROM that
+    * aggregate (never from the raw stream), one join of the exploded
+    * bigram stream against the scored-bigram table (AQE picks broadcast
+    * vs shuffle-hash — no hint), one per-doc aggregation. */
+  def bigramRarity(docs: DataFrame, scale: Long = BigramRarityScale): DataFrame = {
+    val toks = tokens(col("text"))
+    val pairs = docs.select(col("doc_id"),
+        explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("prev"), b.as("cur")))).as("p"))
+      .select(col("doc_id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
+    val cbg = pairs.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cbg"))
+    val cctx = cbg.groupBy(col("prev")).agg(sum(col("cbg")).as("cctx"))
+    val cug = cbg.groupBy(col("cur")).agg(sum(col("cbg")).as("cug"))
+    val tot = cug.agg(sum(col("cug")).as("n_total"), count(lit(1)).as("vocab"))
+    val scored = cbg.join(cctx, "prev").join(cug, "cur")
+      .crossJoin(broadcast(tot)) // one row — fixed-size by construction
+      .select(col("prev"), col("cur"),
+        floor(lit(scale.toDouble) /
+          (lit(0.5) * ((col("cbg") + lit(1)).cast("double")
+              / (col("cctx") + col("vocab")).cast("double"))
+            + lit(0.5) * ((col("cug") + lit(1)).cast("double")
+              / (col("n_total") + col("vocab")).cast("double"))))
+          .as("g"))
+    pairs.join(scored, Seq("prev", "cur"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("g")).as("gsum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("gsum").cast("double") / col("n_bigrams") / lit(scale.toDouble))
+          .as("bigram_rarity"))
+  }
+
   /** Grid for the divergence terms: per-token chi-square contributions
     * are O(1/N) doubles; 2^40 keeps ~12 significant digits on them. */
   val DivergenceScale: Double = RarityScale.toDouble

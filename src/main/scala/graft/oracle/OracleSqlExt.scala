@@ -1277,6 +1277,61 @@ SELECT lang, count(DISTINCT token) AS distinct_exact,
        CAST(count(DISTINCT bucket) AS DOUBLE) / ${graft.functions.CountSketch.LcBuckets}.0 AS load_factor
 FROM hb GROUP BY 1 ORDER BY lang""",
 
+    // mirror of CountSketch.hllDistinct: registers rebuilt from the same
+    // 60-bit double-polyhash; rho via length(bin(w)) (minimal binary on
+    // both engines); integer-grid harmonic sum, one trailing division
+    "q_hll_distinct" -> s"""
+WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+dt AS (SELECT DISTINCT lang, token FROM tok),
+hh AS (SELECT lang, $tokenHashSql AS h FROM dt),
+hr AS (SELECT lang, h % 512 AS bucket, h // 512 AS w FROM hh),
+rr AS (SELECT lang, bucket,
+              CASE WHEN w = 0 THEN 52 ELSE 52 - length(bin(w)) END AS rho
+       FROM hr),
+regs AS (SELECT lang, bucket, max(rho) AS m FROM rr GROUP BY 1, 2),
+ag AS (SELECT lang, count(*) AS occupied,
+              CAST(sum(CAST(1 AS BIGINT) << (52 - m)) AS BIGINT) AS s_occ
+       FROM regs GROUP BY 1),
+ex AS (SELECT lang, count(DISTINCT token) AS distinct_exact FROM tok GROUP BY 1),
+fin AS (SELECT lang, distinct_exact, occupied,
+               512 - occupied AS zero_registers,
+               s_occ + (512 - occupied) * 4503599627370496 AS s_int
+        FROM ag JOIN ex USING (lang)),
+est AS (SELECT lang, distinct_exact, occupied, zero_registers,
+               0.7213 / (1.0 + 1.079 / 512.0) * 262144.0 * 4503599627370496.0
+                 / CAST(s_int AS DOUBLE) AS raw_est
+        FROM fin)
+SELECT lang, distinct_exact, occupied, zero_registers, raw_est,
+       (raw_est - CAST(distinct_exact AS DOUBLE))
+         / CAST(distinct_exact AS DOUBLE) AS rel_err
+FROM est ORDER BY lang""",
+
+    // mirror of TextAnalytics.bigramRarity: interpolated inverse bigram
+    // probability as a deterministic IEEE expression over integer-derived
+    // doubles, floor-quantized to the 2^30 grid, summed as BIGINT
+    "q_bigram_rarity" -> """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bp AS (SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+           i -> {'prev': toks[i], 'cur': toks[i + 1]})) AS p
+       FROM t),
+pr AS (SELECT doc_id, p.prev AS prev, p.cur AS cur FROM bp),
+cbg AS (SELECT prev, cur, count(*) AS cbg FROM pr GROUP BY 1, 2),
+cctx AS (SELECT prev, CAST(sum(cbg) AS BIGINT) AS cctx FROM cbg GROUP BY 1),
+cug AS (SELECT cur, CAST(sum(cbg) AS BIGINT) AS cug FROM cbg GROUP BY 1),
+tot AS (SELECT CAST(sum(cug) AS BIGINT) AS n_total, count(*) AS vocab FROM cug),
+g AS (SELECT prev, cur,
+        floor(1073741824.0 /
+          (0.5 * (CAST(cbg + 1 AS DOUBLE) / CAST(cctx + vocab AS DOUBLE))
+         + 0.5 * (CAST(cug + 1 AS DOUBLE) / CAST(n_total + vocab AS DOUBLE)))) AS g
+      FROM cbg JOIN cctx USING (prev) JOIN cug USING (cur) CROSS JOIN tot),
+d AS (SELECT doc_id, count(*) AS n_bigrams,
+             CAST(sum(CAST(g AS BIGINT)) AS BIGINT) AS gsum
+      FROM pr JOIN g USING (prev, cur) GROUP BY 1)
+SELECT doc_id, n_bigrams,
+  CAST(gsum AS DOUBLE) / n_bigrams / 1073741824.0 AS bigram_rarity
+FROM d ORDER BY doc_id""",
+
     // mirror of TextCleaning.cleaningReport over the dirtied corpus —
     // the same regex chain (RE2-safe subset) with DuckDB's 'g' flag
     "q_text_cleaning" -> """

@@ -103,6 +103,8 @@ class DegenerateInputSpec extends AnyFunSuite {
     import graft.functions.CountSketch
     assert(CountSketch.cmsHeavyHitters(emptyDocs).count() === 0)
     assert(CountSketch.distinctSketch(emptyDocs).count() === 0)
+    assert(CountSketch.hllDistinct(emptyDocs).count() === 0)
+    assert(TextAnalytics.bigramRarity(emptyDocs).count() === 0)
     assert(TextAnalytics.histogramQuantile(emptyDocs).count() === 0)
     assert(TextAnalytics.qualityDeciles(emptyDocs).count() === 0)
     assert(TextAnalytics.dupNgramCoverage(emptyDocs).count() === 0)

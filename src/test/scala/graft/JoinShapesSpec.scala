@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.operators.{AsofJoin, RangeJoin, Relational}
-import graft.functions.CountSketch
+import graft.functions.{CountSketch, TextAnalytics}
 
 /** The two non-equi join shapes (as-of, point-in-interval) checked
   * against brute-force inequality-join references, plus plan assertions
@@ -129,6 +129,52 @@ class JoinShapesSpec extends AnyFunSuite {
       assert(r.getAs[Long]("overestimate") >= 0L,
         s"CMS underestimated ${r.getAs[String]("token")}")
     }
+  }
+
+  test("HLL registers bounded and raw estimate accurate past the LC regime") {
+    val rows = CountSketch.hllDistinct(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("distinct_exact")
+      val occ = r.getAs[Long]("occupied")
+      assert(occ + r.getAs[Long]("zero_registers") === CountSketch.HllM)
+      assert(occ <= exact && occ <= CountSketch.HllM)
+      // raw estimator is the recommended one past 2.5m (below that the
+      // linear-counting correction — deliberately OUT of the oracle
+      // query, see scaladoc — would take over); 512 registers carry
+      // ~4.6% standard error, assert a 5-sigma band
+      if (exact >= (2.5 * CountSketch.HllM).toLong) {
+        assert(math.abs(r.getAs[Double]("rel_err")) <= 0.23,
+          s"HLL rel_err ${r.getAs[Double]("rel_err")} at exact=$exact")
+      }
+    }
+  }
+
+  test("bigram rarity: every score >= 1, bigram counts tie to token counts") {
+    val out = TextAnalytics.bigramRarity(docs).collect()
+    val nTok = docs.select($"doc_id",
+      size(split($"text", " ")).cast("long").as("nt")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.length === nTok.count(_._2 >= 2))
+    out.foreach { r =>
+      // p is a convex combination of two probabilities <= 1, so the
+      // inverse-probability mean can never fall below 1
+      assert(r.getAs[Double]("bigram_rarity") >= 1.0 - 1e-9)
+      assert(r.getAs[Long]("n_bigrams") === nTok(r.getAs[Long]("doc_id")) - 1)
+    }
+  }
+
+  test("bigram rarity ranks scrambled text above natural repetition") {
+    import spark.implicits._
+    // one heavily repetitive doc vs one all-unique-transition doc on a
+    // shared vocabulary: the LM must find the unique transitions rarer
+    val corpus = Seq(
+      (1L, ("ab " * 40).trim, "en", "s", 0L),
+      (2L, (1 to 41).map(i => s"w$i").mkString(" "), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = TextAnalytics.bigramRarity(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bigram_rarity")).toMap
+    assert(m(2L) > m(1L))
   }
 
   test("linear counter occupancy bounds and estimate quality") {
