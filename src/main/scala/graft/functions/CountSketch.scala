@@ -47,6 +47,25 @@ object CountSketch {
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", PolyHash.polyhash(col("token")))
 
+  /** The Depth (row_i, bucket) coordinates of a token hash — the one
+    * definition of the sketch geometry, shared by the batch builder,
+    * the probe side, and the streaming cells
+    * ([[graft.streaming.CmsStream]]). */
+  private[graft] def cellStructs(h: Column): Column =
+    array((0 until Depth).map(i =>
+      struct(lit(i).as("row_i"), bucket(h, i, Width).as("bucket"))): _*)
+
+  private def cellsFrom(counts: DataFrame): DataFrame =
+    counts
+      .select(explode(cellStructs(col("h"))).as("rb"), col("cnt"))
+      .groupBy(col("rb.row_i").as("row_i"), col("rb.bucket").as("bucket"))
+      .agg(sum(col("cnt")).as("cell"))
+
+  /** The materialized sketch: (row_i, bucket) -> cell sums from the
+    * exact token aggregate (see the object scaladoc for why that is
+    * identical to hashing the raw stream). */
+  def cmsCells(docs: DataFrame): DataFrame = cellsFrom(tokenCounts(docs))
+
   /** Top-k tokens with their exact counts next to the CMS estimate
     * (est = min over rows of the token's cell) and the resulting
     * overestimate. One token shuffle builds both sides; the k-row probe
@@ -56,10 +75,7 @@ object CountSketch {
     val counts = tokenCounts(docs)
     val rows = (0 until Depth).map(i =>
       struct(lit(i).as("row_i"), bucket(col("h"), i, Width).as("bucket")))
-    val cells = counts
-      .select(explode(array(rows: _*)).as("rb"), col("cnt"))
-      .groupBy(col("rb.row_i").as("row_i"), col("rb.bucket").as("bucket"))
-      .agg(sum(col("cnt")).as("cell"))
+    val cells = cellsFrom(counts)
     // global top-k = TakeOrdered (no full sort); re-rank the k survivors
     // with a k-row window for a deterministic output key
     val top = counts.orderBy(col("cnt").desc, col("token")).limit(k)
