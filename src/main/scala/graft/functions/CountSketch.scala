@@ -127,7 +127,24 @@ object CountSketch {
     * exact count lives in the same exploded scan. The sketch side never
     * holds more than m * languages rows. */
   def hllDistinct(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("lang"),
+    val toks = hllTokenUpdates(docs)
+    val regs = toks.groupBy(col("lang"), col("bucket"))
+      .agg(max(col("rho")).as("m"))
+    val exact = toks.groupBy(col("lang"))
+      .agg(countDistinct(col("token")).as("distinct_exact"))
+    hllEstimate(regs).join(exact, "lang")
+      .select(col("lang"), col("distinct_exact"), col("occupied"),
+        col("zero_registers"), col("raw_est"))
+      .withColumn("rel_err",
+        (col("raw_est") - col("distinct_exact").cast("double"))
+          / col("distinct_exact").cast("double"))
+  }
+
+  /** Per-token (lang, token, bucket, rho) register updates — the one
+    * definition of the HLL geometry, shared by the batch builder and
+    * the streaming registers ([[graft.streaming.HllStream]]). */
+  private[graft] def hllTokenUpdates(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
         explode(TextAnalytics.tokens(col("text"))).as("token"))
       .withColumn("h", Sketches.tokenHash(col("token")))
       .withColumn("bucket", col("h") % lit(HllM))
@@ -135,26 +152,23 @@ object CountSketch {
       .withColumn("rho",
         when(col("w") === lit(0L), lit(HllRhoMax))
           .otherwise(lit(HllRhoMax) - length(bin(col("w")))))
-    val regs = toks.groupBy(col("lang"), col("bucket"))
-      .agg(max(col("rho")).as("m"))
-    val exact = toks.groupBy(col("lang"))
-      .agg(countDistinct(col("token")).as("distinct_exact"))
-    val agg = regs.groupBy(col("lang"))
+
+  /** (lang, bucket, m) registers -> per-lang occupancy + raw estimate,
+    * the integer-grid harmonic sum (see [[hllDistinct]]'s scaladoc) —
+    * bit-identical however the registers were accumulated, which is
+    * what lets a streaming register snapshot reuse it verbatim. */
+  private[graft] def hllEstimate(regs: DataFrame): DataFrame =
+    regs.groupBy(col("lang"))
       .agg(count(lit(1)).as("occupied"),
         sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRhoMax - m)")).as("s_occ"))
       .withColumn("zero_registers", lit(HllM) - col("occupied"))
       .withColumn("s_int",
         col("s_occ") + col("zero_registers") * lit(1L << HllRhoMax))
-    agg.join(exact, "lang")
-      .select(col("lang"), col("distinct_exact"), col("occupied"),
-        col("zero_registers"),
-        (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512.0))
+      .withColumn("raw_est",
+        lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512.0))
           * lit(262144.0) * lit(4503599627370496.0)
-          / col("s_int").cast("double")).as("raw_est"))
-      .withColumn("rel_err",
-        (col("raw_est") - col("distinct_exact").cast("double"))
-          / col("distinct_exact").cast("double"))
-  }
+          / col("s_int").cast("double"))
+      .drop("s_occ", "s_int")
 
   /** Per-language exact distinct-token count next to the linear
     * counter's occupied-bucket count — both order-free distinct
