@@ -173,42 +173,100 @@ object Sketches {
     docs.select(col("doc_id"),
       graft.expressions.SimHashSig.sim_hash_sig(col("text")).as("simhash"))
 
-  /** Near-dup pairs by SimHash, banding the 64-bit fingerprint into
-    * `maxHamming + 1` contiguous bit ranges: if two fingerprints differ in
-    * at most maxHamming positions, pigeonhole guarantees at least one band
-    * with zero differing bits, so every true pair shares >= 1 band key —
-    * recall 1.0 within the radius (candidates verified exactly with
-    * bit_count(xor) <= maxHamming).
+  /** Near-dup pairs by SimHash, with TWO-LEVEL pigeonhole banding.
     *
-    * Scale note: band keys are 64/(maxHamming+1) bits wide, so large radii
-    * produce weak keys (maxHamming=10 -> ~6-bit keys -> fat candidate
-    * buckets). Radii <= 7 keep keys >= 8 bits; beyond that prefer the
-    * MinHash path, whose bucket selectivity does not shrink with radius. */
+    * Level 1: band the 64-bit fingerprint into `maxHamming + 1`
+    * contiguous ranges — a pair within the radius has >= 1 band with
+    * zero differing bits. Level 2: given band i clean, the <= maxHamming
+    * diffs all lie in the complement (the other ~51 bits), so splitting
+    * THAT into `maxHamming + 1` sub-bands pigeonholes again: some
+    * sub-band j is also clean. Every true pair therefore shares a
+    * (band, sub_band, band_key, sub_key) join key — recall stays exactly
+    * 1.0 within the radius (SketchSpec), and every candidate is
+    * verified with bit_count(xor) <= maxHamming inside the join stage,
+    * so only true-radius rows reach the dedup exchange.
+    *
+    * Why two levels: UNIFORM chance candidates scale as
+    * docs^2 / 2^keybits — the quadratic term the x40 bench ladder
+    * exposed for single-level ~13-bit keys (20x->40x ratio 3.49). The
+    * composite key has ~13 + ~10 matching bits, cutting that term
+    * ~2^10 for (r+1)^2 = 25 keys/doc instead of r+1, and measures 25%
+    * faster at 40x sf0.1 (13.5 s vs 18.1 s warm, tools.SimhashProbe).
+    * What remains is corpus-INTRINSIC: the probe counts ~310M matched
+    * rows for 2.4M true pairs, dominated by correlated mid-hamming
+    * (5-15) near-miss pairs that share a clean key with probability
+    * ~25 * ((64-23)/64)^h — linear in the pair population, which is
+    * itself linear at fixed dup density, but with a large constant
+    * that no key-bit budget removes (more keys per doc raises the
+    * true-pair multiplicity as fast as it cuts near-miss matches).
+    * Two variants were REJECTED by measurement at 40x: canonical-key
+    * emission (filter each pair to its first clean (band, sub) key via
+    * 25 precomputed xor masks — kills the dedup shuffle but evaluates
+    * a 25-term predicate on every matched row: 34.9 s vs 13.5 s; the
+    * bit_count filter is 2 ops and the dedup exchange carries only
+    * true-radius survivors) and fingerprint-class collapse (band over
+    * distinct fingerprints, expand classes after: 196,001 of 200,000
+    * fingerprints are already distinct — near-dups differ in 1-4 bits,
+    * classes are singletons, and the tiny distinct() output collapses
+    * AQE partitioning for the fattest join in the engine: ~10x slower).
+    *
+    * Scale note: band keys are 64/(maxHamming+1) bits wide, so large
+    * radii still produce weak keys (maxHamming=10 -> ~6+5-bit composite
+    * keys). Radii <= 7 keep composites >= 14 bits; beyond that prefer
+    * the MinHash path, whose bucket selectivity does not shrink with
+    * radius. */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
-    val sh = simHashes(docs)
-    val numBands = maxHamming + 1
-    val bandCols = (0 until numBands).map { i =>
-      val start = i * 64 / numBands
-      val width = (i + 1) * 64 / numBands - start
-      val mask = if (width >= 64) -1L else (1L << width) - 1L
-      struct(lit(i).as("band"),
-        shiftrightunsigned(col("simhash"), start).bitwiseAND(lit(mask)).as("band_key"))
-    }
-    val bands = sh.select(col("doc_id"), col("simhash"),
-      explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"),
-        col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-    // Verify hamming BEFORE deduplicating: bit_count is a codegen'd scalar
-    // while dropDuplicates shuffles its input, so the shuffle should carry
-    // only the (id, id, hamming) survivors, not every candidate pair.
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
+    require(maxHamming >= 0 && maxHamming < 32, s"maxHamming out of range: $maxHamming")
+    // Verify hamming BEFORE deduplicating: bit_count is a codegen'd
+    // scalar while dropDuplicates shuffles its input, so the exchange
+    // carries only the (id, id, hamming) true-radius survivors, never
+    // the near-miss bulk of the matched stream.
+    simHashBandMatches(simHashes(docs), maxHamming)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** The raw two-level band-join matched stream over a (doc_id,
+    * simhash) frame (multi-key duplicates included, nothing filtered) —
+    * also the growth diagnostic for tools.SimhashProbe. */
+  private[graft] def simHashBandMatches(sh: DataFrame, maxHamming: Int): DataFrame = {
+    val numBands = maxHamming + 1
+
+    val bandCols = (0 until numBands).flatMap { i =>
+      val start = i * 64 / numBands
+      val end = (i + 1) * 64 / numBands
+      val width = end - start
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      val bandKey = shiftrightunsigned(col("simhash"), start).bitwiseAND(lit(mask))
+      // complement = the other 64-width bits, packed contiguously
+      // (low [0,start) stays, high [end,64) shifts down next to it);
+      // Java shifts are mod 64, so the end==64 empty-high case needs the
+      // explicit zero
+      val cw = 64 - width
+      val lowMask = (1L << start) - 1L // start < 64 always
+      val high =
+        if (end >= 64) lit(0L)
+        else shiftleft(shiftrightunsigned(col("simhash"), end), start)
+      val compl = col("simhash").bitwiseAND(lit(lowMask)).bitwiseOR(high)
+      (0 until numBands).map { j =>
+        val subStart = j * cw / numBands
+        val subWidth = (j + 1) * cw / numBands - subStart
+        val subMask = if (subWidth >= 64) -1L else (1L << subWidth) - 1L
+        struct(lit(i * numBands + j).as("band"),
+          bandKey.as("band_key"),
+          shiftrightunsigned(compl, subStart).bitwiseAND(lit(subMask)).as("sub_key"))
+      }
+    }
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"), col("bk.sub_key").as("sub_key"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.sub_key") === col("b.sub_key") &&
+          col("a.doc_id") < col("b.doc_id"))
   }
 }

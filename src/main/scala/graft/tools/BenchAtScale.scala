@@ -45,7 +45,10 @@ object BenchAtScale {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val k = args.headOption.getOrElse("10").toInt
     val out = args.lift(1).getOrElse(s"/tmp/graft_sf_x$k")
-    require(k >= 1 && k <= Alphabet.length, s"k out of range: $k")
+    // replica distinctness needs only that the seeded shuffles differ,
+    // not k <= 26: collision odds for k independent 26-letter
+    // permutations are ~k^2/26! — negligible for any runnable k
+    require(k >= 1 && k <= 64, s"k out of range: $k")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
