@@ -170,6 +170,12 @@ object CountSketch {
           / col("s_int").cast("double"))
       .drop("s_occ", "s_int")
 
+  /** The linear counter's bucket of one token — the one definition of
+    * the LC geometry, shared by the batch sketch and the streaming
+    * occupancy ([[graft.streaming.LcStream]]). */
+  private[graft] def lcBucket(token: Column): Column =
+    bucket(PolyHash.polyhash(token), LcHashIdx, LcBuckets)
+
   /** Per-language exact distinct-token count next to the linear
     * counter's occupied-bucket count — both order-free distinct
     * aggregates in ONE pass. load_factor = occupied / buckets is an
@@ -177,8 +183,7 @@ object CountSketch {
   def distinctSketch(docs: DataFrame): DataFrame =
     docs.select(col("lang"),
         explode(TextAnalytics.tokens(col("text"))).as("token"))
-      .withColumn("bucket",
-        bucket(PolyHash.polyhash(col("token")), LcHashIdx, LcBuckets))
+      .withColumn("bucket", lcBucket(col("token")))
       .groupBy(col("lang"))
       .agg(countDistinct(col("token")).as("distinct_exact"),
         countDistinct(col("bucket")).as("occupied"))
