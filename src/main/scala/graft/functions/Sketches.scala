@@ -199,6 +199,16 @@ object Sketches {
     * itself linear at fixed dup density, but with a large constant
     * that no key-bit budget removes (more keys per doc raises the
     * true-pair multiplicity as fast as it cuts near-miss matches).
+    * The measured mechanism behind the correlation (SketchScaleSpec):
+    * SHORT documents carry tie-biased bits — sign(0) resolves to a
+    * fixed value, and E[tied bits] ~ 64 * C(T, T/2) / 2^T for T token
+    * occurrences — so short docs cluster in a shared fingerprint
+    * corner regardless of vocabulary (58% of the matched stream at
+    * 20x sf0.001, whose synthetic docs are short; ~4x the uniform
+    * rate at sf0.1 lengths). The per-doc-pair collision rate is a
+    * property of the LENGTH DISTRIBUTION, not corpus size, so the
+    * at-scale remedy is upstream length/quality routing (the curation
+    * funnel already drops degenerate docs), not more key bits.
     * Two variants were REJECTED by measurement at 40x: canonical-key
     * emission (filter each pair to its first clean (band, sub) key via
     * 25 precomputed xor masks — kills the dedup shuffle but evaluates

