@@ -82,13 +82,20 @@ object Sketches {
       .select(col("doc_id"),
         graft.expressions.MinHashSig.min_hash_sig(col("text"), n).as("sig"))
 
-  /** Banded-LSH candidate pairs + signature-estimated Jaccard.
-    * Pairs sharing >= 1 of the 16 bands are candidates; est_jaccard =
-    * fraction of agreeing signature positions. The band join key is the
-    * signature SLICE itself (array equi-join), not a 32-bit re-hash of
-    * it: identical semantics to "all 4 positions agree", with no
-    * hash-collision candidates an external checker couldn't reproduce. */
-  private def bandsOf(sigs: DataFrame): DataFrame =
+  /** Signature agreement fraction between two signature arrays — the
+    * one estimator definition, shared by the batch pair query and the
+    * streaming detections ([[graft.streaming.NearDupStream]]). */
+  private[graft] def estJaccard(sigA: String, sigB: String): Column =
+    expr(s"aggregate(zip_with($sigA, $sigB, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+      .cast("double") / NumHashes
+
+  /** Banded-LSH per-document band rows. Pairs sharing >= 1 of the 16
+    * bands are candidates; est_jaccard = fraction of agreeing signature
+    * positions. The band join key is the signature SLICE itself (array
+    * equi-join), not a 32-bit re-hash of it: identical semantics to
+    * "all 4 positions agree", with no hash-collision candidates an
+    * external checker couldn't reproduce. */
+  private[graft] def bandsOf(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"), col("sig"),
       explode(sequence(lit(0), lit(MinHashBands - 1))).as("band"))
       .select(col("doc_id"), col("sig"), col("band"),
@@ -147,8 +154,7 @@ object Sketches {
     // two 64-long signature arrays per candidate.
     minHashBandCandidates(docs, n, anchors)
       .select(col("doc_a"), col("doc_b"),
-        (expr(s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
-          .cast("double") / NumHashes).as("est_jaccard"))
+        estJaccard("sig_a", "sig_b").as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .dropDuplicates("doc_a", "doc_b")
 
