@@ -44,4 +44,17 @@ object NearDupStream {
       .select(col("s.doc_id").as("doc_id"), col("c.doc_id").as("corpus_doc"),
         Sketches.estJaccard("s.sig", "c.sig").as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+
+  /** The curation gate: `docs` minus everything with a corpus near-dup
+    * >= threshold. The per-DOCUMENT verdict collapses the band rows,
+    * which the streaming DSL cannot express statelessly — so this is a
+    * BATCH function by design, composed inside `foreachBatch` where
+    * production curation runs its per-micro-batch joins (each batch is
+    * an independent batch frame there, so the streamed gate equals the
+    * batch gate exactly — NearDupStreamSpec). */
+  def withoutNearDups(docs: DataFrame, index: DataFrame,
+                      threshold: Double = 0.5, n: Int = 5): DataFrame =
+    docs.join(
+      detections(docs, index, threshold, n).select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
 }

@@ -51,4 +51,41 @@ class NearDupStreamSpec extends AnyFunSuite {
         "stream-static join should hold NO state")
     } finally q.stop()
   }
+
+  test("foreachBatch curation gate == batch gate across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val all = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+      .select($"doc_id", $"text")
+    val corpus = all.filter($"doc_id" % 2 === 0)
+    val incomingAll = all.filter($"doc_id" % 2 === 1)
+      .as[(Long, String)].collect()
+    val (first, second) = incomingAll.splitAt(incomingAll.length / 2)
+    val index = NearDupStream.bandIndex(corpus).localCheckpoint()
+
+    val survived = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        survived ++= NearDupStream.withoutNearDups(batch, index, threshold = 0.3)
+          .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .collect()
+        ()
+      }
+      .start()
+    try {
+      input.addData(first)
+      q.processAllAvailable()
+      input.addData(second)
+      q.processAllAvailable()
+
+      val batchGate = NearDupStream.withoutNearDups(
+          spark.createDataset(incomingAll).toDF("doc_id", "text"),
+          index, threshold = 0.3)
+        .select($"doc_id").as[Long].collect()
+      assert(survived.sorted === batchGate.sorted)
+      assert(batchGate.length < incomingAll.length,
+        "gate dropped nothing — test is vacuous")
+    } finally q.stop()
+  }
 }
