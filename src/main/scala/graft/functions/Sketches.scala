@@ -248,6 +248,19 @@ object Sketches {
     * simhash) frame (multi-key duplicates included, nothing filtered) —
     * also the growth diagnostic for tools.SimhashProbe. */
   private[graft] def simHashBandMatches(sh: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = simHashBands(sh, maxHamming)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.sub_key") === col("b.sub_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+  }
+
+  /** Two-level band rows of a (doc_id, simhash) frame: (doc_id,
+    * simhash, band, band_key, sub_key), (maxHamming+1)^2 rows per doc —
+    * the index/probe side of both the pair self-join and the
+    * stream-static detector ([[graft.streaming.NearDupStream]]). */
+  private[graft] def simHashBands(sh: DataFrame, maxHamming: Int): DataFrame = {
     val numBands = maxHamming + 1
 
     val bandCols = (0 until numBands).flatMap { i =>
@@ -275,14 +288,9 @@ object Sketches {
           shiftrightunsigned(compl, subStart).bitwiseAND(lit(subMask)).as("sub_key"))
       }
     }
-    val bands = sh.select(col("doc_id"), col("simhash"),
+    sh.select(col("doc_id"), col("simhash"),
       explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band").as("band"),
         col("bk.band_key").as("band_key"), col("bk.sub_key").as("sub_key"))
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col("a.sub_key") === col("b.sub_key") &&
-          col("a.doc_id") < col("b.doc_id"))
   }
 }

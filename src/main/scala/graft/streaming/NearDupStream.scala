@@ -45,6 +45,29 @@ object NearDupStream {
         Sketches.estJaccard("s.sig", "c.sig").as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
 
+  /** The static simhash band index: (doc_id, simhash, band, band_key,
+    * sub_key) rows — the hamming-radius counterpart of [[bandIndex]],
+    * same two-level pigeonhole keys as the batch pair query. */
+  def simhashIndex(corpus: DataFrame, maxHamming: Int = 3): DataFrame =
+    Sketches.simHashBands(Sketches.simHashes(corpus), maxHamming)
+
+  /** Streaming hamming-radius detections of incoming docs against a
+    * simhash index: (doc_id, corpus_doc, hamming) rows, one per shared
+    * composite key, for pairs within the radius. Recall within the
+    * radius is exactly 1.0 (pigeonhole twice — any in-radius pair
+    * shares >= 1 (band, sub_band) key with the index). Stateless
+    * stream-static equi-join, Append mode. */
+  def simhashDetections(docs: DataFrame, index: DataFrame,
+                        maxHamming: Int = 3): DataFrame =
+    Sketches.simHashBands(Sketches.simHashes(docs), maxHamming).as("s")
+      .join(index.as("c"),
+        col("s.band") === col("c.band") &&
+          col("s.band_key") === col("c.band_key") &&
+          col("s.sub_key") === col("c.sub_key"))
+      .select(col("s.doc_id").as("doc_id"), col("c.doc_id").as("corpus_doc"),
+        bit_count(col("s.simhash").bitwiseXOR(col("c.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+
   /** The curation gate: `docs` minus everything with a corpus near-dup
     * >= threshold. The per-DOCUMENT verdict collapses the band rows,
     * which the streaming DSL cannot express statelessly — so this is a

@@ -52,6 +52,50 @@ class NearDupStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed simhash detections == batch join, full radius recall") {
+    implicit val sq = spark.sqlContext
+    val all = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+      .select($"doc_id", $"text")
+    val corpus = all.filter($"doc_id" % 2 === 0)
+    val incomingAll = all.filter($"doc_id" % 2 === 1)
+      .as[(Long, String)].collect()
+    val (first, second) = incomingAll.splitAt(incomingAll.length / 2)
+    val index = NearDupStream.simhashIndex(corpus, maxHamming = 4).localCheckpoint()
+
+    val input = MemoryStream[(Long, String)]
+    val q = NearDupStream.simhashDetections(
+        input.toDF().toDF("doc_id", "text"), index, maxHamming = 4)
+      .writeStream.format("memory").queryName("neardup_sh")
+      .outputMode("append").start()
+    try {
+      input.addData(first)
+      q.processAllAvailable()
+      input.addData(second)
+      q.processAllAvailable()
+
+      val streamed = spark.table("neardup_sh")
+        .as[(Long, Long, Int)].collect().sorted
+      val batch = NearDupStream.simhashDetections(
+          spark.createDataset(incomingAll).toDF("doc_id", "text"),
+          index, maxHamming = 4)
+        .as[(Long, Long, Int)].collect().sorted
+      assert(streamed === batch)
+      assert(q.lastProgress.stateOperators.isEmpty)
+
+      // full radius recall vs brute force: every (incoming, corpus)
+      // pair within hamming 4 appears among the deduplicated detections
+      val fps = (graft.functions.Sketches.simHashes(all)
+        .as[(Long, Long)].collect()).toMap
+      val truth = (for {
+        (ia, _) <- incomingAll
+        ic <- fps.keys if ic % 2 == 0
+        if java.lang.Long.bitCount(fps(ia) ^ fps(ic)) <= 4
+      } yield (ia, ic)).toSet
+      assert(streamed.map(r => (r._1, r._2)).toSet === truth)
+      assert(truth.nonEmpty, "fixture produced no in-radius pairs — vacuous")
+    } finally q.stop()
+  }
+
   test("foreachBatch curation gate == batch gate across micro-batches") {
     implicit val sq = spark.sqlContext
     val all = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
