@@ -382,6 +382,23 @@ object SparkEntry {
           lit("@example.com or +1 (555) 123-4567 now")).as("text"))
       functions.TextCleaning.cleaningReport(dirty).orderBy(col("doc_id"))
     }),
+    // per-source PII exposure audit over a deterministically dirtied
+    // corpus (emails on doc_id%3, phones on %5, dotted quads on %7 —
+    // modular classes spread across sources, so counts vary per source)
+    "q_pii_scan" -> ((s, dir) => {
+      val dirty = docs(s, dir).select(col("source"), concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit(" call +1 (555) 123-4567")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), (col("doc_id") % 100).cast("string")))
+          .otherwise(lit(""))).as("text"))
+      functions.TextCleaning.piiReport(dirty).orderBy(col("source"))
+    }),
     // crawl-over-crawl diff: v2 derives deterministically from the
     // fixture (13 drops a doc, 17 edits one, 19 adds a copy)
     "q_corpus_diff" -> ((s, dir) => {
@@ -427,6 +444,11 @@ object SparkEntry {
       TextAnalytics.sourceDivergence(docs(s, dir)).orderBy(col("source"))),
     "q_dup_ngram_coverage" -> ((s, dir) =>
       TextAnalytics.dupNgramCoverage(docs(s, dir)).orderBy(col("doc_id"))),
+    // ExactSubstr-style maximal duplicated-run extraction: longest
+    // cross-document duplicated token span per doc (gaps-and-islands
+    // over positional n-gram hashes)
+    "q_dup_spans" -> ((s, dir) =>
+      TextAnalytics.dupSpans(docs(s, dir)).orderBy(col("doc_id"))),
     "q_tfidf_terms" -> ((s, dir) =>
       TextAnalytics.tfidfTerms(docs(s, dir)).orderBy(col("lang"), col("rnk"))),
     "q_embedding_stats" -> ((s, dir) =>

@@ -24,7 +24,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * first-occurrence-distinct BY HASH (the downstream df-count key);
   * the oracle mirrors with list_distinct over the hashed list.
   */
-case class NgramHashes(child: Expression, n: Int = 5)
+case class NgramHashes(child: Expression, n: Int = 5,
+                       positional: Boolean = false)
     extends UnaryExpression {
   require(n >= 1, s"ngram_hashes: n must be >= 1, got $n")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -36,20 +37,43 @@ case class NgramHashes(child: Expression, n: Int = 5)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"ngram_hashes requires STRING, got ${child.dataType.catalogString}")
   override def nullSafeEval(v: Any): Any =
-    new GenericArrayData(NgramHashes.compute(v.asInstanceOf[UTF8String].getBytes, n))
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    new GenericArrayData(
+      if (positional) NgramHashes.computeAll(v.asInstanceOf[UTF8String].getBytes, n)
+      else NgramHashes.compute(v.asInstanceOf[UTF8String].getBytes, n))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (positional) "computeAll" else "compute"
     defineCodeGen(ctx, ev, c =>
       s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.expressions.NgramHashes.compute($c.getBytes(), $n))")
+        s"graft.expressions.NgramHashes.$m($c.getBytes(), $n))")
+  }
   override protected def withNewChildInternal(newChild: Expression): NgramHashes =
     copy(child = newChild)
-  override def prettyName: String = "ngram_hashes"
+  override def prettyName: String =
+    if (positional) "ngram_pos_hashes" else "ngram_hashes"
 }
 
 object NgramHashes {
   private val Empty = Array.emptyLongArray
 
   def compute(bytes: Array[Byte], n: Int): Array[Long] = {
+    val all = computeAll(bytes, n)
+    if (all.length <= 1) return all
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    var g = 0
+    while (g < all.length) { out.add(all(g)); g += 1 }
+    if (out.size == all.length) return all
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next(); k += 1 }
+    arr
+  }
+
+  /** All window hashes in POSITIONAL order (index i = the n-gram starting
+    * at token i), non-distinct — the span-detection input, where repeats
+    * and positions both matter. [[compute]] is first-occurrence-distinct
+    * over this sequence. */
+  def computeAll(bytes: Array[Byte], n: Int): Array[Long] = {
     if (n < 1) return Empty // defense in depth: the expression requires n >= 1
     // token i spans [starts(i), ends(i)); split-on-' ' semantics keep
     // empty tokens, matching split()/string_split on both engines
@@ -67,7 +91,7 @@ object NgramHashes {
       i += 1
     }
     ends(t) = bytes.length
-    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    val arr = new Array[Long](tokens - n + 1)
     var g = 0
     while (g <= tokens - n) {
       var h1 = 0L
@@ -80,17 +104,20 @@ object NgramHashes {
         h2 = (h2 * PolyHash.Base2 + c) % PolyHash.Mod2
         j += 1
       }
-      out.add(h2 * (1L << 30) + h1)
+      arr(g) = h2 * (1L << 30) + h1
       g += 1
     }
-    val arr = new Array[Long](out.size)
-    val it = out.iterator()
-    var k = 0
-    while (it.hasNext) { arr(k) = it.next(); k += 1 }
     arr
   }
 
   def ngram_hashes(c: Column, n: Int = 5): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
       NgramHashes(org.apache.spark.sql.graft.ColumnBridge.expression(c), n))
+
+  /** Positional (non-distinct) variant: element i is the hash of the
+    * n-gram starting at token i. */
+  def ngram_pos_hashes(c: Column, n: Int = 5): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      NgramHashes(org.apache.spark.sql.graft.ColumnBridge.expression(c), n,
+        positional = true))
 }

@@ -758,6 +758,57 @@ object TextAnalytics {
         col("dup_ngrams").cast("double") / col("n_ngrams"))
   }
 
+  /** Maximal duplicated-span extraction (the ExactSubstr signal from
+    * "Deduplicating Training Data Makes Language Models Better",
+    * Lee et al. 2022, re-expressed relationally): per document, the
+    * longest run of CONSECUTIVE token positions whose n-grams each occur
+    * in at least one other document. dupNgramCoverage answers "how much
+    * of this doc is duplicated"; this answers "is the duplication one
+    * long copied passage or scattered phrases" — the signal that decides
+    * span-level cut vs whole-doc drop.
+    *
+    * Shape at 100 TB: positional hashes come from the same row-local
+    * [[graft.expressions.NgramHashes]] kernel (positional variant), so
+    * the exploded stream is 20-byte (doc, pos, hash60) rows. The
+    * duplicated-hash set (df > 1 over per-doc-distinct hashes) is the
+    * dupNgramCoverage aggregation; the positional stream hash-joins it
+    * on the hash key (inner join — only duplicated positions survive to
+    * the window), then gaps-and-islands runs one window per doc over the
+    * SURVIVING positions only. Two exchanges on the n-gram stream (hash
+    * key, then doc key over the filtered stream) — the doc-key sort is
+    * over duplicated positions only, a corpus-dup-rate-bounded subset. */
+  def dupSpans(docs: DataFrame, n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withArr = docs
+      .select(col("doc_id"),
+        graft.expressions.NgramHashes.ngram_pos_hashes(col("text"), n).as("hs"))
+      .filter(size(col("hs")) > 0) // sub-n docs absent, as in dupNgramCoverage
+    // cross-document duplication: df over per-doc-DISTINCT hashes > 1
+    val dupSet = docs
+      .select(col("doc_id"),
+        explode(graft.expressions.NgramHashes.ngram_hashes(col("text"), n)).as("ngh"))
+      .groupBy(col("ngh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1)
+      .select(col("ngh"))
+    val dupPos = withArr
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "ngh")))
+      .join(dupSet, Seq("ngh"))
+    // islands: consecutive positions share (pos - rank); run length in
+    // n-grams + (n-1) = span length in tokens
+    val runs = dupPos
+      .withColumn("grp", col("pos") -
+        row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run"))
+    val perDoc = runs.groupBy(col("doc_id"))
+      .agg(sum(col("run")).as("dup_positions"),
+        (max(col("run")) + lit(n - 1).cast("long")).as("max_dup_span"))
+    withArr.select(col("doc_id"), size(col("hs")).cast("long").as("n_ngrams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("dup_positions"), lit(0L)).as("dup_positions"),
+        coalesce(col("max_dup_span"), lit(0L)).as("max_dup_span"))
+  }
+
   /** Per-source curation rollup: document counts and ORDER-FREE quality
     * statistics (exact percentiles, not avg — a double mean depends on
     * partition order) — the view that decides which feeds to keep,

@@ -41,4 +41,34 @@ object TextCleaning {
       length(col("text")).cast("long").as("raw_len"),
       length(clean(col("text"))).cast("long").as("clean_len"))
       .withColumn("changed", col("raw_len") =!= col("clean_len"))
+
+  /** PII patterns for the exposure report — the same RE2-safe email and
+    * phone regexes [[scrubPii]] masks, plus a dotted-quad IPv4. The
+    * families are counted INDEPENDENTLY (a dotted quad long enough to be
+    * phone-shaped counts in both families — a report convention, not a
+    * classification). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9 ()+.-]{7,}[0-9]"
+  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Per-source PII exposure: how many documents carry each PII family
+    * and how many total mentions — the audit that decides which feeds
+    * need scrubbing before training (the reference reports governance
+    * compliance per resource; this is the same rollup shape over text
+    * content). Row-local regexp_count per document then one hash
+    * aggregation on source — a single map stage plus one
+    * source-cardinality exchange at any corpus size. */
+  def piiReport(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        regexp_count(col("text"), lit(EmailPattern)).cast("long").as("emails"),
+        regexp_count(col("text"), lit(PhonePattern)).cast("long").as("phones"),
+        regexp_count(col("text"), lit(Ipv4Pattern)).cast("long").as("ips"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("emails") > 0, 1L).otherwise(0L)).as("email_docs"),
+        sum(col("emails")).as("emails"),
+        sum(when(col("phones") > 0, 1L).otherwise(0L)).as("phone_docs"),
+        sum(col("phones")).as("phones"),
+        sum(when(col("ips") > 0, 1L).otherwise(0L)).as("ip_docs"),
+        sum(col("ips")).as("ips"))
 }

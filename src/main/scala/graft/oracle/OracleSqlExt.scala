@@ -999,6 +999,36 @@ SELECT doc_id, count(*) AS n_ngrams,
     AS dup_ngram_frac
 FROM ng JOIN dfq USING (ngh) GROUP BY 1 ORDER BY doc_id""",
 
+    // mirror of TextAnalytics.dupSpans: positional 5-gram hashes (zipped
+    // parallel unnest = posexplode), duplicated-hash set from df > 1 over
+    // per-doc-distinct hashes, gaps-and-islands over surviving positions
+    // (pos base offset cancels in the pos - row_number() group key)
+    "q_dup_spans" -> s"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+ng AS (SELECT doc_id,
+         unnest(range(1, len(toks) - 3)) AS pos,
+         unnest(list_transform(
+                  list_transform(range(1, len(toks) - 3),
+                    g -> array_to_string(toks[g:g+4], ' ')),
+                  s -> ${tokenHashSqlOf("s")})) AS ngh
+       FROM t WHERE len(toks) >= 5),
+dfq AS (SELECT ngh FROM (SELECT DISTINCT doc_id, ngh FROM ng)
+        GROUP BY ngh HAVING count(*) > 1),
+dp AS (SELECT doc_id, pos FROM ng JOIN dfq USING (ngh)),
+isl AS (SELECT doc_id,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM dp),
+runs AS (SELECT doc_id, grp, count(*) AS run FROM isl GROUP BY 1, 2),
+per AS (SELECT doc_id, CAST(sum(run) AS BIGINT) AS dup_positions,
+               CAST(max(run) + 4 AS BIGINT) AS max_dup_span
+        FROM runs GROUP BY 1),
+base AS (SELECT doc_id, CAST(len(toks) - 4 AS BIGINT) AS n_ngrams
+         FROM t WHERE len(toks) >= 5)
+SELECT doc_id, n_ngrams,
+       CAST(coalesce(dup_positions, 0) AS BIGINT) AS dup_positions,
+       CAST(coalesce(max_dup_span, 0) AS BIGINT) AS max_dup_span
+FROM base LEFT JOIN per USING (doc_id) ORDER BY doc_id""",
+
     "q_tfidf_terms" -> """
 WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
 tf AS (SELECT lang, token, count(*) AS tf FROM t GROUP BY 1, 2),
@@ -1355,6 +1385,39 @@ cl AS (
 SELECT doc_id, raw_len, CAST(length(cleaned) AS BIGINT) AS clean_len,
        raw_len <> CAST(length(cleaned) AS BIGINT) AS changed
 FROM cl ORDER BY doc_id""",
+
+    // mirror of TextCleaning.piiReport over the modularly dirtied corpus
+    // (same email/phone patterns as q_text_cleaning, plus a dotted-quad
+    // IPv4; families counted independently — a quad long enough to be
+    // phone-shaped lands in both counts on both engines)
+    "q_pii_scan" -> """
+WITH dirty AS (
+  SELECT source,
+         text
+           || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+                || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN ' call +1 (555) 123-4567' ELSE '' END
+           || CASE WHEN doc_id % 7 = 0 THEN ' from 10.'
+                || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                || CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS text
+  FROM documents),
+c AS (
+  SELECT source,
+         len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS emails,
+         len(regexp_extract_all(text,
+           '\+?[0-9][0-9 ()+.-]{7,}[0-9]')) AS phones,
+         len(regexp_extract_all(text,
+           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS ips
+  FROM dirty)
+SELECT source, count(*) AS docs,
+  CAST(sum(CASE WHEN emails > 0 THEN 1 ELSE 0 END) AS BIGINT) AS email_docs,
+  CAST(sum(emails) AS BIGINT) AS emails,
+  CAST(sum(CASE WHEN phones > 0 THEN 1 ELSE 0 END) AS BIGINT) AS phone_docs,
+  CAST(sum(phones) AS BIGINT) AS phones,
+  CAST(sum(CASE WHEN ips > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ip_docs,
+  CAST(sum(ips) AS BIGINT) AS ips
+FROM c GROUP BY 1 ORDER BY source""",
 
     // mirror of TextAnalytics.corpusDiff over the derived v2
     "q_corpus_diff" -> """

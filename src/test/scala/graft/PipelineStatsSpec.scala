@@ -11,6 +11,36 @@ class PipelineStatsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("dupSpans finds the maximal cross-document duplicated run") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),         // shares tokens "a..h" with doc 2
+      (2L, "x x a b c d e f g h y y"),
+      (3L, "p q r s t"),                   // single unique 5-gram
+      (4L, "m n o p2 q2 m n o p2 q2")      // WITHIN-doc repeat only: not dup
+    ).toDF("doc_id", "text")
+    val r = graft.functions.TextAnalytics.dupSpans(docs).orderBy($"doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    // shared 8-token run = 4 consecutive duplicated 5-gram positions,
+    // span length 4 + (5-1) = 8 tokens
+    assert(r(0) === ((1L, 6L, 4L, 8L)))
+    assert(r(1) === ((2L, 8L, 4L, 8L)))
+    assert(r(2) === ((3L, 1L, 0L, 0L)))
+    assert(r(3) === ((4L, 6L, 0L, 0L)))
+  }
+
+  test("dupSpans separates scattered phrases from one long passage") {
+    // doc 5 and 6 share two DISJOINT 5-grams (not adjacent in doc 5):
+    // max span stays 5 while dup_positions is 2
+    val docs = Seq(
+      (5L, "a b c d e z1 z2 f g h i j"),
+      (6L, "a b c d e q1 q2 f g h i j")
+    ).toDF("doc_id", "text")
+    val r = graft.functions.TextAnalytics.dupSpans(docs).orderBy($"doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(2), x.getLong(3)))
+    assert(r(0) === ((5L, 2L, 5L)))
+    assert(r(1) === ((6L, 2L, 5L)))
+  }
+
   test("repetitionStats counts bigram repeats and the top-bigram share") {
     val docs = Seq(
       (1L, "a b a b c"), // bigrams: "a b","b a","a b","b c" -> 4 total, 3 distinct, top 2

@@ -38,4 +38,19 @@ class TextCleaningSpec extends AnyFunSuite {
     assert(r.filter($"changed").count() === 0)
     assert(r.count() === docs.count())
   }
+
+  test("pii report counts families independently per source") {
+    val docs = Seq(
+      ("s1", "mail a@b.com and c@d.org today"),       // 2 emails
+      ("s1", "call +1 (555) 123-4567 now"),           // 1 phone
+      ("s1", "nothing to see"),
+      ("s2", "host 10.2.0.4 only"),                   // 1 ip (too short for phone)
+      ("s2", "quad 192.168.100.200 is phone-shaped")  // 1 ip AND 1 phone
+    ).toDF("source", "text")
+    val r = TextCleaning.piiReport(docs).orderBy($"source")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6), x.getLong(7)))
+    assert(r(0) === ("s1", 3L, 1L, 2L, 1L, 1L, 0L, 0L))
+    assert(r(1) === ("s2", 2L, 0L, 0L, 1L, 1L, 2L, 2L))
+  }
 }
