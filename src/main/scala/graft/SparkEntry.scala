@@ -451,6 +451,56 @@ object SparkEntry {
       TextAnalytics.dupSpans(docs(s, dir)).orderBy(col("doc_id"))),
     "q_tfidf_terms" -> ((s, dir) =>
       TextAnalytics.tfidfTerms(docs(s, dir)).orderBy(col("lang"), col("rnk"))),
+    // which feeds are near-copies of each other: union-minhash per
+    // source (elementwise min of per-doc signatures), S^2/2 comparison
+    // over source-cardinality rows only
+    "q_source_similarity" -> ((s, dir) =>
+      functions.Sketches.sourceSimilarity(docs(s, dir))
+        .orderBy(col("source_a"), col("source_b"))),
+    // fuzzy eval-set leakage: bench suite = doc_id % 97 == 0 docs with
+    // ONE token replaced (position doc_id % n_tokens -> "xq"), so exact
+    // 8-gram screening misses near the edit while banded-minhash
+    // candidates + levenshtein verification still flag the source doc
+    "q_fuzzy_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val toks = split(col("text"), " ")
+      val idx = (col("doc_id") % size(toks)).cast("int")
+      val bench = d.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("bench_id"),
+          array_join(transform(toks,
+            (t, i) => when(i === idx, lit("xq")).otherwise(t)), " ").as("text"))
+      TextAnalytics.fuzzyContaminationAgainst(d, bench).orderBy(col("bench_id"))
+    }),
+    // CCNet-style template screen over a deterministically templated
+    // corpus (header on doc_id%2, footer on %3 -> per-source df ~50%/~33%
+    // clears the 25% floor while organic trigrams stay far below it)
+    "q_source_boilerplate" -> ((s, dir) => {
+      val dirty = docs(s, dir).select(col("source"), concat(
+        when(col("doc_id") % 2 === 0,
+          lit("all rights reserved contact us for more info "))
+          .otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit(" subscribe to our newsletter for weekly updates"))
+          .otherwise(lit(""))).as("text"))
+      TextAnalytics.sourceBoilerplate(dirty).orderBy(col("source"))
+    }),
+    // crawl-over-crawl length-distribution drift (exact two-sample KS
+    // per lang) between the corpus and the q_corpus_diff-style derived
+    // v2 (13 drops, 17 edits +3 chars, 19 re-adds a copy)
+    "q_length_drift" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val v1 = d.select(col("lang"),
+        length(col("text")).cast("long").as("n_chars"))
+      val v2 = d.filter(col("doc_id") % 13 =!= 0)
+        .select(col("lang"),
+          when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(d.filter(col("doc_id") % 19 === 0)
+          .select(col("lang"), col("text")))
+        .select(col("lang"), length(col("text")).cast("long").as("n_chars"))
+      TextAnalytics.lengthDrift(v1, v2).orderBy(col("lang"))
+    }),
     "q_embedding_stats" -> ((s, dir) =>
       Similarity.embeddingStats(emb(s, dir)).orderBy(col("label"))),
     "q_top_tokens_per_lang" -> ((s, dir) =>

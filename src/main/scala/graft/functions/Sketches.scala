@@ -293,4 +293,38 @@ object Sketches {
       .select(col("doc_id"), col("simhash"), col("bk.band").as("band"),
         col("bk.band_key").as("band_key"), col("bk.sub_key").as("sub_key"))
   }
+
+  /** Source-to-source shingle-set similarity via UNION MinHash: the
+    * minhash signature of a UNION of sets is the elementwise minimum of
+    * the member signatures (each position is "min of the permuted
+    * hashes", and min distributes over union), so one aggregation over
+    * the per-document signatures yields each source's signature of its
+    * ENTIRE distinct-shingle set — no shingle is ever re-hashed, stored,
+    * or shuffled. est_jaccard between two sources is then the usual
+    * signature agreement fraction, estimating the jaccard of the two
+    * sources' full vocabularies — the corpus-curation view that answers
+    * "which feeds are near-copies of each other" (e.g. two crawls of
+    * the same site) BEFORE paying for any pairwise document work.
+    *
+    * Shape at 100 TB: one hash aggregation corpus -> |sources| rows of
+    * 64 longs, then an |S|^2/2 comparison of those rows — the pair join
+    * is over source cardinality (dimension-sized), never documents;
+    * Spark's size estimate broadcasts it. Documents shorter than the
+    * shingle width carry no signature and are excluded (mirrored in the
+    * oracle's signature CTE). */
+  def sourceSimilarity(docs: DataFrame, n: Int = 5): DataFrame = {
+    val sigs = minHashSignatures(docs.select(col("doc_id"), col("text")), n)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val srcSig = sigs.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        array((0 until NumHashes).map(i =>
+          min(col("sig").getItem(i))): _*).as("sig"))
+    val a = srcSig.select(col("source").as("source_a"), col("docs").as("docs_a"),
+      col("sig").as("sig_a"))
+    val b = srcSig.select(col("source").as("source_b"), col("docs").as("docs_b"),
+      col("sig").as("sig_b"))
+    a.join(b, col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"), col("docs_a"), col("docs_b"),
+        estJaccard("sig_a", "sig_b").as("est_jaccard"))
+  }
 }

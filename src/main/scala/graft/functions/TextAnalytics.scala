@@ -160,6 +160,58 @@ object TextAnalytics {
       .withColumn("flagged", col("contamination_frac") > 0.2)
   }
 
+  /** Fuzzy benchmark decontamination: catches eval-set leakage that
+    * exact n-gram matching misses because the leaked copy was lightly
+    * edited (tokenizer artifacts, punctuation normalization, a word
+    * swapped). Candidates come from the banded-MinHash equi-join between
+    * the corpus and the benchmark (reference: the reference's exact
+    * n-gram screen, kafka-overwatch has no fuzzy tier — this is the
+    * LLM-pipeline extension), then each candidate pair is VERIFIED with
+    * exact levenshtein distance, flagged when the distance is within
+    * `maxDistFrac` of the longer text.
+    *
+    * Shape at 100 TB: the benchmark is a fixed suite (bounded by
+    * contract, the contaminationAgainst convention), so its band rows
+    * broadcast and the corpus probes them MAP-SIDE — the corpus never
+    * shuffles for candidate generation; band collision (>= 4 agreeing
+    * signature positions) is the prefilter that keeps the quadratic
+    * levenshtein kernel off all but near-duplicate pairs. The only
+    * shuffled rows are the candidate id pairs (distinct-ed WITHOUT their
+    * texts) and the output-sized text fetch for verification. */
+  def fuzzyContaminationAgainst(docs: DataFrame, benchmark: DataFrame,
+                                n: Int = 5,
+                                maxDistFrac: Double = 0.1): DataFrame = {
+    val corpusBands = Sketches.bandsOf(
+      Sketches.minHashSignatures(docs.select(col("doc_id"), col("text")), n))
+      .select(col("doc_id"), col("band"), col("band_key"))
+    val benchBands = Sketches.bandsOf(
+      Sketches.minHashSignatures(
+        benchmark.select(col("bench_id").as("doc_id"), col("text")), n))
+      .select(col("doc_id").as("bench_id"), col("band"), col("band_key"))
+    val cand = corpusBands
+      .join(broadcast(benchBands), Seq("band", "band_key"))
+      .select(col("doc_id"), col("bench_id")).distinct()
+    val verified = cand
+      .join(docs.select(col("doc_id"), col("text").as("corpus_text")), "doc_id")
+      .join(broadcast(benchmark.select(col("bench_id"),
+        col("text").as("bench_text"))), "bench_id")
+      .select(col("bench_id"), col("doc_id"),
+        levenshtein(col("corpus_text"), col("bench_text")).as("dist"),
+        greatest(length(col("corpus_text")), length(col("bench_text")))
+          .as("max_len"))
+    val perBench = verified.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("candidates"),
+        sum(when(col("dist") <= col("max_len") * maxDistFrac, 1L)
+          .otherwise(0L)).as("matches"),
+        min(col("dist")).as("min_dist"))
+    benchmark.select(col("bench_id"))
+      .join(perBench, Seq("bench_id"), "left")
+      .na.fill(0L, Seq("candidates", "matches"))
+      .select(col("bench_id"), col("candidates"), col("matches"),
+        col("min_dist").cast("long").as("min_dist"),
+        (col("matches") > 0).as("flagged"))
+  }
+
   /** Chunk-level exact dedup ("deduplicating training data" style, at
     * the non-overlapping W-token-window granularity that catches copied
     * passages inside otherwise-distinct documents): per document, the
@@ -401,6 +453,95 @@ object TextAnalytics {
           .when(col("h1") === col("h2"), "unchanged")
           .otherwise("modified"))
       .groupBy(col("status")).agg(count(lit(1)).as("docs"))
+  }
+
+  /** Per-source boilerplate n-gram detection (the CCNet-style template
+    * screen): an n-gram is boilerplate FOR A SOURCE when it appears in
+    * at least `minFrac` of that source's documents (and at least `minDf`
+    * absolute) — site headers, license footers, navigation chrome. The
+    * report shows, per source, how many distinct n-grams are boilerplate
+    * and what fraction of the source's n-gram incidences they soak up —
+    * the signal that decides which feeds need template stripping before
+    * training.
+    *
+    * Shape at 100 TB: per-doc-distinct hashes from the row-local
+    * [[graft.expressions.NgramHashes]] kernel (16-byte shuffle rows, no
+    * n-gram string leaves the scan); document frequency is one hash
+    * aggregation on (source, ngh) and the hit count joins the stream
+    * back ON THE SAME KEY, so the exchange is reused — two shuffles of
+    * the n-gram stream total, plus source-cardinality rollups. The
+    * per-source doc counts are dimension-sized and broadcast. */
+  def sourceBoilerplate(docs: DataFrame, n: Int = 3, minFrac: Double = 0.25,
+                        minDf: Long = 3L): DataFrame = {
+    val ng = docs.select(col("source"),
+      explode(graft.expressions.NgramHashes.ngram_hashes(col("text"), n))
+        .as("ngh"))
+    val srcSizes = docs.groupBy(col("source")).agg(count(lit(1)).as("docs"))
+    val dfs = ng.groupBy(col("source"), col("ngh")).agg(count(lit(1)).as("df"))
+    val boiler = dfs.join(broadcast(srcSizes), "source")
+      .filter(col("df") >= minDf &&
+        col("df").cast("double") >= col("docs") * minFrac)
+    val hits = ng.join(boiler.select(col("source"), col("ngh")),
+        Seq("source", "ngh"))
+      .groupBy(col("source")).agg(count(lit(1)).as("boiler_hits"))
+    val totals = ng.groupBy(col("source")).agg(count(lit(1)).as("n_ngrams"))
+    srcSizes
+      .join(boiler.groupBy(col("source"))
+        .agg(count(lit(1)).as("boiler_ngrams")), Seq("source"), "left")
+      .join(hits, Seq("source"), "left")
+      .join(totals, Seq("source"), "left")
+      .na.fill(0L, Seq("boiler_ngrams", "boiler_hits", "n_ngrams"))
+      .select(col("source"), col("docs"), col("n_ngrams"),
+        col("boiler_ngrams"), col("boiler_hits"),
+        when(col("n_ngrams") > 0,
+          col("boiler_hits").cast("double") / col("n_ngrams"))
+          .otherwise(lit(0.0)).as("boiler_frac"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov statistic between two corpus
+    * versions' length distributions, per language — the drift detector
+    * that flags a crawl whose documents got systematically shorter or
+    * longer (truncation bugs, extraction changes) even when counts look
+    * fine. D = max |ECDF_1(x) - ECDF_2(x)|, computed EXACTLY as the
+    * integer max of |c1*n2 - c2*n1| over the merged value grid (one
+    * double division at the end — order-free, both engines agree
+    * bit-for-bit).
+    *
+    * Shape at 100 TB: lengths first collapse to (lang, n_chars) counts —
+    * a domain-bounded aggregation (the value grid, NOT corpus rows) —
+    * and the ECDF window runs per-lang over that grid, so the window
+    * partition is bounded by the distinct-length domain regardless of
+    * corpus size. No global sort, no corpus-sized window. */
+  def lengthDrift(v1: DataFrame, v2: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c1 = v1.groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("c1"))
+    val c2 = v2.groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("c2"))
+    val grid = c1.join(c2, Seq("lang", "n_chars"), "full_outer")
+      .na.fill(0L, Seq("c1", "c2"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = Window.partitionBy(col("lang"))
+    val cum = grid
+      .withColumn("f1", sum(col("c1")).over(w))
+      .withColumn("f2", sum(col("c2")).over(w))
+      .withColumn("n1", sum(col("c1")).over(totals))
+      .withColumn("n2", sum(col("c2")).over(totals))
+    // cross-products in DECIMAL(38,0): BIGINT would wrap once per-lang
+    // counts pass ~3e9 (c*n ~ 1e24 at the 100 TB regime) — the whole
+    // point is an EXACT max, so the integer grid must not overflow
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    cum.groupBy(col("lang"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(dec(col("f1")) * dec(col("n2")) -
+          dec(col("f2")) * dec(col("n1")))).as("ks_num"))
+      .select(col("lang"), col("n1"), col("n2"),
+        col("ks_num").cast("decimal(38,0)").as("ks_num"),
+        when(col("n1") > 0 && col("n2") > 0,
+          col("ks_num").cast("double") /
+            (col("n1").cast("double") * col("n2").cast("double")))
+          .otherwise(lit(null).cast("double")).as("ks_stat"))
   }
 
   /** Language mixing weights for corpus assembly — the up/down-sampling

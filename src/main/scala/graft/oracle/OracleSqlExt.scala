@@ -489,6 +489,178 @@ SELECT doc_a, doc_b, est_jaccard FROM cand
 WHERE est_jaccard >= 0.3
 ORDER BY doc_a, doc_b""",
 
+    // mirror of Sketches.sourceSimilarity: per-doc minhash sigs (docs
+    // shorter than the shingle width excluded, as in minHashSignatures),
+    // elementwise min per source = the source's UNION signature, then
+    // the S^2/2 agreement comparison
+    "q_source_similarity" -> s"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(text) - 4, 0) + 1),
+           i -> text[i:i+4])) AS shingles
+  FROM documents WHERE length(text) >= 5),
+xs AS (
+  SELECT doc_id,
+         list_transform(shingles, sgl -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(sgl) + 1), i -> CAST(ascii(sgl[i:i]) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 1000000007)) AS xs
+  FROM sh),
+f AS (SELECT doc_id, $minhashSigSql AS sig FROM xs),
+fs AS (SELECT f.doc_id, d.source, f.sig
+       FROM f JOIN documents d USING (doc_id)),
+s AS (SELECT source, count(*) AS docs,
+             [${(1 to graft.functions.Sketches.NumHashes)
+                  .map(i => s"min(sig[$i])").mkString(", ")}] AS sig
+      FROM fs GROUP BY source)
+SELECT a.source AS source_a, b.source AS source_b,
+       a.docs AS docs_a, b.docs AS docs_b,
+       CAST(len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 64
+         AS est_jaccard
+FROM s a JOIN s b ON a.source < b.source
+ORDER BY source_a, source_b""",
+
+    // mirror of TextAnalytics.fuzzyContaminationAgainst over the
+    // perturbed bench suite (doc_id % 97, token at doc_id % n_tokens
+    // replaced by 'xq'): minhash sigs on both sides, banded candidates
+    // (bench side has no anchor cap — it is bounded by contract),
+    // levenshtein verification within 10% of the longer text
+    "q_fuzzy_contamination" -> s"""
+WITH bsrc AS (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents WHERE doc_id % 97 = 0),
+bench AS (
+  SELECT doc_id AS bench_id,
+         array_to_string(list_transform(range(1, len(toks) + 1),
+           i -> CASE WHEN i - 1 = doc_id % len(toks) THEN 'xq' ELSE toks[i] END),
+           ' ') AS text
+  FROM bsrc),
+csh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(text) - 4, 0) + 1),
+           i -> text[i:i+4])) AS shingles
+  FROM documents WHERE length(text) >= 5),
+cxs AS (
+  SELECT doc_id,
+         list_transform(shingles, sgl -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(sgl) + 1), i -> CAST(ascii(sgl[i:i]) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 1000000007)) AS xs
+  FROM csh),
+cf AS (SELECT doc_id, $minhashSigSql AS sig FROM cxs),
+bsh AS (
+  SELECT bench_id,
+         list_distinct(list_transform(range(1, greatest(length(text) - 4, 0) + 1),
+           i -> text[i:i+4])) AS shingles
+  FROM bench WHERE length(text) >= 5),
+bxs AS (
+  SELECT bench_id,
+         list_transform(shingles, sgl -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(sgl) + 1), i -> CAST(ascii(sgl[i:i]) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 1000000007)) AS xs
+  FROM bsh),
+bf AS (SELECT bench_id, $minhashSigSql AS sig FROM bxs),
+cbk AS (SELECT doc_id, g.band AS band,
+               sig[g.band * 4 + 1 : g.band * 4 + 4] AS bkey
+        FROM cf, (SELECT unnest(range(16)) AS band) g),
+bbk AS (SELECT bench_id, g.band AS band,
+               sig[g.band * 4 + 1 : g.band * 4 + 4] AS bkey
+        FROM bf, (SELECT unnest(range(16)) AS band) g),
+cand AS (SELECT DISTINCT c.doc_id, b.bench_id
+         FROM cbk c JOIN bbk b ON c.band = b.band AND c.bkey = b.bkey),
+lev AS (
+  SELECT cand.bench_id, cand.doc_id,
+         levenshtein(d.text, bn.text) AS dist,
+         greatest(length(d.text), length(bn.text)) AS mx
+  FROM cand JOIN documents d USING (doc_id) JOIN bench bn USING (bench_id)),
+per AS (
+  SELECT bench_id, count(*) AS candidates,
+         sum(CASE WHEN dist <= mx * 0.1 THEN 1 ELSE 0 END) AS matches,
+         min(dist) AS min_dist
+  FROM lev GROUP BY 1)
+SELECT b.bench_id,
+       CAST(coalesce(candidates, 0) AS BIGINT) AS candidates,
+       CAST(coalesce(matches, 0) AS BIGINT) AS matches,
+       CAST(min_dist AS BIGINT) AS min_dist,
+       coalesce(matches, 0) > 0 AS flagged
+FROM bench b LEFT JOIN per USING (bench_id)
+ORDER BY bench_id""",
+
+    // mirror of TextAnalytics.sourceBoilerplate over the templated
+    // corpus (header on doc_id%2, footer on %3): per-doc-distinct
+    // 3-gram hashes, source df floor (df >= 3 AND df >= 25% of the
+    // source's docs), hit counting joined back on the same key
+    "q_source_boilerplate" -> s"""
+WITH dirty AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 2 = 0
+           THEN 'all rights reserved contact us for more info ' ELSE '' END
+         || text ||
+         CASE WHEN doc_id % 3 = 0
+           THEN ' subscribe to our newsletter for weekly updates' ELSE '' END AS text
+  FROM documents),
+t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM dirty),
+ng AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+           list_transform(range(1, len(toks) - 1),
+             g -> array_to_string(toks[g:g+2], ' ')),
+           s -> ${tokenHashSqlOf("s")}))) AS ngh
+  FROM t WHERE len(toks) >= 3),
+srcn AS (SELECT source, count(*) AS docs FROM documents GROUP BY 1),
+dfx AS (SELECT source, ngh, count(*) AS df FROM ng GROUP BY 1, 2),
+boiler AS (SELECT d.source, d.ngh
+           FROM dfx d JOIN srcn s USING (source)
+           WHERE df >= 3 AND CAST(df AS DOUBLE) >= s.docs * 0.25),
+bcount AS (SELECT source, count(*) AS boiler_ngrams FROM boiler GROUP BY 1),
+hits AS (SELECT ng.source, count(*) AS boiler_hits
+         FROM ng JOIN boiler USING (source, ngh) GROUP BY 1),
+tot AS (SELECT source, count(*) AS n_ngrams FROM ng GROUP BY 1)
+SELECT s.source, s.docs,
+       CAST(coalesce(n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CAST(coalesce(boiler_ngrams, 0) AS BIGINT) AS boiler_ngrams,
+       CAST(coalesce(boiler_hits, 0) AS BIGINT) AS boiler_hits,
+       CASE WHEN coalesce(n_ngrams, 0) > 0
+         THEN CAST(coalesce(boiler_hits, 0) AS DOUBLE) / n_ngrams
+         ELSE 0.0 END AS boiler_frac
+FROM srcn s LEFT JOIN bcount USING (source) LEFT JOIN hits USING (source)
+  LEFT JOIN tot USING (source)
+ORDER BY source""",
+
+    // mirror of TextAnalytics.lengthDrift: v2 derived as in
+    // q_corpus_diff (13 drops, 17 edits appending ' v2', 19 re-adds),
+    // exact KS numerator in HUGEINT (the engine uses DECIMAL(38,0) —
+    // both exact on this grid), reported as DECIMAL(38,0)
+    "q_length_drift" -> """
+WITH v1 AS (SELECT lang, CAST(length(text) AS BIGINT) AS n_chars FROM documents),
+v2 AS (
+  SELECT lang, CAST(length(CASE WHEN doc_id % 17 = 0 THEN text || ' v2'
+                                ELSE text END) AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT lang, CAST(length(text) AS BIGINT) FROM documents WHERE doc_id % 19 = 0),
+g1 AS (SELECT lang, n_chars, count(*) AS c1 FROM v1 GROUP BY 1, 2),
+g2 AS (SELECT lang, n_chars, count(*) AS c2 FROM v2 GROUP BY 1, 2),
+grid AS (SELECT lang, n_chars, coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+         FROM g1 FULL OUTER JOIN g2 USING (lang, n_chars)),
+cum AS (
+  SELECT lang,
+         sum(c1) OVER (PARTITION BY lang ORDER BY n_chars
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+         sum(c2) OVER (PARTITION BY lang ORDER BY n_chars
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2,
+         sum(c1) OVER (PARTITION BY lang) AS n1,
+         sum(c2) OVER (PARTITION BY lang) AS n2
+  FROM grid),
+agg AS (
+  SELECT lang, max(n1) AS n1, max(n2) AS n2,
+         max(abs(CAST(f1 AS HUGEINT) * CAST(n2 AS HUGEINT)
+               - CAST(f2 AS HUGEINT) * CAST(n1 AS HUGEINT))) AS ks_num
+  FROM cum GROUP BY 1)
+SELECT lang, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(ks_num AS DECIMAL(38,0)) AS ks_num,
+       CASE WHEN n1 > 0 AND n2 > 0
+         THEN CAST(ks_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+         ELSE NULL END AS ks_stat
+FROM agg ORDER BY lang""",
+
     "q_simhash_pairs" -> s"""
 WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
 h AS (SELECT doc_id, $tokenHashSql AS ch FROM t),

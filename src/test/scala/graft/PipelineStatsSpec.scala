@@ -41,6 +41,63 @@ class PipelineStatsSpec extends AnyFunSuite {
     assert(r(1) === ((6L, 2L, 5L)))
   }
 
+  test("fuzzyContamination flags an edited copy, ignores unrelated docs") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (2L, "one two three four five six seven eight nine ten " +
+        "eleven twelve thirteen fourteen fifteen sixteen")
+    ).toDF("doc_id", "text")
+    // bench 10 = doc 1 with one token swapped; bench 11 matches nothing
+    val bench = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xq omicron pi rho sigma tau upsilon"),
+      (11L, "completely different words that never appeared anywhere " +
+        "in the corpus under any alignment whatsoever okay")
+    ).toDF("bench_id", "text")
+    val r = graft.functions.TextAnalytics
+      .fuzzyContaminationAgainst(corpus, bench)
+      .orderBy($"bench_id").collect()
+    assert(r(0).getAs[Long]("matches") >= 1L)
+    assert(r(0).getAs[Boolean]("flagged"))
+    assert(r(0).getAs[Long]("min_dist") <= 2L) // "xi" -> "xq" is one char
+    assert(!r(1).getAs[Boolean]("flagged"))
+  }
+
+  test("sourceBoilerplate finds the shared header, skips clean sources") {
+    val header = "copyright acme corp all rights"
+    val d = Seq(
+      (1L, s"$header unique1 tail1 words1 here1", "s1"),
+      (2L, s"$header unique2 tail2 words2 here2", "s1"),
+      (3L, s"$header unique3 tail3 words3 here3", "s1"),
+      (4L, s"$header unique4 tail4 words4 here4", "s1"),
+      (5L, "totally original text body one aa", "s2"),
+      (6L, "another fresh document body two bb", "s2"),
+      (7L, "yet more unrepeated content three cc", "s2"),
+      (8L, "final distinct words appear four dd", "s2")
+    ).toDF("doc_id", "text", "source")
+    val r = graft.functions.TextAnalytics.sourceBoilerplate(d)
+      .orderBy($"source").collect()
+    // header has 5 tokens -> 3 trigrams at df=4 (junction trigrams df=1)
+    assert(r(0).getAs[Long]("boiler_ngrams") === 3L)
+    assert(r(0).getAs[Long]("boiler_hits") === 12L)
+    assert(r(1).getAs[Long]("boiler_ngrams") === 0L)
+    assert(r(1).getAs[Double]("boiler_frac") === 0.0)
+  }
+
+  test("lengthDrift computes the exact two-sample KS statistic") {
+    val v1 = Seq(("en", 1L), ("en", 2L), ("en", 3L), ("en", 4L))
+      .toDF("lang", "n_chars")
+    val v2 = Seq(("en", 1L), ("en", 2L), ("en", 5L), ("en", 6L))
+      .toDF("lang", "n_chars")
+    val r = graft.functions.TextAnalytics.lengthDrift(v1, v2).collect()
+    assert(r.length === 1)
+    // F1(4)=1.0 vs F2(4)=0.5 -> D = 0.5; numerator 8 over 4*4
+    assert(r(0).getAs[Long]("n1") === 4L && r(0).getAs[Long]("n2") === 4L)
+    assert(r(0).getAs[java.math.BigDecimal]("ks_num").longValueExact() === 8L)
+    assert(r(0).getAs[Double]("ks_stat") === 0.5)
+  }
+
   test("repetitionStats counts bigram repeats and the top-bigram share") {
     val docs = Seq(
       (1L, "a b a b c"), // bigrams: "a b","b a","a b","b c" -> 4 total, 3 distinct, top 2

@@ -232,4 +232,23 @@ class SketchSpec extends AnyFunSuite {
     assert(g.length === 2)
     assert(g(0).getAs[Long]("keep_id") === 1L && g(0).getAs[Long]("dup_count") === 2L)
   }
+
+  test("sourceSimilarity: identical sources at 1.0, disjoint near 0") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today", "sA"),
+      (2L, "pack my box with five dozen liquor jugs again", "sA"),
+      (3L, "the quick brown fox jumps over the lazy dog today", "sB"),
+      (4L, "pack my box with five dozen liquor jugs again", "sB"),
+      (5L, "zq wv yx uo pr mt kn jl hg fd", "sC")
+    ).toDF("doc_id", "text", "source")
+    val r = Sketches.sourceSimilarity(d)
+      .orderBy($"source_a", $"source_b").collect()
+    assert(r.length === 3) // AB, AC, BC
+    val ab = r.find(x => x.getString(0) == "sA" && x.getString(1) == "sB").get
+    // identical shingle sets -> identical union signatures -> est 1.0
+    assert(ab.getAs[Double]("est_jaccard") === 1.0)
+    assert(ab.getAs[Long]("docs_a") === 2L && ab.getAs[Long]("docs_b") === 2L)
+    val ac = r.find(x => x.getString(0) == "sA" && x.getString(1) == "sC").get
+    assert(ac.getAs[Double]("est_jaccard") < 0.2)
+  }
 }
