@@ -243,6 +243,9 @@ object SparkEntry {
       TextAnalytics.qualityScores(docs(s, dir)).orderBy(col("doc_id"))),
     "q_langid" -> ((s, dir) =>
       TextAnalytics.languageId(docs(s, dir)).orderBy(col("doc_id"))),
+    "q_langid_confusion" -> ((s, dir) =>
+      TextAnalytics.languageIdConfusion(docs(s, dir))
+        .orderBy(col("lang"), col("predicted_lang"))),
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         PolyHash.polyhash(col("text")).as("fingerprint")).orderBy(col("doc_id"))),

@@ -974,10 +974,12 @@ object TextAnalytics {
     "es" -> Seq("el", "los", "que", "y"),
     "zh" -> Seq("de5", "shi4", "le5", "zai4"))
 
-  /** Language ID: count marker hits per language, argmax with 'und'
-    * fallback when nothing matches. Ties broken by language order via
-    * strict-greater comparison chain. */
-  def languageId(docs: DataFrame): DataFrame = {
+  /** Shared language-ID core: the input plus per-language marker counts
+    * and the argmax `predicted_lang` ('und' when nothing matches; ties
+    * broken by language order via strict-greater chain). Row-local — the
+    * prediction rides the scan, so consumers never join back to fetch
+    * the label. */
+  private def langPredicted(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val withCounts = LangMarkers.foldLeft(docs.withColumn("toks", toks)) {
       case (df, (lang, markers)) =>
@@ -990,10 +992,37 @@ object TextAnalytics {
       val c = col(s"m_$lang")
       (when(c > bc, lit(lang)).otherwise(bl), when(c > bc, c).otherwise(bc))
     }
-    withCounts.select(
+    withCounts.withColumn("predicted_lang", best._1)
+  }
+
+  /** Language ID: count marker hits per language, argmax with 'und'
+    * fallback when nothing matches. */
+  def languageId(docs: DataFrame): DataFrame =
+    langPredicted(docs).select(
       (col("doc_id") +: LangMarkers.map { case (l, _) => col(s"m_$l") }) :+
-        best._1.as("predicted_lang") :+
-        (best._1 === col("lang")).as("label_match"): _*)
+        col("predicted_lang") :+
+        (col("predicted_lang") === col("lang")).as("label_match"): _*)
+
+  /** Label-vs-prediction confusion rollup over the same row-local
+    * language-ID core — the per-language precision/recall view that
+    * decides whether the classifier is trustworthy enough to route
+    * documents by predicted language. `label_share` is each cell's
+    * fraction of its LABEL row (rows of one lang sum to 1).
+    *
+    * Shape at 100 TB: prediction is fused into the scan (no join), the
+    * confusion aggregation is |langs|^2-bounded, and the label totals
+    * derive from the same cells (one tiny window over the rollup) —
+    * the corpus is scanned once. */
+  def languageIdConfusion(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = langPredicted(docs)
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("docs"))
+    cells
+      .withColumn("label_docs",
+        sum(col("docs")).over(Window.partitionBy(col("lang"))))
+      .select(col("lang"), col("predicted_lang"), col("docs"),
+        (col("docs").cast("double") / col("label_docs")).as("label_share"))
   }
 
   /** End-to-end curation funnel — the composition a training-data run

@@ -766,6 +766,30 @@ SELECT doc_id, m_en, m_de, m_fr, m_es, m_zh,
         ELSE 'zh' END) = lang AS label_match
 FROM p ORDER BY doc_id""",
 
+    // mirror of TextAnalytics.languageIdConfusion: same marker argmax,
+    // label totals from the cells themselves (a window over the rollup)
+    "q_langid_confusion" -> """
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+m AS (SELECT doc_id, lang,
+        len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS m_en,
+        len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS m_de,
+        len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS m_fr,
+        len(list_filter(toks, x -> x IN ('el','los','que','y'))) AS m_es,
+        len(list_filter(toks, x -> x IN ('de5','shi4','le5','zai4'))) AS m_zh
+      FROM t),
+p AS (SELECT *, greatest(m_en, m_de, m_fr, m_es, m_zh) AS mx FROM m),
+c AS (SELECT lang,
+        CASE WHEN mx <= 0 THEN 'und'
+             WHEN m_en = mx THEN 'en' WHEN m_de = mx THEN 'de'
+             WHEN m_fr = mx THEN 'fr' WHEN m_es = mx THEN 'es'
+             ELSE 'zh' END AS predicted_lang
+      FROM p),
+cells AS (SELECT lang, predicted_lang, count(*) AS docs FROM c GROUP BY 1, 2)
+SELECT lang, predicted_lang, docs,
+       CAST(docs AS DOUBLE) /
+         CAST(sum(docs) OVER (PARTITION BY lang) AS DOUBLE) AS label_share
+FROM cells ORDER BY lang, predicted_lang""",
+
     "q_fingerprint" -> """
 SELECT doc_id,
   list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -98,6 +98,19 @@ class PipelineStatsSpec extends AnyFunSuite {
     assert(r(0).getAs[Double]("ks_stat") === 0.5)
   }
 
+  test("languageIdConfusion rolls up label vs prediction with shares") {
+    val d = Seq(
+      (1L, "the cat of and the", "en"),
+      (2L, "der die und das x", "en"), // en-labeled, de-marked
+      (3L, "le la et les y", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val r = graft.functions.TextAnalytics.languageIdConfusion(d)
+      .orderBy($"lang", $"predicted_lang").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq === Seq(
+      ("en", "de", 1L, 0.5), ("en", "en", 1L, 0.5), ("fr", "fr", 1L, 1.0)))
+  }
+
   test("repetitionStats counts bigram repeats and the top-bigram share") {
     val docs = Seq(
       (1L, "a b a b c"), // bigrams: "a b","b a","a b","b c" -> 4 total, 3 distinct, top 2
