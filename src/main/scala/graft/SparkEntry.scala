@@ -341,6 +341,42 @@ object SparkEntry {
     "q_embedding_clusters" -> ((s, dir) =>
       functions.Ivf.clusterSummary(emb(s, dir), ivfCentroids(s, dir))
         .orderBy(col("cid"))),
+    // SemDeDup (cluster-scoped semantic dedup): pairwise cosine ONLY
+    // within each shared-IVF cluster; keeper = least-prototypical member
+    "q_semdedup" -> ((s, dir) =>
+      functions.Ivf.semDedup(emb(s, dir), ivfCentroids(s, dir))
+        .orderBy(col("vec_id"))),
+    // prototypicality pruning (Sorscher et al. 2022): each cluster drops
+    // its 20% most prototypical members — complements q_semdedup
+    "q_proto_prune" -> ((s, dir) =>
+      functions.Ivf.prototypicalityPrune(emb(s, dir), ivfCentroids(s, dir))
+        .orderBy(col("vec_id"))),
+    // Gopher-style rule battery over a deterministically degraded corpus
+    // (%4 appends symbol runs, %9 appends single-char runs — every rule
+    // actually fires); per-source pass counts + combined-gate rate
+    "q_gopher_rules" -> ((s, dir) => {
+      val degraded = docs(s, dir).select(col("doc_id"), col("source"), concat(
+        col("text"),
+        when(col("doc_id") % 4 === 0, concat_ws("", array_repeat(lit(" #"), 12)))
+          .otherwise(lit("")),
+        when(col("doc_id") % 9 === 0, concat_ws("", array_repeat(lit(" a"), 60)))
+          .otherwise(lit(""))).as("text"))
+      TextAnalytics.gopherRules(degraded).orderBy(col("source"))
+    }),
+    // per-label centroid drift between the corpus and a deterministically
+    // derived v2 (13 drops a vector, 17 reverses one, 19 adds a copy —
+    // the q_corpus_diff convention lifted to embedding space)
+    "q_centroid_drift" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val v2 = e.filter(col("vec_id") % 13 =!= 0)
+        .select(col("vec_id"),
+          when(col("vec_id") % 17 === 0, reverse(col("embedding")))
+            .otherwise(col("embedding")).as("embedding"), col("label"))
+        .unionByName(e.filter(col("vec_id") % 19 === 0)
+          .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+            col("embedding"), col("label")))
+      Similarity.centroidDrift(e, v2).orderBy(col("label"))
+    }),
     "q_cosine_neardups" -> ((s, dir) =>
       cosinePairs04(s, dir).orderBy(col("vec_a"), col("vec_b"))),
     // full k-NN join (top-k for EVERY vector) over the shared pair set

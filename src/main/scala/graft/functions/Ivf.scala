@@ -188,4 +188,96 @@ object Ivf {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rank").cast("long").as("rank"), col("score"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the shared IVF/k-means
+    * index, compare vectors PAIRWISE ONLY WITHIN their cluster, connect
+    * pairs whose cosine clears `threshold` into duplicate groups, and
+    * keep — per the paper's rule — the group member with the LOWEST
+    * similarity to its cluster centroid (the least prototypical one;
+    * vec_id breaks ties). Output is one verdict row per vector that
+    * belongs to a duplicate group; singletons are implicitly kept.
+    *
+    * Shape at 100 TB: assignment is a row-local argmax against the
+    * broadcast k x dim centroid table; the pairwise stage shuffles on
+    * cid only, and k grows with the corpus (the paper runs k ~ n/1000)
+    * so per-cluster work stays bounded — this is the whole point of
+    * SemDeDup vs an all-pairs scan. Group formation reuses the
+    * distributed min-label propagation (Dedup.dedupClusters); edges
+    * never cross clusters, so components stay cluster-local. */
+  /** Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws", arXiv:2206.14486): in the data-rich regime, the
+    * EASIEST examples — the ones closest to their cluster centroid —
+    * contribute least to the loss, so each cluster drops its most
+    * prototypical `dropPermille`/1000 fraction. Complements semDedup
+    * (which removes near-copies): this trims redundancy-by-typicality.
+    *
+    * Emits one verdict row per vector: cluster id, centroid similarity,
+    * the within-cluster prototypicality rank (1 = most prototypical),
+    * and keep = rank past the drop cutoff floor(n * f). Assignment is
+    * the same row-local argmax against the broadcast centroid table;
+    * ranking is one window keyed by cid — cluster-sized partitions by
+    * construction (k grows with the corpus). */
+  def prototypicalityPrune(emb: DataFrame, centroids: Seq[(Int, Array[Double])],
+                           dropPermille: Int = 200): DataFrame = {
+    if (centroids.isEmpty)
+      return emb.limit(0).select(col("vec_id"), col("vec_id").cast("int").as("cid"),
+        lit(0.0).as("centroid_score"), col("vec_id").as("proto_rank"),
+        lit(true).as("keep"))
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+      Similarity.l2Norm(col("embedding")).as("nrm"))
+    val scoredC = centroids.map { case (cid, c) =>
+      val cNorm = math.sqrt(c.map(x => x * x).sum)
+      struct((dot(col("v"), array(c.toIndexedSeq.map(lit): _*)) / (col("nrm") * lit(cNorm)))
+        .as("score"), lit(cid).as("cid"))
+    }
+    val assigned = base.withColumn("best", array_max(array(scoredC: _*)))
+      .select(col("vec_id"), col("best.cid").as("cid"),
+        round(col("best.score"), 9).as("cscore"))
+    val wRank = Window.partitionBy(col("cid"))
+      .orderBy(col("cscore").desc, col("vec_id"))
+    assigned
+      .withColumn("proto_rank", row_number().over(wRank).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("cid"))))
+      .select(col("vec_id"), col("cid"), col("cscore").as("centroid_score"),
+        col("proto_rank"),
+        (col("proto_rank") >
+          floor(col("n") * lit(dropPermille.toDouble) / lit(1000.0))).as("keep"))
+  }
+
+  def semDedup(emb: DataFrame, centroids: Seq[(Int, Array[Double])],
+               threshold: Double = 0.4): DataFrame = {
+    if (centroids.isEmpty)
+      return emb.limit(0).select(col("vec_id"), col("vec_id").cast("int").as("cid"),
+        col("vec_id").as("group_id"), lit(0.0).as("centroid_score"), lit(true).as("keep"))
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+      Similarity.l2Norm(col("embedding")).as("nrm"))
+    val scoredC = centroids.map { case (cid, c) =>
+      val cNorm = math.sqrt(c.map(x => x * x).sum)
+      struct((dot(col("v"), array(c.toIndexedSeq.map(lit): _*)) / (col("nrm") * lit(cNorm)))
+        .as("score"), lit(cid).as("cid"))
+    }
+    val assigned = base.withColumn("best", array_max(array(scoredC: _*)))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("best.cid").as("cid"), round(col("best.score"), 9).as("cscore"))
+    val a = assigned.select(col("cid"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cid"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("cid"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 9)
+        >= threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val groups = Dedup.dedupClusters(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id").as("group_id"))
+    val w = Window.partitionBy(col("group_id"))
+      .orderBy(col("centroid_score"), col("vec_id"))
+    groups
+      .join(assigned.select(col("vec_id"), col("cid"),
+        col("cscore").as("centroid_score")), Seq("vec_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("vec_id"), col("cid"), col("group_id"),
+        col("centroid_score"), col("keep"))
+  }
 }

@@ -322,4 +322,43 @@ object Similarity {
     Dedup.dedupClusters(
       pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       .select(col("doc_id").as("vec_id"), col("cluster_id"), col("keep"))
+
+  /** Per-label embedding CENTROID DRIFT between two corpus versions —
+    * the semantic-distribution monitor a training pipeline runs when a
+    * crawl refreshes: did the meaning-center of each slice move, or just
+    * its size? Emits, per label present in both versions, the row counts
+    * and the cosine between the two versions' centroids (1.0 = no
+    * directional drift).
+    *
+    * Order-free by construction: each centroid component is a 2^-20
+    * grid-floored EXACT integer sum divided once (the Ivf.trainCentroids
+    * mean — a plain double avg() would depend on partition order and
+    * break cross-engine parity), and the final cosine is a sequential
+    * fold over the ordered component list (the DotProduct ==
+    * list_dot_product proven shape).
+    *
+    * Shape at 100 TB: one hash aggregation keyed by (label, pos) per
+    * version — dim x |labels| cells — then a |labels|-row join. Nothing
+    * driver-side, nothing broadcast beyond the final label-count rows. */
+  def centroidDrift(v1: DataFrame, v2: DataFrame): DataFrame = {
+    import graft.functions.Ivf.MeanQuantScale
+    def centroids(df: DataFrame): DataFrame =
+      df.select(col("label"),
+        posexplode(transform(col("embedding").cast("array<double>"),
+          x => floor(x * lit(MeanQuantScale)).cast("long"))))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(col("col")).cast("double")
+          / (lit(MeanQuantScale) * count(lit(1)).cast("double"))).as("m"),
+          count(lit(1)).as("cnt"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("c"),
+          max(col("cnt")).as("n"))
+    val c1 = centroids(v1).select(col("label"), col("c").as("c1"), col("n").as("n_v1"))
+    val c2 = centroids(v2).select(col("label"), col("c").as("c2"), col("n").as("n_v2"))
+    c1.join(c2, Seq("label"))
+      .select(col("label"), col("n_v1"), col("n_v2"),
+        round(dot(col("c1"), col("c2")) / (l2Norm(col("c1")) * l2Norm(col("c2"))), 9)
+          .as("centroid_cosine"))
+  }
 }

@@ -1087,4 +1087,50 @@ object TextAnalytics {
           |  4, 'train_split', d4, t4, c4)
           |as (stage, stage_name, docs, tokens, chars)""".stripMargin))
   }
+
+  /** Gopher-style heuristic rule battery (Rae et al. 2021 §A1.1 /
+    * the FineWeb reimplementation): per document, five independent
+    * pass/fail rules —
+    *   word count in [50, 100000]; mean word length in [3, 10];
+    *   >= 80% of words contain a letter; symbol(#)-to-word ratio
+    *   <= 0.1; >= 2 distinct stopwords present —
+    * rolled up per source (docs, per-rule pass counts, docs passing
+    * ALL rules, pass rate). The per-source view is what a curation run
+    * reads to decide which feed needs which filter, before applying
+    * the combined gate.
+    *
+    * Every rule is a row-local expression fused into the scan; the
+    * rollup is ONE hash aggregation keyed by source. Ratios compare as
+    * IEEE doubles with identical expression shape on both engines. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val perDoc = docs.select(col("source"),
+      size(toks).cast("long").as("nw"),
+      aggregate(transform(toks, t => length(t).cast("long")), lit(0L),
+        (acc, x) => acc + x).as("cw"),
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long").as("na"),
+      size(array_intersect(array_distinct(toks),
+        array(Stopwords.map(lit): _*))).cast("long").as("nstop"),
+      (length(col("text")) - length(translate(col("text"), "#", "")))
+        .cast("long").as("hashes"))
+      .select(col("source"),
+        (col("nw") >= 50 && col("nw") <= 100000).as("r_wc"),
+        (col("cw").cast("double") / col("nw") >= 3.0
+          && col("cw").cast("double") / col("nw") <= 10.0).as("r_mwl"),
+        (col("na").cast("double") / col("nw") >= 0.8).as("r_alpha"),
+        (col("hashes").cast("double") / col("nw") <= 0.1).as("r_sym"),
+        (col("nstop") >= 2).as("r_stop"))
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        cnt(col("r_wc")).as("pass_wordcount"),
+        cnt(col("r_mwl")).as("pass_wordlen"),
+        cnt(col("r_alpha")).as("pass_alpha"),
+        cnt(col("r_sym")).as("pass_symbol"),
+        cnt(col("r_stop")).as("pass_stopwords"),
+        cnt(col("r_wc") && col("r_mwl") && col("r_alpha")
+          && col("r_sym") && col("r_stop")).as("pass_all"))
+      .withColumn("pass_rate",
+        col("pass_all").cast("double") / col("docs").cast("double"))
+  }
 }

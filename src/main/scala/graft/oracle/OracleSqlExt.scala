@@ -255,9 +255,140 @@ SELECT CAST(cid AS INTEGER) AS cid, vectors,
 FROM per CROSS JOIN tot ORDER BY cid"""
   }
 
+  /** Mirror of graft.functions.Ivf.semDedup: assignment by the same
+    * argmax tie-break, pairwise cosine within each cluster at the
+    * rounded-score 0.4 threshold, the q_dedup_clusters recursive
+    * min-label CTE for group formation, then the SemDeDup keeper rule
+    * (lowest centroid similarity, vec_id tie-break). */
+  private val semDedupOracle: String = {
+    val cos = ivfCosine("q.v", "q.nrm", "c.cv")
+    s"""
+WITH RECURSIVE $ivfTrainingCtes,
+assigned AS (SELECT vec_id, cid, round(score, 9) AS cscore FROM (
+    SELECT q.vec_id, c.cid, $cos AS score,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY $cos DESC, c.cid DESC) AS rn
+    FROM q CROSS JOIN c$IvfIters c) WHERE rn = 1),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN n x ON a.vec_id = x.vec_id JOIN n y ON b.vec_id = y.vec_id
+  WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 9) >= 0.4),
+edges AS (SELECT vec_a AS src, vec_b AS dst FROM p
+          UNION SELECT vec_b, vec_a FROM p),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e2.src, r.label FROM edges e2 JOIN reach r ON e2.dst = r.node),
+grp AS (SELECT node AS vec_id, min(label) AS group_id FROM reach GROUP BY node),
+mem AS (SELECT g.vec_id, a.cid, g.group_id, a.cscore AS centroid_score
+        FROM grp g JOIN assigned a USING (vec_id)),
+r AS (SELECT *, row_number() OVER (PARTITION BY group_id
+         ORDER BY centroid_score, vec_id) AS rn FROM mem)
+SELECT vec_id, CAST(cid AS INTEGER) AS cid, CAST(group_id AS BIGINT) AS group_id,
+       centroid_score, rn = 1 AS keep
+FROM r ORDER BY vec_id"""
+  }
+
+  /** Mirror of graft.functions.Ivf.prototypicalityPrune: same argmax
+    * assignment, within-cluster rank by centroid similarity DESC with
+    * vec_id tie-break, keep = rank past floor(n * 200/1000). */
+  private val protoPruneOracle: String = {
+    val cos = ivfCosine("q.v", "q.nrm", "c.cv")
+    s"""
+WITH $ivfTrainingCtes,
+assigned AS (SELECT vec_id, cid, round(score, 9) AS cscore FROM (
+    SELECT q.vec_id, c.cid, $cos AS score,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY $cos DESC, c.cid DESC) AS rn
+    FROM q CROSS JOIN c$IvfIters c) WHERE rn = 1),
+r AS (SELECT vec_id, cid, cscore,
+        row_number() OVER (PARTITION BY cid ORDER BY cscore DESC, vec_id) AS proto_rank,
+        count(*) OVER (PARTITION BY cid) AS n
+      FROM assigned)
+SELECT vec_id, CAST(cid AS INTEGER) AS cid, cscore AS centroid_score,
+       CAST(proto_rank AS BIGINT) AS proto_rank,
+       proto_rank > floor(n * 200.0 / 1000.0) AS keep
+FROM r ORDER BY vec_id"""
+  }
+
+  /** Mirror of graft.functions.TextAnalytics.gopherRules over the
+    * q_gopher_rules dirt derivation (doc_id%4 appends 12 '#' tokens,
+    * doc_id%9 appends 60 'a' tokens). */
+  private val gopherRulesOracle: String = s"""
+WITH d AS (SELECT source,
+  text || CASE WHEN doc_id % 4 = 0 THEN repeat(' #', 12) ELSE '' END
+       || CASE WHEN doc_id % 9 = 0 THEN repeat(' a', 60) ELSE '' END AS text
+  FROM documents),
+t AS (SELECT source, string_split(text, ' ') AS toks, text FROM d),
+s AS (SELECT source,
+  CAST(len(toks) AS BIGINT) AS nw,
+  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS cw,
+  CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS na,
+  CAST(len(list_intersect(list_distinct(toks), ['the','a','of','and','to','in'])) AS BIGINT) AS nstop,
+  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hashes
+  FROM t),
+rules AS (SELECT source,
+  (nw >= 50 AND nw <= 100000) AS r_wc,
+  (CAST(cw AS DOUBLE) / nw >= 3.0 AND CAST(cw AS DOUBLE) / nw <= 10.0) AS r_mwl,
+  (CAST(na AS DOUBLE) / nw >= 0.8) AS r_alpha,
+  (CAST(hashes AS DOUBLE) / nw <= 0.1) AS r_sym,
+  (nstop >= 2) AS r_stop
+  FROM s)
+SELECT source, count(*) AS docs,
+  CAST(sum(CASE WHEN r_wc THEN 1 ELSE 0 END) AS BIGINT) AS pass_wordcount,
+  CAST(sum(CASE WHEN r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS pass_wordlen,
+  CAST(sum(CASE WHEN r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS pass_alpha,
+  CAST(sum(CASE WHEN r_sym THEN 1 ELSE 0 END) AS BIGINT) AS pass_symbol,
+  CAST(sum(CASE WHEN r_stop THEN 1 ELSE 0 END) AS BIGINT) AS pass_stopwords,
+  CAST(sum(CASE WHEN r_wc AND r_mwl AND r_alpha AND r_sym AND r_stop
+           THEN 1 ELSE 0 END) AS BIGINT) AS pass_all,
+  CAST(sum(CASE WHEN r_wc AND r_mwl AND r_alpha AND r_sym AND r_stop
+           THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pass_rate
+FROM rules GROUP BY source ORDER BY source"""
+
+  /** Mirror of graft.functions.Similarity.centroidDrift over the
+    * q_centroid_drift v2 derivation: per-(label,pos) 2^-20-grid integer
+    * means (order-free), component lists assembled by pos, cosine via
+    * list_dot_product (the DotProduct-proven fold). */
+  private val centroidDriftOracle: String = {
+    import graft.functions.Ivf.MeanQuantScale
+    def centroidCte(name: String, src: String) =
+      s"""$name AS (SELECT label, list(m ORDER BY pos) AS c, max(cnt) AS n FROM (
+    SELECT label, pos,
+           CAST(sum(qc) AS DOUBLE) / ($MeanQuantScale * CAST(count(*) AS DOUBLE)) AS m,
+           count(*) AS cnt
+    FROM (SELECT label,
+                 unnest(list_transform(v, x -> CAST(floor(x * $MeanQuantScale) AS BIGINT))) AS qc,
+                 generate_subscripts(v, 1) AS pos
+          FROM $src)
+    GROUP BY 1, 2) GROUP BY 1)"""
+    s"""
+WITH b1 AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b2 AS (
+  SELECT label,
+         CASE WHEN vec_id % 17 = 0 THEN list_reverse(CAST(embedding AS DOUBLE[]))
+              ELSE CAST(embedding AS DOUBLE[]) END AS v
+  FROM embeddings WHERE vec_id % 13 <> 0
+  UNION ALL
+  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 19 = 0),
+${centroidCte("c1", "b1")},
+${centroidCte("c2", "b2")}
+SELECT c1.label, CAST(c1.n AS BIGINT) AS n_v1, CAST(c2.n AS BIGINT) AS n_v2,
+       round(list_dot_product(c1.c, c2.c)
+         / (sqrt(list_dot_product(c1.c, c1.c)) * sqrt(list_dot_product(c2.c, c2.c))), 9)
+         AS centroid_cosine
+FROM c1 JOIN c2 ON c1.label = c2.label ORDER BY c1.label"""
+  }
+
   val queries: Map[String, String] = Map(
     "q_knn_ivf" -> ivfOracle,
     "q_embedding_clusters" -> embeddingClustersOracle,
+    "q_semdedup" -> semDedupOracle,
+    "q_centroid_drift" -> centroidDriftOracle,
+    "q_proto_prune" -> protoPruneOracle,
+    "q_gopher_rules" -> gopherRulesOracle,
     "q_cosine_neardups" -> s"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
