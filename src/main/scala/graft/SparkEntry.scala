@@ -116,6 +116,22 @@ object SparkEntry {
   private def ivfCentroids(s: SparkSession, dir: String): Seq[(Int, Array[Double])] =
     ivfMemo.getOrElseUpdate((s, dir), functions.Ivf.trainCentroids(emb(s, dir)))
 
+  /** The dedup/prune index (q_semdedup, q_proto_prune) trains with the
+    * ADAPTIVE cluster count (Ivf.adaptiveK — cluster size held ~125) so
+    * within-cluster pairwise work scales linearly with the corpus; the
+    * ANN index above keeps its fixed 16-cluster geometry. At <= 2000
+    * vectors both are k=16, so the two memos coincide and training runs
+    * once. */
+  private val dedupIvfMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[(Int, Array[Double])]]
+
+  private def dedupIvfCentroids(s: SparkSession, dir: String): Seq[(Int, Array[Double])] = {
+    val k = functions.Ivf.adaptiveK(emb(s, dir).count())
+    if (k == 16) ivfCentroids(s, dir)
+    else dedupIvfMemo.getOrElseUpdate((s, dir),
+      functions.Ivf.trainCentroids(emb(s, dir), k))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topics_stats" -> ((s, dir) =>
       topicsDf(s, dir).orderBy(col("name"))),
@@ -344,12 +360,12 @@ object SparkEntry {
     // SemDeDup (cluster-scoped semantic dedup): pairwise cosine ONLY
     // within each shared-IVF cluster; keeper = least-prototypical member
     "q_semdedup" -> ((s, dir) =>
-      functions.Ivf.semDedup(emb(s, dir), ivfCentroids(s, dir))
+      functions.Ivf.semDedup(emb(s, dir), dedupIvfCentroids(s, dir))
         .orderBy(col("vec_id"))),
     // prototypicality pruning (Sorscher et al. 2022): each cluster drops
     // its 20% most prototypical members — complements q_semdedup
     "q_proto_prune" -> ((s, dir) =>
-      functions.Ivf.prototypicalityPrune(emb(s, dir), ivfCentroids(s, dir))
+      functions.Ivf.prototypicalityPrune(emb(s, dir), dedupIvfCentroids(s, dir))
         .orderBy(col("vec_id"))),
     // Gopher-style rule battery over a deterministically degraded corpus
     // (%4 appends symbol runs, %9 appends single-char runs — every rule
@@ -671,6 +687,7 @@ object SparkEntry {
     timed("minhashCandidates")(minhashCandidates(s, dir).count())
     timed("pcaDirections")(pcaDirections(s, dir))
     timed("ivfCentroids")(ivfCentroids(s, dir))
+    timed("dedupIvfCentroids")(dedupIvfCentroids(s, dir))
   }
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =

@@ -33,6 +33,46 @@ object Ivf {
     array_max(array(scored: _*)).getField("cid")
   }
 
+  /** Literal-vs-join threshold for the assignment argmax. Up to this
+    * many centroids, the scores ride as one fused scan expression
+    * (zero extra rows); past it, the literal tree grows past what
+    * codegen handles well (the x10 ladder measured a 26x blowup at
+    * k=160), so assignment switches to a broadcast-join with map-side
+    * max(struct(score, cid)) partial aggregation — identical doubles,
+    * identical tie-break (max struct compares score first, then cid),
+    * and the shuffle carries only (vec_id, best) rows. */
+  val LiteralArgmaxMax = 32
+
+  /** (vec_id, cid, score) of the nearest centroid for every vector —
+    * the one assignment kernel shared by training, semDedup, and
+    * prototypicalityPrune. `base` must carry (vec_id, v, nrm). */
+  private def assignScored(base: DataFrame,
+                           centroids: Seq[(Int, Array[Double])]): DataFrame =
+    if (centroids.size <= LiteralArgmaxMax) {
+      val scored = centroids.map { case (cid, c) =>
+        val cNorm = math.sqrt(c.map(x => x * x).sum)
+        struct((dot(col("v"), array(c.toIndexedSeq.map(lit): _*)) / (col("nrm") * lit(cNorm)))
+          .as("score"), lit(cid).as("cid"))
+      }
+      base.withColumn("best", array_max(array(scored: _*)))
+        .select(col("vec_id"), col("best.cid").as("cid"), col("best.score").as("score"))
+    } else {
+      val spark = base.sparkSession
+      import spark.implicits._
+      // cnrm precomputed with the SAME driver-side fold as the literal path
+      val cdf = centroids.map { case (cid, c) =>
+        (cid, c, math.sqrt(c.map(x => x * x).sum))
+      }.toDF("cid", "cv", "cnrm")
+      base.select(col("vec_id"), col("v"), col("nrm"))
+        .crossJoin(broadcast(cdf))
+        .select(col("vec_id"),
+          struct((dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("score"),
+            col("cid").as("cid")).as("sc"))
+        .groupBy(col("vec_id"))
+        .agg(max(col("sc")).as("best"))
+        .select(col("vec_id"), col("best.cid").as("cid"), col("best.score").as("score"))
+    }
+
   /** Mean quantization grid: components are floored onto a 2^-20 grid
     * before summation so the centroid mean is an EXACT integer sum
     * divided once — order-free on any partitioning, hence bit-identical
@@ -64,7 +104,11 @@ object Ivf {
       }.toSeq
     if (centroids.isEmpty) return centroids // empty table: nothing to train
     (1 to iters).foreach { _ =>
-      val assigned = base.withColumn("cid", nearestCentroid(centroids, col("v"), col("nrm")))
+      val assigned =
+        if (centroids.size <= LiteralArgmaxMax)
+          base.withColumn("cid", nearestCentroid(centroids, col("v"), col("nrm")))
+        else base.join(assignScored(base, centroids).select(col("vec_id"), col("cid")),
+          Seq("vec_id"))
       val means = assigned
         .select(col("cid"),
           posexplode(transform(col("v"), x => floor(x * lit(MeanQuantScale)))))
@@ -205,6 +249,20 @@ object Ivf {
     * SemDeDup vs an all-pairs scan. Group formation reuses the
     * distributed min-label propagation (Dedup.dedupClusters); edges
     * never cross clusters, so components stay cluster-local. */
+  /** Adaptive cluster count for the dedup/prune index: k grows with the
+    * corpus so the TARGET cluster size (~125) stays constant — the
+    * SemDeDup paper's k ~ n/1000 setting scaled to the fixture. This is
+    * what keeps semDedup's within-cluster pairwise stage LINEAR in
+    * corpus size instead of quadratic-in-cluster-size. Capped at 256:
+    * centroids ride in the argmax expression as literals, and 256 x 64
+    * doubles is the ceiling where codegen stays comfortable; past the
+    * cap, cluster size grows sub-linearly (n/256) instead of linearly.
+    * The floor of 16 keeps the small-sf oracle geometry identical to
+    * the static ANN index (16 = max at <= 2000 vectors, so the DuckDB
+    * mirror's dynamic greatest(16, n//125) reproduces it exactly). */
+  def adaptiveK(n: Long, targetClusterSize: Int = 125, cap: Int = 256): Int =
+    math.min(cap, math.max(16, (n / targetClusterSize).toInt))
+
   /** Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
     * scaling laws", arXiv:2206.14486): in the data-rich regime, the
     * EASIEST examples — the ones closest to their cluster centroid —
@@ -226,14 +284,8 @@ object Ivf {
         lit(true).as("keep"))
     val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
       Similarity.l2Norm(col("embedding")).as("nrm"))
-    val scoredC = centroids.map { case (cid, c) =>
-      val cNorm = math.sqrt(c.map(x => x * x).sum)
-      struct((dot(col("v"), array(c.toIndexedSeq.map(lit): _*)) / (col("nrm") * lit(cNorm)))
-        .as("score"), lit(cid).as("cid"))
-    }
-    val assigned = base.withColumn("best", array_max(array(scoredC: _*)))
-      .select(col("vec_id"), col("best.cid").as("cid"),
-        round(col("best.score"), 9).as("cscore"))
+    val assigned = assignScored(base, centroids)
+      .select(col("vec_id"), col("cid"), round(col("score"), 9).as("cscore"))
     val wRank = Window.partitionBy(col("cid"))
       .orderBy(col("cscore").desc, col("vec_id"))
     assigned
@@ -252,14 +304,10 @@ object Ivf {
         col("vec_id").as("group_id"), lit(0.0).as("centroid_score"), lit(true).as("keep"))
     val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
       Similarity.l2Norm(col("embedding")).as("nrm"))
-    val scoredC = centroids.map { case (cid, c) =>
-      val cNorm = math.sqrt(c.map(x => x * x).sum)
-      struct((dot(col("v"), array(c.toIndexedSeq.map(lit): _*)) / (col("nrm") * lit(cNorm)))
-        .as("score"), lit(cid).as("cid"))
-    }
-    val assigned = base.withColumn("best", array_max(array(scoredC: _*)))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        col("best.cid").as("cid"), round(col("best.score"), 9).as("cscore"))
+    val assigned = base
+      .join(assignScored(base, centroids), Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        round(col("score"), 9).as("cscore"))
     val a = assigned.select(col("cid"), col("vec_id").as("vec_a"),
       col("v").as("va"), col("nrm").as("na"))
     val b = assigned.select(col("cid"), col("vec_id").as("vec_b"),

@@ -184,9 +184,16 @@ c AS (
     * e/n/q/c0..c3; the final centroid table is `c$IvfIters`. Shared by
     * q_knn_ivf and q_embedding_clusters exactly like the engine shares
     * the memoized centroid training between them. */
-  private val ivfTrainingCtes: String = {
+  private val ivfTrainingCtes: String = ivfTrainingCtesK("16")
+
+  /** Same training mirror with the cluster count as a SQL expression —
+    * the dedup/prune index uses the ADAPTIVE k (Ivf.adaptiveK: cluster
+    * size held at ~125, capped at 256) so a `kk` CTE computes
+    * least(256, greatest(16, n // 125)) and is referenced here. At the
+    * oracle-checked scale factors (<= 2000 vectors) this evaluates to
+    * 16, bit-identical to the static ANN geometry. */
+  private def ivfTrainingCtesK(k: String): String = {
     import graft.functions.Ivf.MeanQuantScale
-    val k = 16
     val iterCtes = (1 to IvfIters).map { t =>
       s"""a$t AS ${ivfArgTop(s"c${t - 1}", "", 1)},
 m$t AS (
@@ -260,10 +267,16 @@ FROM per CROSS JOIN tot ORDER BY cid"""
     * rounded-score 0.4 threshold, the q_dedup_clusters recursive
     * min-label CTE for group formation, then the SemDeDup keeper rule
     * (lowest centroid similarity, vec_id tie-break). */
+  /** The adaptive-k CTE shared by the dedup/prune mirrors — the SQL
+    * twin of Ivf.adaptiveK(n). */
+  private val adaptiveKCte =
+    "kk AS (SELECT least(256, greatest(16, count(*) // 125)) AS ak FROM embeddings)"
+
   private val semDedupOracle: String = {
     val cos = ivfCosine("q.v", "q.nrm", "c.cv")
     s"""
-WITH RECURSIVE $ivfTrainingCtes,
+WITH RECURSIVE $adaptiveKCte,
+${ivfTrainingCtesK("(SELECT ak FROM kk)")},
 assigned AS (SELECT vec_id, cid, round(score, 9) AS cscore FROM (
     SELECT q.vec_id, c.cid, $cos AS score,
            row_number() OVER (PARTITION BY q.vec_id
@@ -297,7 +310,8 @@ FROM r ORDER BY vec_id"""
   private val protoPruneOracle: String = {
     val cos = ivfCosine("q.v", "q.nrm", "c.cv")
     s"""
-WITH $ivfTrainingCtes,
+WITH $adaptiveKCte,
+${ivfTrainingCtesK("(SELECT ak FROM kk)")},
 assigned AS (SELECT vec_id, cid, round(score, 9) AS cscore FROM (
     SELECT q.vec_id, c.cid, $cos AS score,
            row_number() OVER (PARTITION BY q.vec_id
