@@ -520,7 +520,14 @@ object SparkEntry {
       val d = docs(s, dir)
       val toks = split(col("text"), " ")
       val idx = (col("doc_id") % size(toks)).cast("int")
+      // the benchmark suite is FIXED-SIZE by contract (first 100 bench
+      // ids) — a real deployment pins a benchmark set; without the cap
+      // the fixture's bench side grows with the corpus and the bands
+      // broadcast stops being bounded (x20 ladder: 77s -> the cap makes
+      // the fuzzy tier corpus-linear). orderBy+limit plans as
+      // TakeOrdered — per-partition top-N, no global sort.
       val bench = d.filter(col("doc_id") % 97 === 0)
+        .orderBy(col("doc_id")).limit(100)
         .select(col("doc_id").as("bench_id"),
           array_join(transform(toks,
             (t, i) => when(i === idx, lit("xq")).otherwise(t)), " ").as("text"))

@@ -671,7 +671,8 @@ ORDER BY source_a, source_b""",
     // levenshtein verification within 10% of the longer text
     "q_fuzzy_contamination" -> s"""
 WITH bsrc AS (SELECT doc_id, string_split(text, ' ') AS toks
-              FROM documents WHERE doc_id % 97 = 0),
+              FROM documents WHERE doc_id % 97 = 0
+              ORDER BY doc_id LIMIT 100),
 bench AS (
   SELECT doc_id AS bench_id,
          array_to_string(list_transform(range(1, len(toks) + 1),
