@@ -15,6 +15,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A failed query must be LOUD: write a _ERROR marker where its output
+    // directory would be (so the driver's compare sees an `err` row, not a
+    // silent omission) and exit non-zero at the end. r4 shipped 8 broken
+    // queries as a clean-looking round because failures only hit stderr.
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
@@ -22,7 +27,13 @@ object Verify {
           .parquet(s"$outDir/$name")
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        val dir = Paths.get(s"$outDir/$name")
+        Files.createDirectories(dir)
+        val head = (s"${e.getClass.getName}: ${e.getMessage}" +:
+          e.getStackTrace.take(8).map("  at " + _)).mkString("\n")
+        Files.writeString(dir.resolve("_ERROR"), head)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -40,6 +51,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (failed.nonEmpty) {
+      val list = failed.mkString(", ")
+      Files.writeString(Paths.get(s"$outDir/errors.json"),
+        failed.map(n => s"${q(n)}").mkString("[", ",", "]"))
+      System.err.println(s"[verify] ${failed.size} FAILED: $list")
+      spark.stop()
+      sys.exit(1)
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,142 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** Nearest-centroid argmax as ONE native codegen kernel: for a row's
+  * vector (and precomputed L2 norm), scan the broadcast-sized centroid
+  * table held inside the expression and return struct(score, cid) of the
+  * best cosine — larger score wins, larger cid breaks ties (exactly the
+  * `array_max(array(struct(score, cid)))` contract the literal path used,
+  * and the DuckDB mirror's `ORDER BY score DESC, cid DESC ... rn = 1`).
+  *
+  * This retires the k-dependent argmax representation switch the r3/r4
+  * assignment kernel carried: the literal expression tree stopped
+  * codegen-scaling past ~32 centroids (a measured 26x blowup at k=160),
+  * and the broadcast-join fallback paid a vec_id-keyed shuffle + groupBy
+  * + join-back per assignment. Here k is DATA (arrays referenced by the
+  * generated code), not code — one tight j*d primitive loop fused into
+  * the scan for any k up to the 256 cap, zero extra exchanges.
+  *
+  * Arithmetic is bit-compatible with both prior paths and the oracle:
+  * per-centroid score = seqfold-dot(v, cv) / (nrm * cnrm) with the
+  * centroid norm precomputed driver-side by the same fold, and double
+  * comparison follows SQL semantics (NaN greatest, NaN == NaN,
+  * -0.0 == 0.0) — the same total order array_max used.
+  */
+case class NearestCentroid(left: Expression, right: Expression,
+                           centroids: Seq[(Int, Seq[Double], Double)])
+    extends BinaryExpression {
+  require(centroids.nonEmpty, "nearest_centroid: empty centroid table")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("cid", IntegerType, nullable = false)))
+
+  private def elemIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val okL = left.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (okL && right.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid requires (ARRAY<FLOAT|DOUBLE>, DOUBLE), got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  // primitive mirrors of the Seq payload, built once per executor instance
+  @transient private lazy val cids: Array[Int] = centroids.map(_._1).toArray
+  @transient private lazy val cvs: Array[Array[Double]] =
+    centroids.map(_._2.toArray).toArray
+  @transient private lazy val cnrms: Array[Double] = centroids.map(_._3).toArray
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val nrm = b.asInstanceOf[Double]
+    val isF = elemIsFloat
+    var bestS = 0.0
+    var bestC = 0
+    var first = true
+    var j = 0
+    while (j < cids.length) {
+      val cv = cvs(j)
+      val n = math.min(v.numElements(), cv.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
+        s += xv * cv(i)
+        i += 1
+      }
+      val score = s / (nrm * cnrms(j))
+      val better = if (first) true else {
+        val c = NearestCentroid.cmp(score, bestS)
+        c > 0 || (c == 0 && cids(j) > bestC)
+      }
+      if (better) { bestS = score; bestC = cids(j); first = false }
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](bestS, bestC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val cvsRef = ctx.addReferenceObj("nc_cvs", cvs, "double[][]")
+    val cnrmRef = ctx.addReferenceObj("nc_cnrms", cnrms, "double[]")
+    val cidRef = ctx.addReferenceObj("nc_cids", cids, "int[]")
+    val cls = classOf[NearestCentroid].getName
+    nullSafeCodeGen(ctx, ev, (v, nrm) => s"""
+      double nc_bestS = 0.0; int nc_bestC = 0; boolean nc_first = true;
+      for (int nc_j = 0; nc_j < $cidRef.length; nc_j++) {
+        double[] nc_cv = $cvsRef[nc_j];
+        int nc_n = Math.min($v.numElements(), nc_cv.length);
+        double nc_s = 0.0;
+        for (int nc_i = 0; nc_i < nc_n; nc_i++) {
+          nc_s += (double) $v.$get(nc_i) * nc_cv[nc_i];
+        }
+        double nc_score = nc_s / ($nrm * $cnrmRef[nc_j]);
+        boolean nc_better;
+        if (nc_first) { nc_better = true; } else {
+          int nc_c = $cls.cmp(nc_score, nc_bestS);
+          nc_better = nc_c > 0 || (nc_c == 0 && $cidRef[nc_j] > nc_bestC);
+        }
+        if (nc_better) { nc_bestS = nc_score; nc_bestC = $cidRef[nc_j]; nc_first = false; }
+      }
+      ${ev.value} = new ${classOf[GenericInternalRow].getName}(
+        new Object[]{nc_bestS, nc_bestC});""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCentroid =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "nearest_centroid"
+}
+
+object NearestCentroid {
+  /** SQL double total order: -0.0 == 0.0, NaN == NaN, NaN greatest —
+    * the comparison array_max/struct-max apply. Public: called from
+    * generated code. */
+  def cmp(a: Double, b: Double): Int =
+    if (a < b) -1 else if (a > b) 1 else if (a == b) 0
+    else java.lang.Double.compare(a, b)
+
+  /** struct(score, cid) of the nearest centroid; `centroids` as
+    * (cid, vector, precomputed L2 norm). */
+  def nearest_centroid(v: Column, nrm: Column,
+                       centroids: Seq[(Int, Seq[Double], Double)]): Column =
+    ColumnBridge.column(NearestCentroid(
+      ColumnBridge.expression(v), ColumnBridge.expression(nrm), centroids))
+}

@@ -20,58 +20,40 @@ import graft.functions.Similarity.dot
   */
 object Ivf {
 
-  /** argmin over centroids: returns the centroid id with max dot (vectors
-    * are compared by cosine; norms divided out per side). */
-  private def nearestCentroid(centroids: Seq[(Int, Array[Double])],
-                              v: Column, vNorm: Column): Column = {
-    val scored = centroids.map { case (cid, c) =>
-      val cNorm = math.sqrt(c.map(x => x * x).sum)
-      struct((dot(v, array(c.toIndexedSeq.map(lit): _*)) / (vNorm * lit(cNorm))).as("score"),
-        lit(cid).as("cid"))
+  /** The centroid table in the shape the native argmax kernel holds:
+    * (cid, vector, L2 norm), norms precomputed driver-side with the same
+    * fold every prior path used. */
+  private def centroidTable(centroids: Seq[(Int, Array[Double])])
+      : Seq[(Int, Seq[Double], Double)] =
+    centroids.map { case (cid, c) =>
+      (cid, c.toIndexedSeq, math.sqrt(c.map(x => x * x).sum))
     }
-    // array_max on struct(score, cid) picks max score, then max cid on ties
-    array_max(array(scored: _*)).getField("cid")
-  }
 
-  /** Literal-vs-join threshold for the assignment argmax. Up to this
-    * many centroids, the scores ride as one fused scan expression
-    * (zero extra rows); past it, the literal tree grows past what
-    * codegen handles well (the x10 ladder measured a 26x blowup at
-    * k=160), so assignment switches to a broadcast-join with map-side
-    * max(struct(score, cid)) partial aggregation — identical doubles,
-    * identical tie-break (max struct compares score first, then cid),
-    * and the shuffle carries only (vec_id, best) rows. */
-  val LiteralArgmaxMax = 32
+  /** struct(score, cid) of the nearest centroid — ONE native codegen
+    * kernel (graft.expressions.NearestCentroid) for ANY k: the centroid
+    * matrix is data referenced by the generated loop, not expression
+    * tree, so it stays a row-local scan-fused argmax at k = 16 and at
+    * the 256 cap alike. Replaces r4's two-path scheme (literal
+    * array_max(struct...) up to k = 32 — fine; broadcast-join + map-side
+    * max(struct) past it — correct but paid a vec_id shuffle + groupBy +
+    * join-back per assignment). Tie-break unchanged: max score, then max
+    * cid, SQL double order. */
+  private def nearestStruct(centroids: Seq[(Int, Array[Double])],
+                            v: Column, vNorm: Column): Column =
+    graft.expressions.NearestCentroid.nearest_centroid(
+      v, vNorm, centroidTable(centroids))
+
+  private def nearestCentroid(centroids: Seq[(Int, Array[Double])],
+                              v: Column, vNorm: Column): Column =
+    nearestStruct(centroids, v, vNorm).getField("cid")
 
   /** (vec_id, cid, score) of the nearest centroid for every vector —
     * the one assignment kernel shared by training, semDedup, and
     * prototypicalityPrune. `base` must carry (vec_id, v, nrm). */
   private def assignScored(base: DataFrame,
                            centroids: Seq[(Int, Array[Double])]): DataFrame =
-    if (centroids.size <= LiteralArgmaxMax) {
-      val scored = centroids.map { case (cid, c) =>
-        val cNorm = math.sqrt(c.map(x => x * x).sum)
-        struct((dot(col("v"), array(c.toIndexedSeq.map(lit): _*)) / (col("nrm") * lit(cNorm)))
-          .as("score"), lit(cid).as("cid"))
-      }
-      base.withColumn("best", array_max(array(scored: _*)))
-        .select(col("vec_id"), col("best.cid").as("cid"), col("best.score").as("score"))
-    } else {
-      val spark = base.sparkSession
-      import spark.implicits._
-      // cnrm precomputed with the SAME driver-side fold as the literal path
-      val cdf = centroids.map { case (cid, c) =>
-        (cid, c, math.sqrt(c.map(x => x * x).sum))
-      }.toDF("cid", "cv", "cnrm")
-      base.select(col("vec_id"), col("v"), col("nrm"))
-        .crossJoin(broadcast(cdf))
-        .select(col("vec_id"),
-          struct((dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("score"),
-            col("cid").as("cid")).as("sc"))
-        .groupBy(col("vec_id"))
-        .agg(max(col("sc")).as("best"))
-        .select(col("vec_id"), col("best.cid").as("cid"), col("best.score").as("score"))
-    }
+    base.withColumn("best", nearestStruct(centroids, col("v"), col("nrm")))
+      .select(col("vec_id"), col("best.cid").as("cid"), col("best.score").as("score"))
 
   /** Mean quantization grid: components are floored onto a 2^-20 grid
     * before summation so the centroid mean is an EXACT integer sum
@@ -105,10 +87,7 @@ object Ivf {
     if (centroids.isEmpty) return centroids // empty table: nothing to train
     (1 to iters).foreach { _ =>
       val assigned =
-        if (centroids.size <= LiteralArgmaxMax)
-          base.withColumn("cid", nearestCentroid(centroids, col("v"), col("nrm")))
-        else base.join(assignScored(base, centroids).select(col("vec_id"), col("cid")),
-          Seq("vec_id"))
+        base.withColumn("cid", nearestCentroid(centroids, col("v"), col("nrm")))
       val means = assigned
         .select(col("cid"),
           posexplode(transform(col("v"), x => floor(x * lit(MeanQuantScale)))))
@@ -164,14 +143,8 @@ object Ivf {
     val assigned = {
       val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
         Similarity.l2Norm(col("embedding")).as("nrm"))
-      val scored = centroids.map { case (cid, c) =>
-        val cNorm = math.sqrt(c.map(x => x * x).sum)
-        struct((dot(col("v"), array(c.toIndexedSeq.map(lit): _*)) / (col("nrm") * lit(cNorm)))
-          .as("score"), lit(cid).as("cid"))
-      }
-      base.withColumn("best", array_max(array(scored: _*)))
-        .select(col("vec_id"), col("best.cid").as("cid"),
-          round(col("best.score"), 9).as("score"))
+      assignScored(base, centroids)
+        .select(col("vec_id"), col("cid"), round(col("score"), 9).as("score"))
     }
     val per = assigned.groupBy(col("cid"))
       .agg(count(lit(1)).as("vectors"),
@@ -254,9 +227,10 @@ object Ivf {
     * SemDeDup paper's k ~ n/1000 setting scaled to the fixture. This is
     * what keeps semDedup's within-cluster pairwise stage LINEAR in
     * corpus size instead of quadratic-in-cluster-size. Capped at 256:
-    * centroids ride in the argmax expression as literals, and 256 x 64
-    * doubles is the ceiling where codegen stays comfortable; past the
-    * cap, cluster size grows sub-linearly (n/256) instead of linearly.
+    * the assignment kernel scans the k x 64 centroid matrix per row
+    * (graft.expressions.NearestCentroid), so k bounds per-row argmax
+    * cost and the broadcast size; past the cap, cluster size grows
+    * sub-linearly (n/256) instead of linearly.
     * The floor of 16 keeps the small-sf oracle geometry identical to
     * the static ANN index (16 = max at <= 2000 vectors, so the DuckDB
     * mirror's dynamic greatest(16, n//125) reproduces it exactly). */
@@ -304,10 +278,12 @@ object Ivf {
         col("vec_id").as("group_id"), lit(0.0).as("centroid_score"), lit(true).as("keep"))
     val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
       Similarity.l2Norm(col("embedding")).as("nrm"))
+    // the native argmax keeps (v, nrm) in-row, so assignment needs no
+    // join-back — one projection fused into the scan
     val assigned = base
-      .join(assignScored(base, centroids), Seq("vec_id"))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
-        round(col("score"), 9).as("cscore"))
+      .withColumn("best", nearestStruct(centroids, col("v"), col("nrm")))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("best.cid").as("cid"), round(col("best.score"), 9).as("cscore"))
     val a = assigned.select(col("cid"), col("vec_id").as("vec_a"),
       col("v").as("va"), col("nrm").as("na"))
     val b = assigned.select(col("cid"), col("vec_id").as("vec_b"),

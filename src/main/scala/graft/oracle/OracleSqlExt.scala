@@ -773,7 +773,8 @@ ORDER BY source""",
     // mirror of TextAnalytics.lengthDrift: v2 derived as in
     // q_corpus_diff (13 drops, 17 edits appending ' v2', 19 re-adds),
     // exact KS numerator in HUGEINT (the engine uses DECIMAL(38,0) —
-    // both exact on this grid), reported as DECIMAL(38,0)
+    // both exact on this grid), reported as BIGINT (a decimal output
+    // column is representation-unstable across the compare harness)
     "q_length_drift" -> """
 WITH v1 AS (SELECT lang, CAST(length(text) AS BIGINT) AS n_chars FROM documents),
 v2 AS (
@@ -801,7 +802,7 @@ agg AS (
                - CAST(f2 AS HUGEINT) * CAST(n1 AS HUGEINT))) AS ks_num
   FROM cum GROUP BY 1)
 SELECT lang, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
-       CAST(ks_num AS DECIMAL(38,0)) AS ks_num,
+       CAST(ks_num AS BIGINT) AS ks_num,
        CASE WHEN n1 > 0 AND n2 > 0
          THEN CAST(ks_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
          ELSE NULL END AS ks_stat

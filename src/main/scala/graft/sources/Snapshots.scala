@@ -98,13 +98,34 @@ object Snapshots {
     ("sr1", "plain_subject", 1L, 203L, "PROTOBUF", "{}"),
     ("sr1", "t_gone-value", 2L, 204L, "AVRO", "{}")) // t_gone is a c1 topic
 
-  /** The driver's events table stores ts as parquet TIMESTAMP(NANOS),
-    * which Spark only reads via the nanosAsLong legacy conf (ts -> BIGINT
-    * nanos since epoch). The snapshot derivation keys on event_id, not ts,
-    * so this is loss-free here. */
+  /** events with ts normalized to ONE internal representation — BIGINT
+    * nanos since epoch — regardless of how the fixture encodes it. The
+    * driver has regenerated events.parquet with different timestamp
+    * widths across rounds (TIMESTAMP(NANOS), then timestamp[us]), so the
+    * read is schema-adaptive:
+    *  - BIGINT (a NANOS file under the nanosAsLong legacy conf, or a
+    *    BenchAtScale re-write): pass-through;
+    *  - TIMESTAMP / TIMESTAMP_NTZ (micros or millis files): unix_micros
+    *    on the internal micros value * 1000. inferTimestampNTZ is
+    *    disabled for this read so a tz-less parquet timestamp lands as
+    *    TimestampType, whose internal value IS the stored micros —
+    *    unix_micros is then exact and session-timezone-independent.
+    * The DuckDB oracles are width-agnostic already (epoch_ns(ts)). */
   def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case TimestampNTZType => // unreachable with the conf above; safety net
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as $other — expected BIGINT nanos or a parquet timestamp")
+    }
   }
 
   private def events(spark: SparkSession, dir: String): DataFrame = {

@@ -44,9 +44,22 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
-    for name in sorted(os.listdir(out_dir)):
+    # Declared = every oracle key plus every produced output dir: a query
+    # that Verify declared but failed to produce (or marked _ERROR) is a
+    # FAILURE, not a silent skip — r4's red family shipped invisibly
+    # because missing outputs were simply not iterated.
+    produced = {n for n in os.listdir(out_dir)
+                if os.path.isdir(os.path.join(out_dir, n))}
+    for name in sorted(set(oracle) | produced):
         d = os.path.join(out_dir, name)
-        if not os.path.isdir(d):
+        if name not in produced:
+            print(f"✗ {name}: DECLARED BUT MISSING (no Verify output)")
+            n_bad += 1
+            continue
+        if os.path.exists(os.path.join(d, "_ERROR")):
+            head = open(os.path.join(d, "_ERROR")).read().splitlines()[:1]
+            print(f"✗ {name}: VERIFY ERROR: {head[0] if head else ''}")
+            n_bad += 1
             continue
         files = glob.glob(f"{d}/*.parquet")
         got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
