@@ -93,8 +93,9 @@ class PipelineStatsSpec extends AnyFunSuite {
     val r = graft.functions.TextAnalytics.lengthDrift(v1, v2).collect()
     assert(r.length === 1)
     // F1(4)=1.0 vs F2(4)=0.5 -> D = 0.5; numerator 8 over 4*4
+    // (ks_num SURFACES as BIGINT — r5; the internal grid stays DECIMAL)
     assert(r(0).getAs[Long]("n1") === 4L && r(0).getAs[Long]("n2") === 4L)
-    assert(r(0).getAs[java.math.BigDecimal]("ks_num").longValueExact() === 8L)
+    assert(r(0).getAs[Long]("ks_num") === 8L)
     assert(r(0).getAs[Double]("ks_stat") === 0.5)
   }
 

@@ -110,6 +110,50 @@ class StreamingStateBoundSpec extends AnyFunSuite {
     } finally spark.conf.unset(key)
   }
 
+  test("NearDupStream hamming-radius flavor holds ZERO state on RocksDB under churn") {
+    // the near-dup match stream's bound is the strongest kind — stateless
+    // by construction (stream-static equi-join) — but r4 only guarded its
+    // growth in batch. Prove it under the deployment provider config with
+    // a churning doc population: every micro-batch phase must report NO
+    // stateful operator at all, while detections keep flowing.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val corpus = (0 until 50).map(i =>
+        (i.toLong, s"corpus document $i alpha beta gamma delta epsilon"))
+        .toDF("doc_id", "text")
+      val index = graft.streaming.NearDupStream
+        .simhashIndex(corpus, maxHamming = 4).localCheckpoint()
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.NearDupStream.simhashDetections(
+          input.toDF().toDF("doc_id", "text"), index, maxHamming = 4)
+        .writeStream.format("memory").queryName("neardup_state_bound")
+        .outputMode("append").start()
+      try {
+        for (p <- 0 until Phases) {
+          // each phase is a fresh population: near-dups of corpus docs
+          // (detections flow) plus unrelated fillers (churn)
+          input.addData((0 until KeysPerPhase).map { i =>
+            if (i % 10 == 0)
+              (1000000L + p * 10000L + i,
+                s"corpus document ${i % 50} alpha beta gamma delta epsilon")
+            else
+              (1000000L + p * 10000L + i,
+                s"phase $p filler $i zeta eta theta iota kappa lambda")
+          })
+          q.processAllAvailable()
+          assert(q.lastProgress.stateOperators.isEmpty,
+            s"phase $p grew a stateful operator in a stream-static join")
+        }
+        assert(spark.table("neardup_state_bound").count() > 0,
+          "no detections flowed — the zero-state assertion is vacuous")
+      } finally q.stop()
+    } finally spark.conf.unset(key)
+  }
+
   test("AsofStream reference state plateaus while distinct users grow") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
