@@ -257,6 +257,11 @@ object SparkEntry {
       TextAnalytics.tokenCounts(docs(s, dir)).orderBy(col("doc_id"))),
     "q_quality" -> ((s, dir) =>
       TextAnalytics.qualityScores(docs(s, dir)).orderBy(col("doc_id"))),
+    // trained quality filter: closed-form exact-integer ridge probe with
+    // language as the weak label (CCNet/DCLM mechanism) — one training
+    // aggregation pass + row-local scoring, per-source keep report
+    "q_quality_probe" -> ((s, dir) =>
+      TextAnalytics.qualityProbe(docs(s, dir)).orderBy(col("source"))),
     "q_langid" -> ((s, dir) =>
       TextAnalytics.languageId(docs(s, dir)).orderBy(col("doc_id"))),
     "q_langid_confusion" -> ((s, dir) =>

@@ -549,6 +549,95 @@ object TextAnalytics {
           .otherwise(lit(null).cast("double")).as("ks_stat"))
   }
 
+  /** Junk-run length for the probe's synthetic negatives: 40 appended
+    * symbol tokens shift the stopword-rate feature enough that the
+    * linear boundary separates crisply (sf0.01: 397/500 clean kept vs
+    * 44/500 degraded; 20 junk tokens left the classes overlapping). */
+  val ProbeJunkTokens = 40
+
+  /** Trained quality-filter probe: a CLOSED-FORM ridge regression
+    * (w = (XᵀX + λI)⁻¹ Xᵀy) on row-local integer text features — the
+    * CCNet/DCLM/fastText curation mechanism (GPT-3's LR-on-tf-idf
+    * filter is the same shape): positives are the corpus as-is, the
+    * negatives are deterministically DEGRADED copies (ProbeJunkTokens
+    * appended symbol tokens — the q_gopher_rules degradation family),
+    * and the learned boundary is then the reusable keep/drop filter.
+    * The fixture's lang/source labels are uniform over the same
+    * synthetic vocabulary (nothing row-local can learn them — measured,
+    * not assumed), so clean-vs-degraded is also the honest learnable
+    * target here.
+    *
+    * Features (exact integers so both engines agree bit-for-bit):
+    * intercept, x1 = min(n_tokens, 127), x2 = per-127 stopword rate
+    * (n_stop*127 div n_tokens).
+    *
+    * The solve stays EXACT: the 3x3 normal equations are integer sums
+    * (one aggregation pass), the Cramer determinants are computed in
+    * arbitrary-precision driver-side (dimension-sized artifact, the
+    * ivfCentroids contract), and the keep decision is the pure-integer
+    * comparison 2·(det0 + det1·x1 + det2·x2) >= det — equivalent to
+    * w·x >= 1/2 since det(XᵀX + λI) > 0 — evaluated in DECIMAL(38,0) so
+    * no double division or decimal output column exists anywhere.
+    *
+    * Shape at 100 TB: ONE partial+final aggregation over the (corpus ∪
+    * degraded-corpus) scan trains; scoring is a row-local projection +
+    * per-source rollup (one exchange of (source, y, kept) rows). The
+    * exact-integer certificate holds to ~1e7 training docs under the
+    * 127-scale features (det·2·127 < 1e38); past that the filter trains
+    * on a sample — which is how production quality filters are trained
+    * anyway — and scores the full corpus with the same row-local
+    * projection. */
+  def qualityProbe(docs: DataFrame, ridge: Long = 1L): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"), col("text"))
+    val union = base.withColumn("y", lit(1L))
+      .unionByName(base
+        .withColumn("text",
+          concat(col("text"), expr(s"repeat(' #@', $ProbeJunkTokens)")))
+        .withColumn("y", lit(0L)))
+    val toks = tokens(col("text"))
+    val nStop = size(filter(toks,
+      t => Stopwords.map(s => t === s).reduce(_ || _))).cast("long")
+    val f = union.select(col("doc_id"), col("source"),
+      least(size(toks).cast("long"), lit(127L)).as("x1"),
+      nStop.as("n_stop"), size(toks).cast("long").as("n_tokens"),
+      col("y"))
+      .withColumn("x2", expr("n_stop * 127 div greatest(n_tokens, 1)"))
+      .select(col("doc_id"), col("source"), col("x1"), col("x2"), col("y"))
+    val r = f.agg(
+      count(lit(1)).as("n"), sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("y")).as("b0"), sum(col("x1") * col("y")).as("b1"),
+      sum(col("x2") * col("y")).as("b2")).head()
+    def L(name: String): BigInt =
+      BigInt(if (r.isNullAt(r.fieldIndex(name))) 0L else r.getAs[Long](name))
+    // A = [[a,b,c],[b,d,e],[c,e,f]] symmetric, ridge on the diagonal
+    val (a, b, c) = (L("n") + ridge, L("s1"), L("s2"))
+    val (d, e, fv) = (L("s11") + ridge, L("s12"), L("s22") + ridge)
+    val (b0, b1, b2) = (L("b0"), L("b1"), L("b2"))
+    val det = a * (d * fv - e * e) - b * (b * fv - e * c) + c * (b * e - d * c)
+    val det0 = b0 * (d * fv - e * e) - b * (b1 * fv - e * b2) + c * (b1 * e - d * b2)
+    val det1 = a * (b1 * fv - e * b2) - b0 * (b * fv - e * c) + c * (b * b2 - b1 * c)
+    val det2 = a * (d * b2 - b1 * e) - b * (b * b2 - b1 * c) + b0 * (b * e - d * c)
+    val dec = (v: BigInt) =>
+      lit(new java.math.BigDecimal(v.bigInteger)).cast("decimal(38,0)")
+    f
+      .withColumn("kept",
+        dec(det0 * 2) + dec(det1 * 2) * col("x1") + dec(det2 * 2) * col("x2")
+          >= dec(det))
+      .groupBy(col("source"))
+      .agg(sum(col("y")).as("docs"),
+        sum((col("kept") && col("y") === 1L).cast("long")).as("kept_clean"),
+        sum((col("kept") && col("y") === 0L).cast("long")).as("kept_degraded"))
+      .select(col("source"), col("docs"), col("kept_clean"),
+        col("kept_degraded"),
+        (col("kept_clean").cast("double") / col("docs").cast("double"))
+          .as("clean_rate"),
+        (col("kept_degraded").cast("double") / col("docs").cast("double"))
+          .as("degraded_rate"))
+  }
+
   /** Language mixing weights for corpus assembly — the up/down-sampling
     * rates a pretraining mix applies per stratum. */
   val MixRates: Seq[(String, Double)] = Seq(

@@ -892,6 +892,48 @@ SELECT doc_id, n_tokens, n_stop, n_unique,
     + 0.3 * (CAST(n_unique AS DOUBLE) / n_tokens) AS quality_score
 FROM s ORDER BY doc_id""",
 
+    // mirror of TextAnalytics.qualityProbe: exact-integer ridge probe
+    // trained on clean-vs-degraded (40 appended '#@' tokens) — same
+    // features, HUGEINT normal equations + Cramer determinants, the
+    // same pure-integer keep comparison (no doubles until the rates)
+    "q_quality_probe" -> s"""
+WITH base AS (SELECT doc_id, source, text FROM documents),
+u AS (SELECT doc_id, source, text, 1 AS y FROM base
+      UNION ALL
+      SELECT doc_id, source, text || repeat(' #@', 40), 0 AS y FROM base),
+s AS (SELECT doc_id, source, y,
+        least(CAST(len(string_split(text, ' ')) AS BIGINT), 127) AS x1,
+        CAST(len(list_filter(string_split(text, ' '), x -> x IN $stop)) AS BIGINT) * 127
+          // greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS x2
+      FROM u),
+m AS (SELECT CAST(count(*) AS HUGEINT) + 1 AS a,
+             CAST(coalesce(sum(x1), 0) AS HUGEINT) AS b,
+             CAST(coalesce(sum(x2), 0) AS HUGEINT) AS c,
+             CAST(coalesce(sum(x1*x1), 0) AS HUGEINT) + 1 AS d,
+             CAST(coalesce(sum(x1*x2), 0) AS HUGEINT) AS e,
+             CAST(coalesce(sum(x2*x2), 0) AS HUGEINT) + 1 AS f,
+             CAST(coalesce(sum(y), 0) AS HUGEINT) AS b0,
+             CAST(coalesce(sum(x1*y), 0) AS HUGEINT) AS b1,
+             CAST(coalesce(sum(x2*y), 0) AS HUGEINT) AS b2
+      FROM s),
+w AS (SELECT
+        a*(d*f - e*e) - b*(b*f - e*c) + c*(b*e - d*c) AS det,
+        b0*(d*f - e*e) - b*(b1*f - e*b2) + c*(b1*e - d*b2) AS det0,
+        a*(b1*f - e*b2) - b0*(b*f - e*c) + c*(b*b2 - b1*c) AS det1,
+        a*(d*b2 - b1*e) - b*(b*b2 - b1*c) + b0*(b*e - d*c) AS det2
+      FROM m),
+k AS (SELECT source, y,
+        (2*det0 + 2*det1*x1 + 2*det2*x2 >= det) AS kept
+      FROM s CROSS JOIN w)
+SELECT source, CAST(sum(y) AS BIGINT) AS docs,
+       CAST(sum(CASE WHEN kept AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_clean,
+       CAST(sum(CASE WHEN kept AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS kept_degraded,
+       CAST(sum(CASE WHEN kept AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(sum(y) AS DOUBLE) AS clean_rate,
+       CAST(sum(CASE WHEN kept AND y = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(sum(y) AS DOUBLE) AS degraded_rate
+FROM k GROUP BY source ORDER BY source""",
+
     "q_langid" -> """
 WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
 m AS (SELECT doc_id, lang,

@@ -99,6 +99,28 @@ class PipelineStatsSpec extends AnyFunSuite {
     assert(r(0).getAs[Double]("ks_stat") === 0.5)
   }
 
+  test("qualityProbe learns the clean-vs-degraded boundary per source") {
+    // stopword-rich docs: the degraded twins (40 '#@' junk tokens) dilute
+    // the stopword-rate feature, so the learned linear boundary must keep
+    // the clean side and drop the degraded side. Exact-integer parity is
+    // hash-checked by the oracle at sf; this pins the LEARNING behavior.
+    val d = (1 to 12).map(i => (i.toLong,
+      "the a of and to in the a of and to in word" + i, "en",
+      if (i % 2 == 0) "s_even" else "s_odd")).toDF("doc_id", "text", "lang", "source")
+    val r = graft.functions.TextAnalytics.qualityProbe(d)
+      .orderBy($"source").collect()
+    assert(r.length === 2)
+    r.foreach { x =>
+      assert(x.getAs[Long]("docs") === 6L)
+      assert(x.getAs[Long]("kept_clean") === 6L,
+        s"probe failed to keep clean docs of ${x.getAs[String]("source")}")
+      assert(x.getAs[Long]("kept_degraded") === 0L,
+        s"probe failed to drop degraded docs of ${x.getAs[String]("source")}")
+      assert(x.getAs[Double]("clean_rate") === 1.0)
+      assert(x.getAs[Double]("degraded_rate") === 0.0)
+    }
+  }
+
   test("languageIdConfusion rolls up label vs prediction with shares") {
     val d = Seq(
       (1L, "the cat of and the", "en"),
