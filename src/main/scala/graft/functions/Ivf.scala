@@ -62,20 +62,35 @@ object Ivf {
     * 2^-20 is far below any embedding's signal floor. */
   val MeanQuantScale = 1048576.0 // 2^20
 
+  /** Deterministic Lloyd-training sample cap: above this many vectors,
+    * training runs on the `vec_id % stride == 0` stratum with stride =
+    * ceil(n / cap) — a ~4-8k-vector deterministic sample the DuckDB
+    * mirror reproduces with the same predicate. This is what keeps the
+    * training pass O(sample·k·d) while k tracks the corpus (the SemDeDup
+    * paper trains k-means on a subsample in exactly this regime); the
+    * ASSIGNMENT pass still scores every vector. At every oracle-checked
+    * sf (n <= 2000) stride = 1, so the sample IS the corpus and results
+    * are bit-identical to the unsampled contract. */
+  val TrainSampleCap = 4096L
+
   /** Train k centroids with `iters` Lloyd iterations. Returns the final
     * centroid vectors, collected (k x dim doubles — broadcast-sized by
     * construction). */
   def trainCentroids(emb: DataFrame, k: Int = 16, iters: Int = 3): Seq[(Int, Array[Double])] = {
     // The training set is scanned once per iteration (plus seeding) —
     // persist the projected vectors instead of re-deriving from parquet
-    // each round. At 100 TB the training input is a sample, so caching it
-    // is the standard (and affordable) Lloyd setup.
+    // each round.
     val base = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"),
       Similarity.l2Norm(col("embedding")).as("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try trainOn(base, k, iters)
-    finally base.unpersist()
+    try {
+      val n = base.count()
+      val stride = math.max(1L, (n + TrainSampleCap - 1) / TrainSampleCap)
+      val train =
+        if (stride > 1) base.filter(col("vec_id") % stride === 0) else base
+      trainOn(train, k, iters)
+    } finally base.unpersist()
   }
 
   private def trainOn(base: DataFrame, k: Int, iters: Int): Seq[(Int, Array[Double])] = {
@@ -226,15 +241,21 @@ object Ivf {
     * corpus so the TARGET cluster size (~125) stays constant — the
     * SemDeDup paper's k ~ n/1000 setting scaled to the fixture. This is
     * what keeps semDedup's within-cluster pairwise stage LINEAR in
-    * corpus size instead of quadratic-in-cluster-size. Capped at 256:
-    * the assignment kernel scans the k x 64 centroid matrix per row
-    * (graft.expressions.NearestCentroid), so k bounds per-row argmax
-    * cost and the broadcast size; past the cap, cluster size grows
-    * sub-linearly (n/256) instead of linearly.
+    * corpus size instead of quadratic-in-cluster-size. Capped at 1024
+    * (r5; was 256 when the argmax rode broadcast-join fallbacks): the
+    * assignment kernel scans the k x 64 centroid matrix per row
+    * (graft.expressions.NearestCentroid) — k is DATA, not expression
+    * tree, so the cap is set by per-row argmax cost (k·d mults) and the
+    * 512 KiB broadcast, not codegen. With TrainSampleCap bounding the
+    * Lloyd pass, cluster size stays ~125 up to 128k vectors; past the
+    * cap it grows as n/1024, so the pairwise stage re-enters a
+    * super-linear regime only at n >> 1e6 — where the deployment answer
+    * is raising the cap further (the kernel scales; the 1024 default
+    * balances the fixture ladder's assignment-vs-pairwise costs).
     * The floor of 16 keeps the small-sf oracle geometry identical to
     * the static ANN index (16 = max at <= 2000 vectors, so the DuckDB
     * mirror's dynamic greatest(16, n//125) reproduces it exactly). */
-  def adaptiveK(n: Long, targetClusterSize: Int = 125, cap: Int = 256): Int =
+  def adaptiveK(n: Long, targetClusterSize: Int = 125, cap: Int = 1024): Int =
     math.min(cap, math.max(16, (n / targetClusterSize).toInt))
 
   /** Prototypicality pruning (Sorscher et al. 2022, "Beyond neural

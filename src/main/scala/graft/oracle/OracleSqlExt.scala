@@ -170,12 +170,13 @@ c AS (
   private def ivfCosine(v: String, nrm: String, cv: String) =
     s"list_dot_product($v, $cv) / ($nrm * sqrt(list_dot_product($cv, $cv)))"
 
-  private def ivfArgTop(src: String, pred: String, keep: Int) =
+  private def ivfArgTop(src: String, pred: String, keep: Int,
+                        rel: String = "q") =
     s"""(SELECT vec_id, vq, cid FROM (
     SELECT q.vec_id, q.vq, c.cid,
            row_number() OVER (PARTITION BY q.vec_id
              ORDER BY ${ivfCosine("q.v", "q.nrm", "c.cv")} DESC, c.cid DESC) AS rn
-    FROM q CROSS JOIN $src c$pred) WHERE rn <= $keep)"""
+    FROM $rel q CROSS JOIN $src c$pred) WHERE rn <= $keep)"""
 
   /** Shared IVF training mirror (graft.functions.Ivf.trainCentroids):
     * deterministic seeds (first k by vec_id), three unrolled Lloyd
@@ -188,14 +189,19 @@ c AS (
 
   /** Same training mirror with the cluster count as a SQL expression —
     * the dedup/prune index uses the ADAPTIVE k (Ivf.adaptiveK: cluster
-    * size held at ~125, capped at 256) so a `kk` CTE computes
-    * least(256, greatest(16, n // 125)) and is referenced here. At the
+    * size held at ~125, capped at 1024) so a `kk` CTE computes
+    * least(1024, greatest(16, n // 125)) and is referenced here. At the
     * oracle-checked scale factors (<= 2000 vectors) this evaluates to
     * 16, bit-identical to the static ANN geometry. */
   private def ivfTrainingCtesK(k: String): String = {
-    import graft.functions.Ivf.MeanQuantScale
+    import graft.functions.Ivf.{MeanQuantScale, TrainSampleCap}
+    // Lloyd runs over the deterministic training sample `ts` (engine:
+    // Ivf.trainCentroids vec_id % stride == 0, stride = ceil(n/cap));
+    // assignment/probing CTEs keep reading the full `q`. At every
+    // oracle-checked sf stride = 1, so ts == q and the geometry is
+    // bit-identical to the unsampled contract.
     val iterCtes = (1 to IvfIters).map { t =>
-      s"""a$t AS ${ivfArgTop(s"c${t - 1}", "", 1)},
+      s"""a$t AS ${ivfArgTop(s"c${t - 1}", "", 1, rel = "ts")},
 m$t AS (
   SELECT cid, list(m ORDER BY pos) AS mv FROM (
     SELECT cid, pos,
@@ -210,8 +216,12 @@ n AS (SELECT vec_id, v, nrm,
         list_transform(v, x -> CAST(floor(x * $MeanQuantScale) AS BIGINT)) AS vq
       FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)),
 q AS (SELECT vec_id, v, nrm, vq FROM n),
+scc AS (SELECT greatest(1, (count(*) + ${TrainSampleCap - 1}) // $TrainSampleCap) AS sc
+        FROM embeddings),
+ts AS (SELECT vec_id, v, nrm, vq FROM q
+       WHERE vec_id % (SELECT sc FROM scc) = 0),
 c0 AS (SELECT cid, cv FROM (
-         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv FROM n)
+         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv FROM ts)
        WHERE cid < $k),
 $iterCtes"""
   }
@@ -270,7 +280,7 @@ FROM per CROSS JOIN tot ORDER BY cid"""
   /** The adaptive-k CTE shared by the dedup/prune mirrors — the SQL
     * twin of Ivf.adaptiveK(n). */
   private val adaptiveKCte =
-    "kk AS (SELECT least(256, greatest(16, count(*) // 125)) AS ak FROM embeddings)"
+    "kk AS (SELECT least(1024, greatest(16, count(*) // 125)) AS ak FROM embeddings)"
 
   private val semDedupOracle: String = {
     val cos = ivfCosine("q.v", "q.nrm", "c.cv")

@@ -35,6 +35,9 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(TextAnalytics.mixtureSummary(emptyDocs).count() === 0)
     assert(TextAnalytics.topTokensPerLang(emptyDocs).count() === 0)
     assert(TextAnalytics.languageId(emptyDocs).count() === 0)
+    // ridge probe on nothing: A = I (ridge only), det > 0, no division by
+    // zero anywhere, empty per-source report — not a throw
+    assert(TextAnalytics.qualityProbe(emptyDocs).count() === 0)
   }
 
   test("sketch operators handle empty and sub-shingle corpora") {
