@@ -257,11 +257,16 @@ object SparkEntry {
       TextAnalytics.tokenCounts(docs(s, dir)).orderBy(col("doc_id"))),
     "q_quality" -> ((s, dir) =>
       TextAnalytics.qualityScores(docs(s, dir)).orderBy(col("doc_id"))),
-    // trained quality filter: closed-form exact-integer ridge probe with
-    // language as the weak label (CCNet/DCLM mechanism) — one training
-    // aggregation pass + row-local scoring, per-source keep report
+    // trained quality filter: closed-form exact-integer ridge probe,
+    // clean corpus vs degraded twins (CCNet/DCLM mechanism) — one
+    // training aggregation pass + row-local scoring, per-source report
     "q_quality_probe" -> ((s, dir) =>
       TextAnalytics.qualityProbe(docs(s, dir)).orderBy(col("source"))),
+    // distributed BPE tokenizer fitting (Sennrich et al. 2016): one
+    // corpus pass for the word-freq vocabulary, merge rounds run on the
+    // vocabulary-sized table only
+    "q_bpe_merges" -> ((s, dir) =>
+      TextAnalytics.bpeMerges(docs(s, dir))),
     "q_langid" -> ((s, dir) =>
       TextAnalytics.languageId(docs(s, dir)).orderBy(col("doc_id"))),
     "q_langid_confusion" -> ((s, dir) =>

@@ -638,6 +638,69 @@ object TextAnalytics {
           .as("degraded_rate"))
   }
 
+  /** Distributed BPE tokenizer fitting (Sennrich et al. 2016,
+    * arXiv:1508.07909): learn the first `nMerges` byte-pair merges from
+    * the corpus. The distributed shape is the algorithm's own: ONE
+    * corpus-sized pass builds the (word, freq) vocabulary table; every
+    * merge round then runs on that VOCABULARY-sized table (adjacent
+    * symbol-pair counts weighted by word freq → argmax → merge), so at
+    * 100 TB the iterations cost nothing compared to the single token
+    * count. The per-round winning pair is a dimension-sized driver
+    * artifact (the ivfCentroids contract); rounds localCheckpoint the
+    * evolving symbol strings (the Lloyd/label-prop plan-truncation
+    * pattern).
+    *
+    * Symbol representation: characters joined by DOUBLE spaces with
+    * double-space sentinels at both ends ("  a  b  c  "). The merge is
+    * then one non-regex left-to-right replace of " l  r " with " lr " —
+    * the double separator makes consecutive merge sites share no
+    * characters, so non-overlapping replace implements exactly BPE's
+    * greedy left-to-right merge in BOTH engines ("a a a a" merges pairs
+    * 1-2 and 3-4; "a a a" merges only 1-2). Ties break (count DESC,
+    * left ASC, right ASC) — binary string order, ASCII corpus.
+    *
+    * Output: one row per learned merge (rank, left, right, pair_count).
+    * The DuckDB mirror unrolls the same rounds (q_bpe_merges). */
+  def bpeMerges(docs: DataFrame, nMerges: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var syms = vocab.select(
+      concat(lit("  "), regexp_replace(col("w"), "(.)", "$1  ")).as("sym"),
+      col("freq")).localCheckpoint()
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    var done = false
+    for (rank <- 1 to nMerges if !done) {
+      val pr = syms
+        .withColumn("ss", split(col("sym"), "  "))
+        .filter(size(col("ss")) >= 4) // >= 2 real symbols (sentinels are '')
+        .select(col("freq"), explode(expr(
+          "transform(sequence(2, size(ss) - 2), " +
+            "i -> struct(element_at(ss, i) AS l, element_at(ss, i + 1) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+      val top = pr.orderBy(col("cnt").desc, col("l"), col("r")).limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((rank.toLong, l, r, c))
+        syms = syms.withColumn("sym",
+          expr_replace(col("sym"), lit(s" $l  $r "), lit(s" $l$r ")))
+          .localCheckpoint()
+      }
+    }
+    out.result().toDF("rank", "left", "right", "pair_count")
+      .orderBy(col("rank"))
+  }
+
+  /** Non-regex left-to-right replace (SQL `replace`) — the exact
+    * semantics the BPE merge needs; resume-after-replacement matches
+    * DuckDB's replace(). */
+  private def expr_replace(src: Column, search: Column, rep: Column): Column =
+    call_function("replace", src, search, rep)
+
   /** Language mixing weights for corpus assembly — the up/down-sampling
     * rates a pretraining mix applies per stratum. */
   val MixRates: Seq[(String, Double)] = Seq(

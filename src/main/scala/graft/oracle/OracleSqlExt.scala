@@ -277,6 +277,39 @@ FROM per CROSS JOIN tot ORDER BY cid"""
     * rounded-score 0.4 threshold, the q_dedup_clusters recursive
     * min-label CTE for group formation, then the SemDeDup keeper rule
     * (lowest centroid similarity, vec_id tie-break). */
+  /** Mirror of TextAnalytics.bpeMerges — the merge loop unrolled like
+    * the Lloyd iterations: each round counts adjacent symbol pairs over
+    * the vocabulary-sized table, picks the (cnt DESC, l, r) argmax, and
+    * applies the double-separator replace. A round whose b-CTE is empty
+    * (no pairs left) contributes no output row and NULLs the symbol
+    * strings, which the coalesce guard turns into empty pair sets for
+    * the remaining rounds — matching the engine's early stop. */
+  private val bpeMergesOracle: String = {
+    val rounds = 6
+    val iter = (1 to rounds).map { t =>
+      s"""p$t AS (
+  SELECT ss[i] AS l, ss[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT string_split(sym, '  ') AS ss, freq FROM s${t - 1}) x,
+       unnest(range(2, greatest(coalesce(len(ss), 0) - 1, 2))) AS u(i)
+  GROUP BY 1, 2),
+b$t AS (SELECT l, r, cnt FROM p$t ORDER BY cnt DESC, l, r LIMIT 1),
+s$t AS (SELECT replace(sym,
+          ' ' || (SELECT l FROM b$t) || '  ' || (SELECT r FROM b$t) || ' ',
+          ' ' || (SELECT l FROM b$t) || (SELECT r FROM b$t) || ' ') AS sym, freq
+        FROM s${t - 1})"""
+    }.mkString(",\n")
+    val sel = (1 to rounds).map(t => s"SELECT $t AS rnk, l, r, cnt FROM b$t")
+      .mkString("\nUNION ALL\n")
+    s"""
+WITH v AS (SELECT w, count(*) AS freq
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           GROUP BY w),
+s0 AS (SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS sym, freq FROM v),
+$iter
+SELECT CAST(rnk AS BIGINT) AS "rank", l AS "left", r AS "right", cnt AS pair_count
+FROM ($sel) ORDER BY "rank""""
+  }
+
   /** The adaptive-k CTE shared by the dedup/prune mirrors — the SQL
     * twin of Ivf.adaptiveK(n). */
   private val adaptiveKCte =
@@ -901,6 +934,12 @@ SELECT doc_id, n_tokens, n_stop, n_unique,
     + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
     + 0.3 * (CAST(n_unique AS DOUBLE) / n_tokens) AS quality_score
 FROM s ORDER BY doc_id""",
+
+    // mirror of TextAnalytics.bpeMerges: word-freq vocabulary, then 6
+    // unrolled merge rounds (the Lloyd-unrolling technique) — same
+    // double-space symbol representation, same non-overlapping replace,
+    // same (cnt DESC, l, r) tie-break
+    "q_bpe_merges" -> bpeMergesOracle,
 
     // mirror of TextAnalytics.qualityProbe: exact-integer ridge probe
     // trained on clean-vs-degraded (40 appended '#@' tokens) — same

@@ -121,6 +121,30 @@ class PipelineStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeMerges learns merges in frequency order with greedy re-merge") {
+    // vocab: abc x3, abd x2. Pairs round 1: (a,b)=5, (b,c)=3, (b,d)=2 ->
+    // merge (a,b). Round 2: (ab,c)=3, (ab,d)=2 -> (ab,c). Round 3:
+    // (ab,d)=2. Then every word is one symbol -> early stop at 3 merges.
+    val d = Seq(
+      (1L, "abc abc abd", "en", "s"),
+      (2L, "abc abd", "en", "s")).toDF("doc_id", "text", "lang", "source")
+    val r = graft.functions.TextAnalytics.bpeMerges(d)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getLong(3)))
+    assert(r.toSeq === Seq((1L, "a", "b", 5L), (2L, "ab", "c", 3L),
+      (3L, "ab", "d", 2L)))
+  }
+
+  test("bpeMerges greedy left-to-right: 'a a a a' merges two pairs, 'a a a' one") {
+    // aaaa: round 1 (a,a)=freq-weighted count 3 (positions 1-2,2-3,3-4)
+    // ... merged greedily left-to-right into (aa, aa); aaa -> (aa, a)
+    val d = Seq((1L, "aaaa aaa", "en", "s")).toDF("doc_id", "text", "lang", "source")
+    val r = graft.functions.TextAnalytics.bpeMerges(d, nMerges = 2)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getLong(3)))
+    // round 1: (a,a) count 3+2 = 5; after merge: aaaa -> 'aa aa', aaa -> 'aa a'
+    // round 2 pairs: (aa,aa)=1, (aa,a)=1 -> tie-break right ASC picks (aa,a)
+    assert(r.toSeq === Seq((1L, "a", "a", 5L), (2L, "aa", "a", 1L)))
+  }
+
   test("languageIdConfusion rolls up label vs prediction with shares") {
     val d = Seq(
       (1L, "the cat of and the", "en"),
