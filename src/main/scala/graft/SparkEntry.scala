@@ -132,6 +132,15 @@ object SparkEntry {
       functions.Ivf.trainCentroids(emb(s, dir), k))
   }
 
+  /** The fitted BPE merge list feeds q_bpe_merges AND q_bpe_encode —
+    * fit once per (session, dir) (nMerges tiny rows of driver state,
+    * the ivfCentroids contract). */
+  private val bpeMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[(Long, String, String, Long)]]
+
+  private def bpeMergesOf(s: SparkSession, dir: String): Seq[(Long, String, String, Long)] =
+    bpeMemo.getOrElseUpdate((s, dir), TextAnalytics.fitBpeMerges(docs(s, dir)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topics_stats" -> ((s, dir) =>
       topicsDf(s, dir).orderBy(col("name"))),
@@ -264,9 +273,16 @@ object SparkEntry {
       TextAnalytics.qualityProbe(docs(s, dir)).orderBy(col("source"))),
     // distributed BPE tokenizer fitting (Sennrich et al. 2016): one
     // corpus pass for the word-freq vocabulary, merge rounds run on the
-    // vocabulary-sized table only
+    // vocabulary-sized table only (fit memoized — shared with the
+    // encoding pass below)
     "q_bpe_merges" -> ((s, dir) =>
-      TextAnalytics.bpeMerges(docs(s, dir))),
+      TextAnalytics.bpeMergesDf(s, bpeMergesOf(s, dir))),
+    // BPE ENCODING with the fitted merges: per-source token counts and
+    // compression — corpus work is one word-count pass; the merge
+    // replaces run on the vocabulary-sized table
+    "q_bpe_encode" -> ((s, dir) =>
+      TextAnalytics.bpeEncode(docs(s, dir), bpeMergesOf(s, dir))
+        .orderBy(col("source"))),
     "q_langid" -> ((s, dir) =>
       TextAnalytics.languageId(docs(s, dir)).orderBy(col("doc_id"))),
     "q_langid_confusion" -> ((s, dir) =>
@@ -340,6 +356,11 @@ object SparkEntry {
     // radius 4 -> 5 bands of ~13-bit keys: recall 1.0 within the radius
     // (SketchSpec) with selective buckets; radius 10 would need 11 bands
     // of ~6-bit keys whose fan-out grows quadratically per bucket.
+    // hybrid dedup verification: text MinHash candidates cross-checked
+    // by embedding cosine (both families' shared derivations reused)
+    "q_hybrid_dedup" -> ((s, dir) =>
+      Similarity.hybridVerify(minhashCandidates(s, dir), emb(s, dir))
+        .orderBy(col("doc_a"), col("doc_b"))),
     "q_simhash_pairs" -> ((s, dir) =>
       Sketches.simHashPairs(docs(s, dir), maxHamming = 4)
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -374,6 +395,11 @@ object SparkEntry {
         .orderBy(col("vec_id"))),
     // prototypicality pruning (Sorscher et al. 2022): each cluster drops
     // its 20% most prototypical members — complements q_semdedup
+    // centroid-based silhouette: cluster-quality report over the shared
+    // dedup/prune index (row-local top-two kernel, one cid aggregation)
+    "q_silhouette" -> ((s, dir) =>
+      functions.Ivf.silhouette(emb(s, dir), dedupIvfCentroids(s, dir))
+        .orderBy(col("cid"))),
     "q_proto_prune" -> ((s, dir) =>
       functions.Ivf.prototypicalityPrune(emb(s, dir), dedupIvfCentroids(s, dir))
         .orderBy(col("vec_id"))),
@@ -578,6 +604,11 @@ object SparkEntry {
     "q_top_tokens_per_lang" -> ((s, dir) =>
       TextAnalytics.topTokensPerLang(docs(s, dir))
         .orderBy(col("lang"), col("rnk"))),
+    // one-row corpus data card: volume, provenance breadth, exact-dup
+    // mass, split sizes, grid-exact mean quality — three pruned
+    // single-pass aggregations cross-joined as one-row broadcasts
+    "q_corpus_report" -> ((s, dir) =>
+      TextAnalytics.corpusReport(docs(s, dir))),
     "q_split_summary" -> ((s, dir) =>
       TextAnalytics.splitSummary(docs(s, dir)).orderBy(col("lang"), col("split"))),
     "q_quantize_report" -> ((s, dir) =>
@@ -648,6 +679,15 @@ object SparkEntry {
     "q_order_priority" -> ((s, dir) =>
       Relational.orderPriorityCheck(tbl(s, dir, "lineitem"), tbl(s, dir, "orders"))
         .orderBy(col("o_orderpriority"))),
+    // key-skew diagnostic: decides whether a user-keyed join needs
+    // salting; top-N side plans as map-side WindowGroupLimit
+    "q_key_skew" -> ((s, dir) =>
+      Relational.keySkew(Snapshots.eventsRaw(s, dir))
+        .orderBy(col("event_type"))),
+    // semi-structured extraction: JSON props parsed inside the scan
+    "q_props_extract" -> ((s, dir) =>
+      Relational.propsExtract(Snapshots.eventsRaw(s, dir))
+        .orderBy(col("event_type"))),
     "q_events_minute" -> ((s, dir) =>
       Relational.eventsMinuteRollup(Relational.eventsWithEpoch(s, dir))
         .orderBy(col("event_type"), col("minute"))),
@@ -705,6 +745,7 @@ object SparkEntry {
     timed("pcaDirections")(pcaDirections(s, dir))
     timed("ivfCentroids")(ivfCentroids(s, dir))
     timed("dedupIvfCentroids")(dedupIvfCentroids(s, dir))
+    timed("bpeMerges")(bpeMergesOf(s, dir))
   }
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =

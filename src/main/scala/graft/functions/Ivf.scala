@@ -258,6 +258,38 @@ object Ivf {
   def adaptiveK(n: Long, targetClusterSize: Int = 125, cap: Int = 1024): Int =
     math.min(cap, math.max(16, (n / targetClusterSize).toInt))
 
+  /** Simplified (centroid-based) silhouette per cluster — the cluster-
+    * quality report for the shared dedup/prune index: per vector,
+    * a = 1 - cos(v, own centroid) and b = 1 - best cos(v, any OTHER
+    * centroid), s = (b - a) / max(a, b) in [-1, 1]; per cluster the
+    * size and mean/min/max silhouette. This is Rousseeuw's silhouette
+    * with the cluster-mean distances replaced by centroid distances —
+    * the O(n*k) formulation (the classical O(n^2) pairwise variant has
+    * no 100 TB shape; with k capped at 1024 this stays one row-local
+    * top-two kernel pass fused into the scan, then ONE cid-keyed
+    * aggregation). Scores land on the 1e-9 round grid, s floors onto
+    * the 2^-30 grid and sums exactly — order-free means, bit-stable in
+    * the mirror. */
+  def silhouette(emb: DataFrame, centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+      Similarity.l2Norm(col("embedding")).as("nrm"))
+    val t2 = graft.expressions.CentroidTopTwo.centroid_top_two(
+      col("v"), col("nrm"), centroidTable(centroids))
+    val s = base.withColumn("t", t2)
+      .select(col("vec_id"), col("t.cid").as("cid"),
+        (lit(1.0) - round(col("t.score"), 9)).as("a"),
+        (lit(1.0) - round(col("t.second"), 9)).as("b"))
+      .withColumn("s", when(greatest(col("a"), col("b")) === lit(0.0), lit(0.0))
+        .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+    s.groupBy(col("cid"))
+      .agg(count(lit(1)).as("vectors"),
+        (sum(floor(col("s") * lit(DistQuantScale)).cast("long")).cast("double")
+          / (lit(DistQuantScale) * count(lit(1)).cast("double")))
+          .as("mean_silhouette"),
+        min(col("s")).as("min_silhouette"),
+        max(col("s")).as("max_silhouette"))
+  }
+
   /** Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
     * scaling laws", arXiv:2206.14486): in the data-rich regime, the
     * EASIEST examples — the ones closest to their cluster centroid —

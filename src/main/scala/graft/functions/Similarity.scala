@@ -361,4 +361,30 @@ object Similarity {
         round(dot(col("c1"), col("c2")) / (l2Norm(col("c1")) * l2Norm(col("c2"))), 9)
           .as("centroid_cosine"))
   }
+
+  /** Hybrid dedup verification: TEXT-side MinHash/LSH candidate pairs
+    * cross-checked against the documents' EMBEDDINGS — the two
+    * independent near-dup signals a curation pipeline wants to agree
+    * before it drops a document (surface n-gram overlap can be template
+    * boilerplate; embedding cosine alone misses verbatim substrings).
+    * Input `cands` is the shared banded candidate set (doc_a, doc_b,
+    * est_jaccard); each surviving pair picks up the exact cosine via two
+    * hash joins on the id (the candidate set is anchored-linear in the
+    * corpus, so the joins shuffle candidate-mass, not corpus-mass — no
+    * pairwise stage is ever re-run). confirmed = both signals over their
+    * thresholds. */
+  def hybridVerify(cands: DataFrame, emb: DataFrame,
+                   estThreshold: Double = 0.3,
+                   cosThreshold: Double = 0.4): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+      l2Norm(col("embedding")).as("nrm"))
+    cands.filter(col("est_jaccard") >= estThreshold)
+      .join(e.select(col("vec_id").as("doc_a"), col("v").as("va"), col("nrm").as("na")),
+        Seq("doc_a"))
+      .join(e.select(col("vec_id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 9).as("cosine"))
+      .withColumn("confirmed", col("cosine") >= lit(cosThreshold))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for an LLM training-data pipeline, over the
@@ -378,6 +378,46 @@ object TextAnalytics {
           .as("quality_score"))
   }
 
+  /** One-row corpus data card — the summary a pipeline publishes next to
+    * a released dataset: volume (docs/tokens/chars), provenance breadth
+    * (distinct sources/langs), exact-duplicate mass, the content-hash
+    * split sizes, and the grid-exact mean quality score.
+    *
+    * Shape at 100 TB: three independent single-pass aggregations over
+    * PRUNED column sets, cross-joined as one-row broadcasts — not one
+    * aggregate with three DISTINCTs, which would Expand-replicate every
+    * corpus row once per distinct. The volume pass carries no distinct
+    * at all; the provenance pass reads only (source, lang); the dup pass
+    * shuffles 16-byte md5s. */
+  def corpusReport(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val enriched = docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_stop",
+        size(filter(toks, t => Stopwords.map(s => t === s).reduce(_ || _))).cast("long"))
+      .withColumn("n_unique", size(array_distinct(toks)).cast("long"))
+      .withColumn("q", qualityExpr(col("n_tokens"), col("n_stop"), col("n_unique")))
+      .withColumn("split", splitCol(col("text")))
+    val volume = enriched.agg(
+      count(lit(1)).as("docs"),
+      sum(col("n_tokens")).as("tokens"),
+      sum(col("n_chars")).as("chars"),
+      (sum(floor(col("q") * lit(Ivf.MeanQuantScale)).cast("long")).cast("double")
+        / (lit(Ivf.MeanQuantScale) * count(lit(1)).cast("double"))).as("mean_quality"),
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("train_docs"),
+      sum(when(col("split") === "val", 1L).otherwise(0L)).as("val_docs"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).as("test_docs"))
+    val provenance = docs.agg(
+      countDistinct(col("source")).as("sources"),
+      countDistinct(col("lang")).as("langs"))
+    val dups = docs.agg(
+      (count(lit(1)) - countDistinct(md5(col("text")))).as("exact_dup_docs"))
+    volume.crossJoin(broadcast(provenance)).crossJoin(broadcast(dups))
+      .select(col("docs"), col("sources"), col("langs"), col("tokens"),
+        col("chars"), col("exact_dup_docs"), col("mean_quality"),
+        col("train_docs"), col("val_docs"), col("test_docs"))
+  }
+
   /** Per-source quality deciles: each document ranked into its source's
     * quality decile (ntile over the deterministic (score, doc_id)
     * order), rolled up to per-decile counts and score bounds — the view
@@ -661,9 +701,23 @@ object TextAnalytics {
     *
     * Output: one row per learned merge (rank, left, right, pair_count).
     * The DuckDB mirror unrolls the same rounds (q_bpe_merges). */
-  def bpeMerges(docs: DataFrame, nMerges: Int = 6): DataFrame = {
-    val spark = docs.sparkSession
+  def bpeMerges(docs: DataFrame, nMerges: Int = 6): DataFrame =
+    bpeMergesDf(docs.sparkSession, fitBpeMerges(docs, nMerges))
+
+  /** Render a fitted merge list as the q_bpe_merges report. */
+  def bpeMergesDf(spark: SparkSession,
+                  merges: Seq[(Long, String, String, Long)]): DataFrame = {
     import spark.implicits._
+    merges.toDF("rank", "left", "right", "pair_count").orderBy(col("rank"))
+  }
+
+  /** The fitting loop of [[bpeMerges]], returning the learned merge list
+    * as a driver artifact (rank, left, right, pair count) — the
+    * ivfCentroids contract: nMerges tiny rows of driver state that both
+    * the merge report AND the encoding pass consume, so SparkEntry
+    * memoizes the fit once per (session, dir). */
+  def fitBpeMerges(docs: DataFrame,
+                   nMerges: Int = 6): Seq[(Long, String, String, Long)] = {
     val vocab = docs.select(explode(tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
     var syms = vocab.select(
@@ -691,8 +745,34 @@ object TextAnalytics {
           .localCheckpoint()
       }
     }
-    out.result().toDF("rank", "left", "right", "pair_count")
-      .orderBy(col("rank"))
+    out.result()
+  }
+
+  /** BPE ENCODING pass with a fitted merge list: the corpus-sized work
+    * is ONE word-count pass per source (every occurrence of a word
+    * encodes identically, so encoding runs on the VOCABULARY-sized
+    * (source, word, freq) table, row-locally — the same at-scale shape
+    * as the fitting). The merges apply in rank order as the same
+    * double-separator non-regex replace. Reports per source: distinct
+    * words, whitespace token count, encoded BPE token count, character
+    * count, and chars-per-BPE-token (the compression the learned
+    * vocabulary buys). Exact integer aggregates; one final division. */
+  def bpeEncode(docs: DataFrame,
+                merges: Seq[(Long, String, String, Long)]): DataFrame = {
+    val vocab = docs.select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("freq"))
+    val sym0 = concat(lit("  "), regexp_replace(col("w"), "(.)", "$1  "))
+    val enc = merges.sortBy(_._1).foldLeft(sym0) { case (acc, (_, l, r, _)) =>
+      expr_replace(acc, lit(s" $l  $r "), lit(s" $l$r "))
+    }
+    vocab.withColumn("nsym", (size(split(enc, "  ")) - lit(2)).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("words"),
+        sum(col("freq")).as("wsp_tokens"),
+        sum(col("freq") * col("nsym")).as("bpe_tokens"),
+        sum(col("freq") * length(col("w")).cast("long")).as("chars"))
+      .withColumn("chars_per_token",
+        col("chars").cast("double") / col("bpe_tokens"))
   }
 
   /** Non-regex left-to-right replace (SQL `replace`) — the exact

@@ -354,6 +354,55 @@ object Relational {
         min(col("o_custkey")).as("cust_lo"), max(col("o_custkey")).as("cust_hi"))
   }
 
+  /** Semi-structured property extraction: parse the events' JSON `props`
+    * column row-locally (get_json_object — Catalyst's codegen'd JSON-path
+    * evaluator, no UDF) and roll the extracted numeric key up per event
+    * type. At 100 TB the JSON strings never shuffle — the parse is fused
+    * into the scan and only (event_type, k) pairs reach the exchange
+    * (partial aggregation first). Exact integer aggregates only, so the
+    * result is partitioning-independent. */
+  def propsExtract(ev: DataFrame): DataFrame =
+    ev.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("events"),
+        count(col("k")).as("with_k"),
+        sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"),
+        countDistinct(col("k")).as("k_distinct"))
+
+  /** Key-skew diagnostic over the event stream — the report that decides
+    * whether a downstream user-keyed join needs salting ([[SkewJoin]])
+    * before it runs: per event type, total events, distinct users, the
+    * hottest user's count, and how much of the volume the top-N users
+    * carry.
+    *
+    * Shape at 100 TB: one partial-agg'd (event_type, user_id) rollup;
+    * totals are a second tiny aggregation; the top-N side filters
+    * rnk <= N directly after row_number so Spark plans it as
+    * WindowGroupLimit — a map-side per-partition top-N BELOW the
+    * exchange, so the window never sorts a whale partition. The final
+    * join is broadcast (|event_type| rows). */
+  def keySkew(ev: DataFrame, topN: Int = 10): DataFrame = {
+    val per = ev.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = per.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("events"), count(lit(1)).as("users"),
+        max(col("cnt")).as("max_user_events"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cnt").desc, col("user_id"))
+    val top = per.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topN)
+      .groupBy(col("event_type")).agg(sum(col("cnt")).as("topn_events"))
+    tot.join(broadcast(top), Seq("event_type"))
+      .select(col("event_type"), col("events"), col("users"),
+        col("max_user_events"), col("topn_events"),
+        (col("topn_events").cast("double") / col("events").cast("double"))
+          .as("topn_share"),
+        (col("events").cast("double") / col("users").cast("double"))
+          .as("avg_user_events"))
+  }
+
   /** Sessionization: a session break is a >30min gap per user; returns
     * per-user session/event counts and mean session length in events.
     * One window over (user, time) — a single shuffle on user_id. */

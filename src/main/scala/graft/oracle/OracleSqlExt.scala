@@ -284,30 +284,72 @@ FROM per CROSS JOIN tot ORDER BY cid"""
     * (no pairs left) contributes no output row and NULLs the symbol
     * strings, which the coalesce guard turns into empty pair sets for
     * the remaining rounds — matching the engine's early stop. */
-  private val bpeMergesOracle: String = {
-    val rounds = 6
-    val iter = (1 to rounds).map { t =>
+  private val BpeRounds = 6
+
+  /** The fitting CTE chain shared by the merge-report and encode
+    * mirrors: v (global word-freq vocabulary), s0 (double-separator
+    * symbol strings), then per round t: p$t (adjacent pair counts),
+    * b$t (the argmax merge), s$t (vocabulary after the merge). */
+  private val bpeFitCtes: String = {
+    val iter = (1 to BpeRounds).map { t =>
       s"""p$t AS (
   SELECT ss[i] AS l, ss[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
   FROM (SELECT string_split(sym, '  ') AS ss, freq FROM s${t - 1}) x,
        unnest(range(2, greatest(coalesce(len(ss), 0) - 1, 2))) AS u(i)
   GROUP BY 1, 2),
-b$t AS (SELECT l, r, cnt FROM p$t ORDER BY cnt DESC, l, r LIMIT 1),
+b$t AS MATERIALIZED (SELECT l, r, cnt FROM p$t ORDER BY cnt DESC, l, r LIMIT 1),
 s$t AS (SELECT replace(sym,
           ' ' || (SELECT l FROM b$t) || '  ' || (SELECT r FROM b$t) || ' ',
           ' ' || (SELECT l FROM b$t) || (SELECT r FROM b$t) || ' ') AS sym, freq
         FROM s${t - 1})"""
     }.mkString(",\n")
-    val sel = (1 to rounds).map(t => s"SELECT $t AS rnk, l, r, cnt FROM b$t")
-      .mkString("\nUNION ALL\n")
-    s"""
-WITH v AS (SELECT w, count(*) AS freq
+    s"""v AS (SELECT w, count(*) AS freq
            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
            GROUP BY w),
 s0 AS (SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS sym, freq FROM v),
-$iter
+$iter"""
+  }
+
+  private val bpeMergesOracle: String = {
+    val sel = (1 to BpeRounds).map(t => s"SELECT $t AS rnk, l, r, cnt FROM b$t")
+      .mkString("\nUNION ALL\n")
+    s"""
+WITH $bpeFitCtes
 SELECT CAST(rnk AS BIGINT) AS "rank", l AS "left", r AS "right", cnt AS pair_count
 FROM ($sel) ORDER BY "rank""""
+  }
+
+  /** Mirror of TextAnalytics.bpeEncode: the fitted merges (b1..bN above,
+    * MATERIALIZED one-row CTEs — a per-row scalar subquery here made
+    * DuckDB re-derive the whole fit chain per vocabulary row; the LEFT
+    * JOIN evaluates each merge once) applied in rank order to the
+    * per-source vocabulary, then the per-source token rollup. The CASE
+    * guard turns an empty b$t (early-stopped fit) into a no-op —
+    * matching the engine folding only over merges that exist. */
+  private val bpeEncodeOracle: String = {
+    val encIter = (1 to BpeRounds).map { t =>
+      s"""e$t AS (SELECT source, w, freq,
+      CASE WHEN m.l IS NULL THEN sym
+           ELSE replace(sym, ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || m.r || ' ')
+      END AS sym
+    FROM e${t - 1} LEFT JOIN b$t m ON TRUE)"""
+    }.mkString(",\n")
+    s"""
+WITH $bpeFitCtes,
+pv AS (SELECT source, w, count(*) AS freq
+       FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+       GROUP BY 1, 2),
+e0 AS (SELECT source, w, freq,
+       '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS sym FROM pv),
+$encIter,
+enc AS (SELECT source, w, freq,
+        CAST(len(string_split(sym, '  ')) - 2 AS BIGINT) AS nsym FROM e$BpeRounds)
+SELECT source, count(*) AS words, CAST(sum(freq) AS BIGINT) AS wsp_tokens,
+  CAST(sum(freq * nsym) AS BIGINT) AS bpe_tokens,
+  CAST(sum(freq * length(w)) AS BIGINT) AS chars,
+  CAST(sum(freq * length(w)) AS DOUBLE) / CAST(sum(freq * nsym) AS DOUBLE)
+    AS chars_per_token
+FROM enc GROUP BY source ORDER BY source"""
   }
 
   /** The adaptive-k CTE shared by the dedup/prune mirrors — the SQL
@@ -345,6 +387,36 @@ r AS (SELECT *, row_number() OVER (PARTITION BY group_id
 SELECT vec_id, CAST(cid AS INTEGER) AS cid, CAST(group_id AS BIGINT) AS group_id,
        centroid_score, rn = 1 AS keep
 FROM r ORDER BY vec_id"""
+  }
+
+  /** Mirror of graft.functions.Ivf.silhouette over the same adaptive-k
+    * trained index: per-vector top-two centroid scores via the rn
+    * window (rn = 2's score IS the best-other-centroid score, ties
+    * included), silhouette on the 1e-9 rounded grid, 2^-30-floored
+    * exact sums for the order-free mean. */
+  private val silhouetteOracle: String = {
+    import graft.functions.Ivf.DistQuantScale
+    val cos = ivfCosine("q.v", "q.nrm", "c.cv")
+    s"""
+WITH $adaptiveKCte,
+${ivfTrainingCtesK("(SELECT ak FROM kk)")},
+sc AS (SELECT q.vec_id, c.cid, $cos AS score,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY $cos DESC, c.cid DESC) AS rn
+       FROM q CROSS JOIN c$IvfIters c),
+ab AS (SELECT a.vec_id, a.cid,
+         1.0 - round(a.score, 9) AS a,
+         1.0 - round(b.score, 9) AS b
+       FROM sc a JOIN sc b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2),
+sv AS (SELECT vec_id, cid,
+         CASE WHEN greatest(a, b) = 0 THEN 0.0
+              ELSE (b - a) / greatest(a, b) END AS s
+       FROM ab)
+SELECT CAST(cid AS INTEGER) AS cid, count(*) AS vectors,
+  CAST(sum(CAST(floor(s * $DistQuantScale) AS BIGINT)) AS DOUBLE)
+    / ($DistQuantScale * CAST(count(*) AS DOUBLE)) AS mean_silhouette,
+  min(s) AS min_silhouette, max(s) AS max_silhouette
+FROM sv GROUP BY cid ORDER BY cid"""
   }
 
   /** Mirror of graft.functions.Ivf.prototypicalityPrune: same argmax
@@ -445,6 +517,7 @@ FROM c1 JOIN c2 ON c1.label = c2.label ORDER BY c1.label"""
     "q_semdedup" -> semDedupOracle,
     "q_centroid_drift" -> centroidDriftOracle,
     "q_proto_prune" -> protoPruneOracle,
+    "q_silhouette" -> silhouetteOracle,
     "q_gopher_rules" -> gopherRulesOracle,
     "q_cosine_neardups" -> s"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -675,6 +748,33 @@ f AS (SELECT doc_id, $minhashSigSql AS sig FROM xs),
 $minhashCandCtes
 SELECT doc_a, doc_b, est_jaccard FROM cand
 WHERE est_jaccard >= 0.3
+ORDER BY doc_a, doc_b""",
+
+    // mirror of Similarity.hybridVerify: the banded MinHash candidate
+    // set (text signal) joined to exact embedding cosine (semantic
+    // signal) on the shared doc_id == vec_id key
+    "q_hybrid_dedup" -> s"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(text) - 4, 0) + 1),
+           i -> text[i:i+4])) AS shingles
+  FROM documents),
+xs AS (
+  SELECT doc_id,
+         list_transform(shingles, sgl -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(sgl) + 1), i -> CAST(ascii(sgl[i:i]) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 1000000007)) AS xs
+  FROM sh),
+f AS (SELECT doc_id, $minhashSigSql AS sig FROM xs),
+$minhashCandCtes,
+en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+       FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))
+SELECT c.doc_a, c.doc_b, c.est_jaccard,
+  round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 9) AS cosine,
+  round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 9) >= 0.4 AS confirmed
+FROM cand c
+JOIN en x ON c.doc_a = x.vec_id JOIN en y ON c.doc_b = y.vec_id
+WHERE c.est_jaccard >= 0.3
 ORDER BY doc_a, doc_b""",
 
     // mirror of Sketches.sourceSimilarity: per-doc minhash sigs (docs
@@ -940,6 +1040,7 @@ FROM s ORDER BY doc_id""",
     // double-space symbol representation, same non-overlapping replace,
     // same (cnt DESC, l, r) tie-break
     "q_bpe_merges" -> bpeMergesOracle,
+    "q_bpe_encode" -> bpeEncodeOracle,
 
     // mirror of TextAnalytics.qualityProbe: exact-integer ridge probe
     // trained on clean-vs-degraded (40 appended '#@' tokens) — same
@@ -1498,6 +1599,33 @@ FROM (SELECT lang, token, cnt,
       FROM c)
 WHERE rnk <= 5 ORDER BY lang, rnk""",
 
+    // mirror of TextAnalytics.corpusReport: same quality formula,
+    // md5-based exact-dup count and split buckets, 2^-20-grid mean
+    "q_corpus_report" -> s"""
+WITH t AS (SELECT doc_id, lang, source, n_chars, text,
+                  string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT lang, source, n_chars, md5(text) AS h,
+        substr(md5(text), 1, 2) AS h2,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(toks, x -> x IN $stop)) AS BIGINT) AS n_stop,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique
+      FROM t),
+q AS (SELECT *,
+        0.4 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+          + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+          + 0.3 * (CAST(n_unique AS DOUBLE) / n_tokens) AS qs
+      FROM s)
+SELECT count(*) AS docs,
+  count(DISTINCT source) AS sources, count(DISTINCT lang) AS langs,
+  CAST(sum(n_tokens) AS BIGINT) AS tokens, CAST(sum(n_chars) AS BIGINT) AS chars,
+  CAST(count(*) - count(DISTINCT h) AS BIGINT) AS exact_dup_docs,
+  CAST(sum(CAST(floor(qs * ${graft.functions.Ivf.MeanQuantScale}) AS BIGINT)) AS DOUBLE)
+    / (${graft.functions.Ivf.MeanQuantScale} * CAST(count(*) AS DOUBLE)) AS mean_quality,
+  CAST(sum(CASE WHEN h2 < 'f6' THEN 1 ELSE 0 END) AS BIGINT) AS train_docs,
+  CAST(sum(CASE WHEN h2 >= 'f6' AND h2 < 'fb' THEN 1 ELSE 0 END) AS BIGINT) AS val_docs,
+  CAST(sum(CASE WHEN h2 >= 'fb' THEN 1 ELSE 0 END) AS BIGINT) AS test_docs
+FROM q""",
+
     "q_split_summary" -> """
 WITH sa AS (SELECT doc_id, substr(md5(text), 1, 2) AS h2 FROM documents),
 sp AS (SELECT doc_id, CASE WHEN h2 < 'f6' THEN 'train'
@@ -1601,6 +1729,34 @@ WHERE rnk <= 3 ORDER BY n_name, rnk""",
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders WHERE o_orderkey IN (SELECT DISTINCT l_orderkey FROM lineitem)
 GROUP BY 1 ORDER BY 1""",
+
+    // mirror of Relational.keySkew: per-type user rollup, totals, and
+    // the top-10 window slice
+    "q_key_skew" -> """
+WITH per AS (SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY 1, 2),
+tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS events,
+               count(*) AS users, max(cnt) AS max_user_events
+        FROM per GROUP BY 1),
+top AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS topn_events FROM (
+          SELECT event_type, cnt,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY cnt DESC, user_id) AS rnk
+          FROM per)
+        WHERE rnk <= 10 GROUP BY 1)
+SELECT t.event_type, t.events, t.users, t.max_user_events, p.topn_events,
+  CAST(p.topn_events AS DOUBLE) / CAST(t.events AS DOUBLE) AS topn_share,
+  CAST(t.events AS DOUBLE) / CAST(t.users AS DOUBLE) AS avg_user_events
+FROM tot t JOIN top p USING (event_type) ORDER BY event_type""",
+
+    // mirror of Relational.propsExtract: DuckDB's independent JSON-path
+    // implementation over the same props strings
+    "q_props_extract" -> """
+WITH e AS (SELECT event_type,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+SELECT event_type, count(*) AS events, count(k) AS with_k,
+  CAST(sum(k) AS BIGINT) AS k_sum, min(k) AS k_min, max(k) AS k_max,
+  count(DISTINCT k) AS k_distinct
+FROM e GROUP BY event_type ORDER BY event_type""",
 
     "q_events_minute" -> """
 SELECT event_type, epoch_ns(ts) // 1000000000 // 60 AS minute,
