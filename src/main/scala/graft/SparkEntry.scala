@@ -371,6 +371,10 @@ object SparkEntry {
     "q_knn_lsh_multiprobe" -> ((s, dir) =>
       Similarity.knnLshMultiProbe(emb(s, dir))
         .orderBy(col("query_id"), col("rank"))),
+    // ANN recall vs exact truth on the fixed benchmark query slice —
+    // the report that picks probe counts before an index ships
+    "q_ann_recall" -> ((s, dir) =>
+      Similarity.annRecall(emb(s, dir)).orderBy(col("query_id"))),
     // iterative float pipeline made oracle-checkable via the integer-
     // grid trick (see functions/Pca.scala)
     "q_pca_component" -> ((s, dir) =>

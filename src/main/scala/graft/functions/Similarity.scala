@@ -362,6 +362,36 @@ object Similarity {
           .as("centroid_cosine"))
   }
 
+  /** ANN recall report — "measure, don't guess" as a first-class query:
+    * for every benchmark query vector, how many of the exact top-k the
+    * LSH index returns, single-probe and Hamming-1 multi-probe side by
+    * side. This is the report that picks nprobe/table-count before an
+    * index ships. The exact side is the expensive truth pass, which is
+    * why the contract pins a fixed benchmark query set (vec_id <
+    * nQueries — the knnExact broadcast contract): at 100 TB recall is
+    * always measured on a slice, never the full corpus. The hit joins
+    * are k-bounded per query (10 rows/side). */
+  def annRecall(emb: DataFrame, k: Int = 10): DataFrame = {
+    // both ANN sets tagged and unioned so the exact truth side is
+    // derived ONCE and joined once (per-method counts split back out in
+    // the aggregate; a neighbor both methods find matches two tagged
+    // rows — each lands in exactly one conditional count)
+    val ex = knnExact(emb, k = k).select(col("query_id"), col("neighbor_id"))
+    val ann = knnLsh(emb, k = k)
+        .select(col("query_id"), col("neighbor_id"), lit("lsh").as("m"))
+      .unionByName(knnLshMultiProbe(emb, k = k)
+        .select(col("query_id"), col("neighbor_id"), lit("mp").as("m")))
+    ex.join(ann, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(when(col("m") === "lsh", 1)).as("lsh_hits"),
+        count(when(col("m") === "mp", 1)).as("multiprobe_hits"))
+      .select(col("query_id"), col("lsh_hits"),
+        (col("lsh_hits").cast("double") / lit(k.toDouble)).as("lsh_recall"),
+        col("multiprobe_hits"),
+        (col("multiprobe_hits").cast("double") / lit(k.toDouble))
+          .as("multiprobe_recall"))
+  }
+
   /** Hybrid dedup verification: TEXT-side MinHash/LSH candidate pairs
     * cross-checked against the documents' EMBEDDINGS — the two
     * independent near-dup signals a curation pipeline wants to agree

@@ -647,6 +647,47 @@ ORDER BY component, dim""",
 
     // mirror of Similarity.knnLshMultiProbe: qb expands each query key
     // with the Hamming-distance-1 probes (xor with one bit, plus 0)
+    // mirror of Similarity.annRecall: the exact, single-probe, and
+    // multi-probe top-10 sets regenerated (the three committed mirrors
+    // composed over shared e/n/b CTEs), hit-counted per query
+    "q_ann_recall" -> s"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 10),
+p AS (SELECT query_id, vec_id, round(list_dot_product(qv, v) / (qnrm * nrm), 9) AS score
+      FROM q, n WHERE vec_id <> query_id),
+ex AS (SELECT query_id, vec_id AS neighbor_id FROM (
+         SELECT query_id, vec_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+         FROM p) WHERE rnk <= 10),
+$lshBucketsCte,
+qb1 AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, tbl, key FROM b WHERE vec_id < 10),
+cand1 AS (SELECT DISTINCT query_id, vec_id,
+            round(list_dot_product(qv, b.v) / (qnrm * b.nrm), 9) AS score
+          FROM b JOIN qb1 USING (tbl, key) WHERE vec_id <> query_id),
+l1 AS (SELECT query_id, vec_id AS neighbor_id FROM (
+         SELECT query_id, vec_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+         FROM cand1) WHERE rnk <= 10),
+qb2 AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, tbl,
+               xor(CAST(key AS BIGINT), f.flip) AS key
+        FROM b, (VALUES (CAST(0 AS BIGINT)), (1), (2), (4), (8)) f(flip)
+        WHERE vec_id < 10),
+cand2 AS (SELECT DISTINCT query_id, vec_id,
+            round(list_dot_product(qv, b.v) / (qnrm * b.nrm), 9) AS score
+          FROM b JOIN qb2 USING (tbl, key) WHERE vec_id <> query_id),
+l2 AS (SELECT query_id, vec_id AS neighbor_id FROM (
+         SELECT query_id, vec_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+         FROM cand2) WHERE rnk <= 10),
+h1 AS (SELECT ex.query_id, CAST(count(l1.neighbor_id) AS BIGINT) AS lsh_hits
+       FROM ex LEFT JOIN l1 USING (query_id, neighbor_id) GROUP BY 1),
+h2 AS (SELECT ex.query_id, CAST(count(l2.neighbor_id) AS BIGINT) AS multiprobe_hits
+       FROM ex LEFT JOIN l2 USING (query_id, neighbor_id) GROUP BY 1)
+SELECT h1.query_id, lsh_hits, CAST(lsh_hits AS DOUBLE) / 10.0 AS lsh_recall,
+       multiprobe_hits, CAST(multiprobe_hits AS DOUBLE) / 10.0 AS multiprobe_recall
+FROM h1 JOIN h2 USING (query_id) ORDER BY query_id""",
+
     "q_knn_lsh_multiprobe" -> s"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),

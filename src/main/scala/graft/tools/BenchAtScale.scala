@@ -47,8 +47,10 @@ object BenchAtScale {
     val out = args.lift(1).getOrElse(s"/tmp/graft_sf_x$k")
     // replica distinctness needs only that the seeded shuffles differ,
     // not k <= 26: collision odds for k independent 26-letter
-    // permutations are ~k^2/26! — negligible for any runnable k
-    require(k >= 1 && k <= 64, s"k out of range: $k")
+    // permutations are ~k^2/26! — negligible for any runnable k.
+    // id strides stay collision-free far past this cap (doc/event ids
+    // offset by r*1e8, user ids by r*1e6 — source ids are << both).
+    require(k >= 1 && k <= 128, s"k out of range: $k")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
