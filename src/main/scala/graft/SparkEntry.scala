@@ -716,7 +716,23 @@ object SparkEntry {
     // trailing-window z-score anomalies (exact integer sums, IEEE sqrt)
     "q_event_anomalies" -> ((s, dir) =>
       Relational.eventAnomalies(Relational.eventsWithEpoch(s, dir))
-        .orderBy(col("event_type"), col("minute"))))
+        .orderBy(col("event_type"), col("minute"))),
+
+    // --- sampling / linkage breadth ---
+    // ed<=1 record-linkage self-join via FastSS deletion neighborhoods:
+    // exact, linear candidates, alphabet-bounded buckets (operators/Linkage)
+    "q_editdist_pairs" -> ((s, dir) =>
+      Linkage.editDistancePairs(tbl(s, dir, "customer"),
+        "c_custkey", "c_name", "c_nationkey")
+        .orderBy(col("id1"), col("id2"))),
+    // deterministic hash-threshold stratified sample report (row-local
+    // predicate fused into the scan; reproducible + id-consistent)
+    "q_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(docs(s, dir)).orderBy(col("source"))),
+    // deterministic half-sample replication CI on per-source mean length
+    // (exact integer replicate sums; percentile over 64 replicate means)
+    "q_bootstrap_ci" -> ((s, dir) =>
+      Sampling.bootstrapCi(docs(s, dir)).orderBy(col("source"))))
 
   private def latestWm(s: SparkSession, dir: String): DataFrame =
     Snapshots.watermarks(s, dir).filter(col("s") === Snapshots.NumScans)

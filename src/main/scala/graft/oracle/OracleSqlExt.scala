@@ -2303,5 +2303,66 @@ reach(node, label) AS (
   SELECT e2.src, r.label FROM edges e2 JOIN reach r ON e2.dst = r.node)
 SELECT node AS vec_id, CAST(min(label) AS BIGINT) AS cluster_id,
        min(label) = node AS keep
-FROM reach GROUP BY node ORDER BY vec_id""")
+FROM reach GROUP BY node ORDER BY vec_id""",
+
+    // mirror of Linkage.editDistancePairs: FastSS deletion-neighborhood
+    // blocking on the 9-char key suffix, then DuckDB's independent
+    // levenshtein as the verify
+    "q_editdist_pairs" -> """
+WITH base AS (
+  SELECT c_custkey AS id, c_name AS name, CAST(c_nationkey AS INT) AS nation,
+         substring(c_name, length(c_name) - 8, 9) AS k
+  FROM customer),
+v AS (
+  SELECT id, name, nation, p.pos,
+         substring(k, 1, p.pos - 1) || substring(k, p.pos + 1, 9) AS variant
+  FROM base CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS pos) p)
+SELECT a.id AS id1, b.id AS id2, a.name AS name1, b.name AS name2,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+       (a.nation = b.nation) AS same_nation
+FROM v a JOIN v b ON a.pos = b.pos AND a.variant = b.variant AND a.id < b.id
+WHERE levenshtein(a.name, b.name) <= 1
+ORDER BY id1, id2""",
+
+    // mirror of Sampling.stratifiedSample (constants shared from the
+    // Scala object — never fork them)
+    "q_stratified_sample" -> {
+      import graft.operators.Sampling.{M, A, B, SampleCut}
+      s"""
+WITH d AS (SELECT source, n_chars,
+  CASE WHEN ((doc_id % $M) * $A + $B) % $M < $SampleCut
+       THEN 1 ELSE 0 END AS keep
+  FROM documents)
+SELECT source, count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS sampled,
+  CAST(sum(keep) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rate,
+  CAST(sum(keep * n_chars) AS BIGINT) AS samp_chars
+FROM d GROUP BY 1 ORDER BY source"""
+    },
+
+    // mirror of Sampling.bootstrapCi: 64 hash-defined half-samples,
+    // exact-integer replicate sums, quantile_cont == Spark percentile
+    "q_bootstrap_ci" -> {
+      import graft.operators.Sampling.{M, A2, B2, Replicates}
+      s"""
+WITH r0 AS (
+  SELECT source, b.b AS b, n_chars,
+         CASE WHEN (((doc_id % $M) * $A2 + b.b * $B2) % $M) % 2 = 0
+              THEN 1 ELSE 0 END AS w
+  FROM documents
+  CROSS JOIN (SELECT unnest(generate_series(0, ${Replicates - 1})) AS b) b),
+m AS (
+  SELECT source, b,
+         CAST(sum(w * n_chars) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS m
+  FROM r0 GROUP BY 1, 2 HAVING sum(w) > 0),
+ci AS (
+  SELECT source, count(*) AS replicates,
+         quantile_cont(m, 0.025) AS ci_lo, quantile_cont(m, 0.975) AS ci_hi
+  FROM m GROUP BY 1),
+f AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_chars
+  FROM documents GROUP BY 1)
+SELECT f.source, f.n_docs, f.mean_chars, ci.ci_lo, ci.ci_hi, ci.replicates
+FROM f JOIN ci USING (source) ORDER BY source"""
+    })
 }
