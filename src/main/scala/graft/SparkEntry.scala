@@ -141,6 +141,14 @@ object SparkEntry {
   private def bpeMergesOf(s: SparkSession, dir: String): Seq[(Long, String, String, Long)] =
     bpeMemo.getOrElseUpdate((s, dir), TextAnalytics.fitBpeMerges(docs(s, dir)))
 
+  /** The shared PQ codebook (q_knn_pq) — 16 x 8 doubles of driver
+    * state, trained once per (session, dir). */
+  private val pqMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[(Int, Array[Double])]]
+
+  private def pqCodebookOf(s: SparkSession, dir: String): Seq[(Int, Array[Double])] =
+    pqMemo.getOrElseUpdate((s, dir), functions.Pq.trainCodebook(emb(s, dir)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topics_stats" -> ((s, dir) =>
       topicsDf(s, dir).orderBy(col("name"))),
@@ -388,6 +396,11 @@ object SparkEntry {
         .orderBy(col("component"), col("dim"))),
     "q_knn_ivf" -> ((s, dir) =>
       functions.Ivf.knnIvfWith(emb(s, dir), ivfCentroids(s, dir))
+        .orderBy(col("query_id"), col("rank"))),
+    // PQ/ADC: the memory-compression ANN flavor — corpus as 8 codes per
+    // vector, grid-exact asymmetric-distance ranking (functions/Pq)
+    "q_knn_pq" -> ((s, dir) =>
+      functions.Pq.knnPqWith(emb(s, dir), pqCodebookOf(s, dir))
         .orderBy(col("query_id"), col("rank"))),
     "q_embedding_clusters" -> ((s, dir) =>
       functions.Ivf.clusterSummary(emb(s, dir), ivfCentroids(s, dir))
@@ -766,6 +779,7 @@ object SparkEntry {
     timed("ivfCentroids")(ivfCentroids(s, dir))
     timed("dedupIvfCentroids")(dedupIvfCentroids(s, dir))
     timed("bpeMerges")(bpeMergesOf(s, dir))
+    timed("pqCodebook")(pqCodebookOf(s, dir))
   }
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =

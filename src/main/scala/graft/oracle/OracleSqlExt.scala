@@ -246,6 +246,75 @@ SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", score
 FROM r WHERE rnk <= $topk ORDER BY query_id, "rank""""
   }
 
+  /** Mirror of graft.functions.Pq.knnPq — see the entry comment in
+    * `queries`. The argmax tie-break (score DESC, code DESC) and the
+    * 2^-20 Lloyd mean grid follow the IVF mirror; the ADC/norm sums run
+    * on the 2^-30 grid as exact BIGINTs. */
+  private val pqOracle: String = {
+    import graft.functions.Pq.{NumSub, SubDim, CodebookK, PqIters, Grid20, Grid30}
+    import graft.functions.Ivf.TrainSampleCap
+    val nq = 10; val topk = 10
+    def argCode(src: String, cbRel: String, out: String) =
+      s"""$out AS (SELECT vec_id, s, sub, subq, code FROM (
+    SELECT t.vec_id, t.s, t.sub, t.subq, c.code,
+           row_number() OVER (PARTITION BY t.vec_id, t.s
+             ORDER BY 2*list_dot_product(t.sub, c.cv)
+                      - list_dot_product(c.cv, c.cv) DESC, c.code DESC) AS rn
+    FROM $src t CROSS JOIN $cbRel c) WHERE rn = 1)"""
+    val iterCtes = (1 to PqIters).map { t =>
+      s"""${argCode("tsv", s"pc${t - 1}", s"pa$t")},
+pm$t AS (SELECT code, list(m ORDER BY pos) AS mv FROM (
+    SELECT code, pos,
+           CAST(sum(qc) AS DOUBLE) / ($Grid20 * CAST(count(*) AS DOUBLE)) AS m
+    FROM (SELECT code, unnest(subq) AS qc, generate_subscripts(subq, 1) AS pos
+          FROM pa$t)
+    GROUP BY 1, 2) GROUP BY 1),
+pc$t AS (SELECT p.code, COALESCE(m.mv, p.cv) AS cv
+         FROM pc${t - 1} p LEFT JOIN pm$t m USING (code))"""
+    }.mkString(",\n")
+    s"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+sv AS (SELECT vec_id, ss.s AS s,
+              v[(ss.s*$SubDim+1):(ss.s*$SubDim+$SubDim)] AS sub,
+              list_transform(v[(ss.s*$SubDim+1):(ss.s*$SubDim+$SubDim)],
+                x -> CAST(floor(x * $Grid20) AS BIGINT)) AS subq
+       FROM n CROSS JOIN (SELECT unnest(generate_series(0, ${NumSub - 1})) AS s) ss),
+scc AS (SELECT greatest(1, (count(*) + ${TrainSampleCap - 1}) // $TrainSampleCap) AS sc
+        FROM embeddings),
+tsv AS (SELECT vec_id, s, sub, subq FROM sv
+        WHERE vec_id % (SELECT sc FROM scc) = 0),
+pc0 AS (SELECT code, cv FROM (
+          SELECT row_number() OVER (ORDER BY vec_id, s) - 1 AS code, sub AS cv
+          FROM tsv)
+        WHERE code < $CodebookK),
+$iterCtes,
+${argCode("sv", s"pc$PqIters", "codes")},
+cn AS (SELECT code, cv,
+              CAST(floor(list_dot_product(cv, cv) * $Grid30) AS BIGINT) AS cn2q
+       FROM pc$PqIters),
+rn2 AS (SELECT c.vec_id, CAST(sum(k.cn2q) AS BIGINT) AS rq
+        FROM codes c JOIN cn k USING (code) GROUP BY 1),
+qsub AS (SELECT vec_id AS query_id, s, sub FROM sv WHERE vec_id < $nq),
+qn AS (SELECT vec_id AS query_id, nrm FROM n WHERE vec_id < $nq),
+lut AS (SELECT q.query_id, q.s, c.code,
+               CAST(floor(list_dot_product(q.sub, c.cv) * $Grid30) AS BIGINT) AS pq
+        FROM qsub q CROSS JOIN cn c),
+adc AS (SELECT l.query_id, c.vec_id, CAST(sum(l.pq) AS BIGINT) AS aq
+        FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+        WHERE c.vec_id <> l.query_id GROUP BY 1, 2),
+scored AS (SELECT a.query_id, a.vec_id,
+        round((CAST(a.aq AS DOUBLE) / $Grid30)
+          / (q.nrm * sqrt(CAST(r.rq AS DOUBLE) / $Grid30)), 9) AS score
+      FROM adc a JOIN rn2 r ON r.vec_id = a.vec_id JOIN qn q USING (query_id)),
+rr AS (SELECT query_id, vec_id AS neighbor_id, score,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, vec_id) AS rnk
+       FROM scored)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", score
+FROM rr WHERE rnk <= $topk ORDER BY query_id, "rank""""
+  }
+
   /** Mirror of graft.functions.Ivf.clusterSummary: assignment by the
     * same argmax tie-break (score DESC, cid DESC), per-cluster mean
     * distance on the 2^-30 integer grid (order-free), min/max over the
@@ -2304,6 +2373,13 @@ reach(node, label) AS (
 SELECT node AS vec_id, CAST(min(label) AS BIGINT) AS cluster_id,
        min(label) = node AS keep
 FROM reach GROUP BY node ORDER BY vec_id""",
+
+    // mirror of Pq.knnPq: shared-codebook product quantization with
+    // grid-exact ADC — pooled-subvector Lloyd (2 unrolled rounds, same
+    // 2^-20 mean grid as the IVF mirror), codes via the L2 argmax
+    // (2*dot - |c|^2, tie-break code DESC), and 2^-30-grid integer ADC
+    // accumulation so the 8-term sum is order-free in both engines
+    "q_knn_pq" -> pqOracle,
 
     // mirror of Linkage.editDistancePairs: FastSS deletion-neighborhood
     // blocking on the 9-char key suffix, then DuckDB's independent

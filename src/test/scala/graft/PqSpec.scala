@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{Pq, Similarity}
+
+/** Contracts for the PQ/ADC ANN flavor (cross-engine value parity is the
+  * oracle gate; these pin the kernel semantics):
+  *  - codebook geometry (CodebookK codewords of SubDim dims),
+  *  - complete, in-range code assignment,
+  *  - the ADC score in the query output is BITWISE reproducible
+  *    driver-side from (codes, codebook, query norms) — the whole
+  *    lookup-table pipeline recomputed independently,
+  *  - recall@10 vs the exact top-10 is materially above chance. */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+  private lazy val cb = Pq.trainCodebook(emb)
+
+  test("codebook geometry: CodebookK codewords of SubDim dims") {
+    assert(cb.size == Pq.CodebookK)
+    assert(cb.forall(_._2.length == Pq.SubDim))
+    assert(cb.map(_._1).sorted == (0 until Pq.CodebookK))
+  }
+
+  test("codes: one in-range code per (vector, subspace)") {
+    val n = emb.count()
+    val codes = Pq.encode(emb, cb)
+    assert(codes.count() == n * Pq.NumSub)
+    val rng = codes.agg(min(col("code")).as("lo"), max(col("code")).as("hi"),
+      countDistinct(col("vec_id"), col("s")).as("slots")).collect()(0)
+    assert(rng.getAs[Int]("lo") >= 0 && rng.getAs[Int]("hi") < Pq.CodebookK)
+    assert(rng.getAs[Long]("slots") == n * Pq.NumSub)
+  }
+
+  test("ADC scores in the query output are bitwise reproducible driver-side") {
+    val out = Pq.knnPqWith(emb, cb).collect()
+    assert(out.nonEmpty)
+    val codes = Pq.encode(emb, cb).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.map(r => r.getInt(1) -> r.getInt(2)).sortBy(_._1).map(_._2)
+      }
+    val vecs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"),
+        Similarity.l2Norm(col("embedding")).as("nrm"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .toMap
+    val cbm = cb.toMap
+    val cn2q = cb.map { case (c, v) =>
+      c -> math.floor(v.map(x => x * x).sum * Pq.Grid30).toLong
+    }.toMap
+    out.foreach { r =>
+      val q = r.getLong(0); val x = r.getLong(1); val got = r.getDouble(3)
+      val (qv, qn) = vecs(q)
+      val xc = codes(x)
+      // lookup-table partials: per subspace, grid-floored dot of the
+      // query subvector with the assigned codeword
+      val aq = (0 until Pq.NumSub).map { s =>
+        val sub = qv.slice(s * Pq.SubDim, (s + 1) * Pq.SubDim)
+        val c = cbm(xc(s))
+        var d = 0.0; var i = 0
+        while (i < Pq.SubDim) { d += sub(i) * c(i); i += 1 }
+        math.floor(d * Pq.Grid30).toLong
+      }.sum
+      val rq = xc.map(cn2q).sum
+      val want = BigDecimal((aq.toDouble / Pq.Grid30)
+        / (qn * math.sqrt(rq.toDouble / Pq.Grid30)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got == want, s"query $q neighbor $x: got $got want $want")
+    }
+  }
+
+  test("recall@10 vs exact top-10 is materially above chance") {
+    val pq = Pq.knnPqWith(emb, cb).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = Similarity.knnExact(emb).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (q, t) =>
+      pq.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    // 500 vectors, 10 of 500 by chance ~= 0.02; random 64-dim data is the
+    // hard case for 8-byte codes — require clearly-above-chance retrieval
+    assert(mean > 0.15, s"mean recall@10 $mean")
+  }
+}
