@@ -380,9 +380,11 @@ object SparkEntry {
       Similarity.knnLshMultiProbe(emb(s, dir))
         .orderBy(col("query_id"), col("rank"))),
     // ANN recall vs exact truth on the fixed benchmark query slice —
-    // the report that picks probe counts before an index ships
+    // the report that picks probe counts (and code budgets) before an
+    // index ships; LSH, multi-probe, and PQ/ADC side by side
     "q_ann_recall" -> ((s, dir) =>
-      Similarity.annRecall(emb(s, dir)).orderBy(col("query_id"))),
+      Similarity.annRecall(emb(s, dir), pqCodebookOf(s, dir))
+        .orderBy(col("query_id"))),
     // iterative float pipeline made oracle-checkable via the integer-
     // grid trick (see functions/Pca.scala)
     "q_pca_component" -> ((s, dir) =>

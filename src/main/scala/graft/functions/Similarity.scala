@@ -371,25 +371,31 @@ object Similarity {
     * nQueries — the knnExact broadcast contract): at 100 TB recall is
     * always measured on a slice, never the full corpus. The hit joins
     * are k-bounded per query (10 rows/side). */
-  def annRecall(emb: DataFrame, k: Int = 10): DataFrame = {
-    // both ANN sets tagged and unioned so the exact truth side is
+  def annRecall(emb: DataFrame, pqCodebook: Seq[(Int, Array[Double])],
+                k: Int = 10): DataFrame = {
+    // the ANN sets tagged and unioned so the exact truth side is
     // derived ONCE and joined once (per-method counts split back out in
-    // the aggregate; a neighbor both methods find matches two tagged
-    // rows — each lands in exactly one conditional count)
+    // the aggregate; a neighbor several methods find matches one tagged
+    // row per method — each lands in exactly one conditional count)
     val ex = knnExact(emb, k = k).select(col("query_id"), col("neighbor_id"))
     val ann = knnLsh(emb, k = k)
         .select(col("query_id"), col("neighbor_id"), lit("lsh").as("m"))
       .unionByName(knnLshMultiProbe(emb, k = k)
         .select(col("query_id"), col("neighbor_id"), lit("mp").as("m")))
+      .unionByName(Pq.knnPqWith(emb, pqCodebook, k = k)
+        .select(col("query_id"), col("neighbor_id"), lit("pq").as("m")))
     ex.join(ann, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(count(when(col("m") === "lsh", 1)).as("lsh_hits"),
-        count(when(col("m") === "mp", 1)).as("multiprobe_hits"))
+        count(when(col("m") === "mp", 1)).as("multiprobe_hits"),
+        count(when(col("m") === "pq", 1)).as("pq_hits"))
       .select(col("query_id"), col("lsh_hits"),
         (col("lsh_hits").cast("double") / lit(k.toDouble)).as("lsh_recall"),
         col("multiprobe_hits"),
         (col("multiprobe_hits").cast("double") / lit(k.toDouble))
-          .as("multiprobe_recall"))
+          .as("multiprobe_recall"),
+        col("pq_hits"),
+        (col("pq_hits").cast("double") / lit(k.toDouble)).as("pq_recall"))
   }
 
   /** Hybrid dedup verification: TEXT-side MinHash/LSH candidate pairs

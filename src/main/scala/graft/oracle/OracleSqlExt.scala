@@ -250,10 +250,14 @@ FROM r WHERE rnk <= $topk ORDER BY query_id, "rank""""
     * `queries`. The argmax tie-break (score DESC, code DESC) and the
     * 2^-20 Lloyd mean grid follow the IVF mirror; the ADC/norm sums run
     * on the 2^-30 grid as exact BIGINTs. */
-  private val pqOracle: String = {
+  /** The PQ chain (training sample -> unrolled Lloyd -> codes -> ADC
+    * `scored`) as composable CTEs assuming `e`/`n` are already defined —
+    * shared by q_knn_pq and the q_ann_recall report exactly like the
+    * engine shares the memoized codebook. */
+  private val pqChainCtes: String = {
     import graft.functions.Pq.{NumSub, SubDim, CodebookK, PqIters, Grid20, Grid30}
     import graft.functions.Ivf.TrainSampleCap
-    val nq = 10; val topk = 10
+    val nq = 10
     def argCode(src: String, cbRel: String, out: String) =
       s"""$out AS (SELECT vec_id, s, sub, subq, code FROM (
     SELECT t.vec_id, t.s, t.sub, t.subq, c.code,
@@ -272,10 +276,7 @@ pm$t AS (SELECT code, list(m ORDER BY pos) AS mv FROM (
 pc$t AS (SELECT p.code, COALESCE(m.mv, p.cv) AS cv
          FROM pc${t - 1} p LEFT JOIN pm$t m USING (code))"""
     }.mkString(",\n")
-    s"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-sv AS (SELECT vec_id, ss.s AS s,
+    s"""sv AS (SELECT vec_id, ss.s AS s,
               v[(ss.s*$SubDim+1):(ss.s*$SubDim+$SubDim)] AS sub,
               list_transform(v[(ss.s*$SubDim+1):(ss.s*$SubDim+$SubDim)],
                 x -> CAST(floor(x * $Grid20) AS BIGINT)) AS subq
@@ -303,14 +304,22 @@ lut AS (SELECT q.query_id, q.s, c.code,
 adc AS (SELECT l.query_id, c.vec_id, CAST(sum(l.pq) AS BIGINT) AS aq
         FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
         WHERE c.vec_id <> l.query_id GROUP BY 1, 2),
-scored AS (SELECT a.query_id, a.vec_id,
+pqscored AS (SELECT a.query_id, a.vec_id,
         round((CAST(a.aq AS DOUBLE) / $Grid30)
           / (q.nrm * sqrt(CAST(r.rq AS DOUBLE) / $Grid30)), 9) AS score
-      FROM adc a JOIN rn2 r ON r.vec_id = a.vec_id JOIN qn q USING (query_id)),
+      FROM adc a JOIN rn2 r ON r.vec_id = a.vec_id JOIN qn q USING (query_id))"""
+  }
+
+  private val pqOracle: String = {
+    val topk = 10
+    s"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+$pqChainCtes,
 rr AS (SELECT query_id, vec_id AS neighbor_id, score,
               row_number() OVER (PARTITION BY query_id
                 ORDER BY score DESC, vec_id) AS rnk
-       FROM scored)
+       FROM pqscored)
 SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", score
 FROM rr WHERE rnk <= $topk ORDER BY query_id, "rank""""
   }
@@ -749,13 +758,21 @@ l2 AS (SELECT query_id, vec_id AS neighbor_id FROM (
          SELECT query_id, vec_id,
                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
          FROM cand2) WHERE rnk <= 10),
+$pqChainCtes,
+l3 AS (SELECT query_id, vec_id AS neighbor_id FROM (
+         SELECT query_id, vec_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+         FROM pqscored) WHERE rnk <= 10),
 h1 AS (SELECT ex.query_id, CAST(count(l1.neighbor_id) AS BIGINT) AS lsh_hits
        FROM ex LEFT JOIN l1 USING (query_id, neighbor_id) GROUP BY 1),
 h2 AS (SELECT ex.query_id, CAST(count(l2.neighbor_id) AS BIGINT) AS multiprobe_hits
-       FROM ex LEFT JOIN l2 USING (query_id, neighbor_id) GROUP BY 1)
+       FROM ex LEFT JOIN l2 USING (query_id, neighbor_id) GROUP BY 1),
+h3 AS (SELECT ex.query_id, CAST(count(l3.neighbor_id) AS BIGINT) AS pq_hits
+       FROM ex LEFT JOIN l3 USING (query_id, neighbor_id) GROUP BY 1)
 SELECT h1.query_id, lsh_hits, CAST(lsh_hits AS DOUBLE) / 10.0 AS lsh_recall,
-       multiprobe_hits, CAST(multiprobe_hits AS DOUBLE) / 10.0 AS multiprobe_recall
-FROM h1 JOIN h2 USING (query_id) ORDER BY query_id""",
+       multiprobe_hits, CAST(multiprobe_hits AS DOUBLE) / 10.0 AS multiprobe_recall,
+       pq_hits, CAST(pq_hits AS DOUBLE) / 10.0 AS pq_recall
+FROM h1 JOIN h2 USING (query_id) JOIN h3 USING (query_id) ORDER BY query_id""",
 
     "q_knn_lsh_multiprobe" -> s"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
