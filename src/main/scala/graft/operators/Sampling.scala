@@ -33,11 +33,17 @@ object Sampling {
   private def h(id: org.apache.spark.sql.Column) =
     (pmod(id, lit(M)) * A + B) % M
 
+  /** The membership predicate — shared verbatim with the streaming
+    * twin (streaming/SampleStream), so batch backfill and stream agree
+    * on every document. */
+  def keepPredicate(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    h(id) < SampleCut
+
   /** Per-source stratified Bernoulli sample report: the achieved rate of
     * the hash-threshold sample vs the ~10% target, plus the sampled char
     * mass. One scan, map-side partial agg, |sources| result rows. */
   def stratifiedSample(docs: DataFrame): DataFrame = {
-    val kept = (h(col("doc_id")) < SampleCut).cast("long")
+    val kept = keepPredicate(col("doc_id")).cast("long")
     docs
       .select(col("source"), col("n_chars"), kept.as("keep"))
       .groupBy(col("source"))
