@@ -732,6 +732,16 @@ object SparkEntry {
     "q_event_anomalies" -> ((s, dir) =>
       Relational.eventAnomalies(Relational.eventsWithEpoch(s, dir))
         .orderBy(col("event_type"), col("minute"))),
+    // day-cohort retention matrix (distinct user-days first; the window
+    // runs over day-level rows, never raw events)
+    "q_retention_cohorts" -> ((s, dir) =>
+      Relational.retentionCohorts(Relational.eventsWithEpoch(s, dir))
+        .orderBy(col("cohort_day"), col("day_offset"))),
+    // first-order event-type transition matrix (one user_id window
+    // shuffle, |types|^2-bounded output)
+    "q_event_transitions" -> ((s, dir) =>
+      Relational.eventTransitions(Relational.eventsWithEpoch(s, dir))
+        .orderBy(col("prev_type"), col("event_type"))),
 
     // --- sampling / linkage breadth ---
     // ed<=1 record-linkage self-join via FastSS deletion neighborhoods:

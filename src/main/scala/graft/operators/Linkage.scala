@@ -55,6 +55,13 @@ object Linkage {
       col("name").as("name2"), col("nation").as("nation2"))
     a.join(b, Seq("pos", "variant"))
       .filter(col("id1") < col("id2"))
+      // equal-length pairs are found at exactly one position, but keys
+      // of DIFFERENT lengths (mixed-width id spaces, e.g. the scale
+      // ladder's strided keys) can collide at every position — dedupe
+      // on the pair id before the verify so the output stays a set
+      .select(col("id1"), col("id2"), col("name1"), col("name2"),
+        col("nation1"), col("nation2"))
+      .dropDuplicates("id1", "id2")
       .withColumn("dist", levenshtein(col("name1"), col("name2")))
       .filter(col("dist") <= 1)
       .select(col("id1"), col("id2"), col("name1"), col("name2"),

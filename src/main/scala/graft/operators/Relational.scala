@@ -418,4 +418,57 @@ object Relational {
       .withColumn("events_per_session",
         col("events").cast("double") / col("sessions"))
   }
+
+  /** Weekly-style retention matrix on day granularity: users cohorted by
+    * their FIRST active day, then (cohort_day, day_offset) active-user
+    * counts with the retention rate vs the cohort's size.
+    *
+    * Shape at 100 TB: the event stream is pre-aggregated to DISTINCT
+    * (user_id, day) rows before anything else (one exchange on user),
+    * the first-day derivation is a window over those day-level rows
+    * (NOT raw events), and the output is |days|^2/2-bounded. Cohort
+    * sizes are a tiny rollup broadcast back onto the matrix. */
+  def retentionCohorts(ev: DataFrame): DataFrame = {
+    val userDays = ev
+      .select(col("user_id"), expr("epoch_s div 86400").as("day"))
+      .distinct()
+    val byUser = Window.partitionBy(col("user_id"))
+    val offsets = userDays
+      .withColumn("cohort_day", min(col("day")).over(byUser))
+      .select(col("user_id"), col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+    val cohortSizes = offsets.filter(col("day_offset") === 0)
+      .groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_users"))
+    offsets.groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      .join(broadcast(cohortSizes), Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"), col("active_users"),
+        col("cohort_users"),
+        (col("active_users").cast("double") / col("cohort_users").cast("double"))
+          .as("retention"))
+  }
+
+  /** First-order event-type transition matrix (the Markov-chain view of
+    * user behavior): per user, consecutive event pairs in (epoch_s,
+    * event_id) order, counted into (prev_type, event_type) cells with
+    * the per-prev transition probability.
+    *
+    * Shape at 100 TB: ONE window shuffle on user_id (the sessionize
+    * exchange), then a map-side-combined aggregation to |types|^2
+    * cells; the probability join is a |types|-row broadcast. */
+  def eventTransitions(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch_s"), col("event_id"))
+    val pairs = ev
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("transitions"))
+    val totals = pairs.groupBy(col("prev_type"))
+      .agg(sum(col("transitions")).as("from_total"))
+    pairs.join(broadcast(totals), Seq("prev_type"))
+      .select(col("prev_type"), col("event_type"), col("transitions"),
+        (col("transitions").cast("double") / col("from_total").cast("double"))
+          .as("probability"))
+  }
 }

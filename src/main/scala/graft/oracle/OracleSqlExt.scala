@@ -2398,6 +2398,39 @@ FROM reach GROUP BY node ORDER BY vec_id""",
     // accumulation so the 8-term sum is order-free in both engines
     "q_knn_pq" -> pqOracle,
 
+    // mirror of Relational.retentionCohorts: distinct user-days, min-day
+    // cohort window, (cohort_day, day_offset) matrix
+    "q_retention_cohorts" -> """
+WITH ud AS (SELECT DISTINCT user_id,
+  (epoch_ns(ts) // 1000000000) // 86400 AS day FROM events),
+o AS (SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day
+      FROM ud),
+off AS (SELECT user_id, cohort_day, day - cohort_day AS day_offset FROM o),
+cs AS (SELECT cohort_day, count(*) AS cohort_users FROM off
+       WHERE day_offset = 0 GROUP BY 1)
+SELECT f.cohort_day, f.day_offset, count(*) AS active_users, cs.cohort_users,
+       CAST(count(*) AS DOUBLE) / CAST(cs.cohort_users AS DOUBLE) AS retention
+FROM off f JOIN cs USING (cohort_day)
+GROUP BY f.cohort_day, f.day_offset, cs.cohort_users
+ORDER BY cohort_day, day_offset""",
+
+    // mirror of Relational.eventTransitions: per-user lag in
+    // (epoch_s, event_id) order, |types|^2 cells, per-prev probability
+    "q_event_transitions" -> """
+WITH e AS (SELECT user_id, event_id, event_type,
+  epoch_ns(ts) // 1000000000 AS epoch_s FROM events),
+p AS (SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_s, event_id) AS prev_type
+      FROM e),
+c AS (SELECT prev_type, event_type, count(*) AS transitions FROM p
+      WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT prev_type, CAST(sum(transitions) AS BIGINT) AS from_total
+      FROM c GROUP BY 1)
+SELECT c.prev_type, c.event_type, c.transitions,
+       CAST(c.transitions AS DOUBLE) / CAST(t.from_total AS DOUBLE) AS probability
+FROM c JOIN t USING (prev_type) ORDER BY prev_type, event_type""",
+
     // mirror of Linkage.editDistancePairs: FastSS deletion-neighborhood
     // blocking on the 9-char key suffix, then DuckDB's independent
     // levenshtein as the verify
@@ -2410,7 +2443,7 @@ v AS (
   SELECT id, name, nation, p.pos,
          substring(k, 1, p.pos - 1) || substring(k, p.pos + 1, 9) AS variant
   FROM base CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS pos) p)
-SELECT a.id AS id1, b.id AS id2, a.name AS name1, b.name AS name2,
+SELECT DISTINCT a.id AS id1, b.id AS id2, a.name AS name1, b.name AS name2,
        CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
        (a.nation = b.nation) AS same_nation
 FROM v a JOIN v b ON a.pos = b.pos AND a.variant = b.variant AND a.id < b.id

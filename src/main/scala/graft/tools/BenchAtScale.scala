@@ -111,11 +111,19 @@ object BenchAtScale {
         .withColumn("l_partkey", col("l_partkey") + lit(r * Stride))
         .withColumn("l_suppkey", col("l_suppkey") + lit(r * Stride))
     }
+    // entity names are rebuilt from the strided key: a real K-times
+    // customer base has K-times DISTINCT names, and leaving the base
+    // names verbatim makes every name K-plicated — which fakes a
+    // quadratic pair structure in the name-linkage ops exactly the way
+    // plain doc copies fake dup structure (the x20 rung measured
+    // q_editdist_pairs at 182 s before this; linear after)
     replicate("customer") { (df, r) =>
       df.withColumn("c_custkey", col("c_custkey") + lit(r * Stride))
+        .withColumn("c_name", format_string("Customer#%09d", col("c_custkey")))
     }
     replicate("supplier") { (df, r) =>
       df.withColumn("s_suppkey", col("s_suppkey") + lit(r * Stride))
+        .withColumn("s_name", format_string("Supplier#%09d", col("s_suppkey")))
     }
     replicate("part") { (df, r) =>
       df.withColumn("p_partkey", col("p_partkey") + lit(r * Stride))
