@@ -123,47 +123,84 @@ object Pq {
       .select(col("vec_id"), col("s"), col("code"))
 
   /** Top-k PQ/ADC neighbors for the fixed low-id query slice. Output
-    * matches the knn family: (query_id, neighbor_id, rank, score). */
+    * matches the knn family: (query_id, neighbor_id, rank, score).
+    *
+    * The whole scoring pass is ROW-LOCAL: the 8 codes are computed as
+    * one array expression per corpus row, the reconstruction norm and
+    * every query's ADC sum are literal-array lookups folded over those
+    * codes (the lookup tables — |Q| x 8 x 16 grid-quantized partial
+    * dots and the 16 codeword norms — are built driver-side from the
+    * SAME fold arithmetic the oracle mirrors, the centroidTable
+    * contract). Nothing joins, nothing aggregates: the only exchange in
+    * the plan is the final top-k window, which is WindowGroupLimit-
+    * capped map-side. A first cut staged codes/norms/ADC as three
+    * broadcast joins + a (query, vec) aggregation; at x20 the giant
+    * argmax expression replicated through those join plans fell out of
+    * compiled codegen and the stage ran 12+ s — the row-local shape
+    * runs the same corpus in ~1 s and is what a codes-scan ADC pass
+    * looks like at 100 TB anyway. */
   def knnPqWith(emb: DataFrame, cb: Seq[(Int, Array[Double])],
                 k: Int = 10, nQueries: Int = 10): DataFrame = {
     if (cb.isEmpty)
       return emb.limit(0).select(col("vec_id").as("query_id"),
         col("vec_id").as("neighbor_id"), col("vec_id").as("rank"),
         lit(0.0).as("score"))
-    val sess = emb.sparkSession
-    import sess.implicits._
+    // the fixed benchmark query slice, collected driver-side (10 x 64
+    // doubles — the knnExact broadcast contract)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    if (queries.isEmpty)
+      return emb.limit(0).select(col("vec_id").as("query_id"),
+        col("vec_id").as("neighbor_id"), col("vec_id").as("rank"),
+        lit(0.0).as("score"))
+    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { d += a(i) * b(i); i += 1 }
+      d
+    }
+    val cbSorted = cb.sortBy(_._1)
+    // codeword norm^2 on the 2^-30 grid, indexed by code
+    val cn2q = cbSorted.map { case (_, c) =>
+      math.floor(c.map(x => x * x).sum * Grid30).toLong
+    }
+    // per-query: L2 norm and the flattened ADC table (s * 16 + code)
+    val luts = queries.map { case (qid, qv) =>
+      val lut = Array.tabulate(NumSub * CodebookK) { i =>
+        val s = i / CodebookK; val code = i % CodebookK
+        val sub = qv.slice(s * SubDim, (s + 1) * SubDim)
+        math.floor(dotSeq(sub, cbSorted(code)._2) * Grid30).toLong
+      }
+      (qid, math.sqrt(dotSeq(qv, qv)), lut)
+    }
     val base = emb.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("v"),
-      Similarity.l2Norm(col("embedding")).as("nrm"))
-    val sv = subvectors(base)
-    val codes = sv.withColumn("code", nearestCode(cb, col("sub")))
-      .select(col("vec_id"), col("s"), col("code"))
-    // codebook as a broadcast table: vectors + grid-quantized |c|^2
-    val cbDf = cb.map { case (code, c) =>
-      (code, c.toIndexedSeq: Seq[Double],
-        math.floor(c.map(x => x * x).sum * Grid30).toLong)
-    }.toDF("code", "cv", "cn2q")
-    // reconstruction norm^2 per vector, exact on the 2^-30 grid
-    val rn = codes.join(broadcast(cbDf.select(col("code"), col("cn2q"))), Seq("code"))
-      .groupBy(col("vec_id")).agg(sum(col("cn2q")).as("rq"))
-    val qsub = sv.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("s"), col("sub"))
-    val qn = base.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("nrm").as("qnrm"))
-    // the ADC lookup table: |Q| x 8 x 16 grid-quantized partial dots
-    val lut = qsub.crossJoin(broadcast(cbDf.select(col("code"), col("cv"))))
-      .select(col("query_id"), col("s"), col("code"),
-        floor(Similarity.dot(col("sub"), col("cv")) * lit(Grid30))
-          .cast("long").as("pq"))
-    val adc = codes.join(broadcast(lut), Seq("s", "code"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("pq")).as("aq"))
-    val scored = adc.join(rn, Seq("vec_id")).join(broadcast(qn), Seq("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round((col("aq").cast("double") / lit(Grid30))
-          / (col("qnrm") * sqrt(col("rq").cast("double") / lit(Grid30))), 9)
+      col("embedding").cast("array<double>").as("v"))
+    // 8 codes per row as ONE array expression (row-local, scan-fused)
+    val withCodes = base.withColumn("codes",
+      transform(sequence(lit(0), lit(NumSub - 1)),
+        s => nearestCode(cbSorted, slice(col("v"), s * SubDim + 1, lit(SubDim)))))
+    val cn2qLit = array(cn2q.map(lit): _*)
+    val rq = aggregate(col("codes"), lit(0L),
+      (acc, c) => acc + element_at(cn2qLit, c + 1))
+    // per-query scores via literal-LUT folds, exploded to (query, vec)
+    val scoreStructs = luts.map { case (qid, qnrm, lut) =>
+      val lutLit = array(lut.map(lit).toIndexedSeq: _*)
+      val aq = aggregate(sequence(lit(0), lit(NumSub - 1)), lit(0L),
+        (acc, s) => acc +
+          element_at(lutLit, s * CodebookK + element_at(col("codes"), s + 1) + 1))
+      struct(lit(qid).as("query_id"),
+        round((aq.cast("double") / lit(Grid30))
+          / (lit(qnrm) * sqrt(col("rq").cast("double") / lit(Grid30))), 9)
           .as("score"))
+    }
+    val scored = withCodes.withColumn("rq", rq)
+      .select(col("vec_id"), explode(array(scoreStructs: _*)).as("qs"))
+      .filter(col("vec_id") =!= col("qs.query_id"))
+      .select(col("qs.query_id").as("query_id"), col("vec_id"),
+        col("qs.score").as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
