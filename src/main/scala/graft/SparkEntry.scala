@@ -404,6 +404,11 @@ object SparkEntry {
     "q_knn_pq" -> ((s, dir) =>
       functions.Pq.knnPqWith(emb(s, dir), pqCodebookOf(s, dir))
         .orderBy(col("query_id"), col("rank"))),
+    // PQ + exact re-rank: ADC nominates 50 candidates, only those rows
+    // touch raw vectors — candidate-mass exact work, corpus-mass codes
+    "q_knn_pq_rerank" -> ((s, dir) =>
+      functions.Pq.knnPqRerank(emb(s, dir), pqCodebookOf(s, dir))
+        .orderBy(col("query_id"), col("rank"))),
     "q_embedding_clusters" -> ((s, dir) =>
       functions.Ivf.clusterSummary(emb(s, dir), ivfCentroids(s, dir))
         .orderBy(col("cid"))),

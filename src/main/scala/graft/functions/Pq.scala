@@ -211,4 +211,38 @@ object Pq {
 
   def knnPq(emb: DataFrame, k: Int = 10, nQueries: Int = 10): DataFrame =
     knnPqWith(emb, trainCodebook(emb), k, nQueries)
+
+  /** PQ + exact re-rank — the standard deployment pattern: the cheap
+    * codes-scan ADC pass nominates `candidates` per query, and ONLY
+    * those rows pick up their raw vectors for an exact cosine re-rank.
+    * Raw-vector work drops from corpus-mass to candidate-mass (|Q| x C
+    * rows), which is what buys back the recall the 8-byte codes give up
+    * (measured in PqSpec: the re-rank's recall strictly dominates raw
+    * ADC at the same k). */
+  def knnPqRerank(emb: DataFrame, cb: Seq[(Int, Array[Double])],
+                  k: Int = 10, nQueries: Int = 10,
+                  candidates: Int = 50): DataFrame = {
+    val cand = knnPqWith(emb, cb, candidates, nQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    if (cb.isEmpty) return cand.select(col("query_id"),
+      col("neighbor_id"), col("query_id").as("rank"), lit(0.0).as("score"))
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"),
+      Similarity.l2Norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val exact = cand
+      .join(e, cand("neighbor_id") === e("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Similarity.dot(col("qv"), col("v"))
+          / (col("qnrm") * col("nrm")), 9).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("score"))
+  }
 }

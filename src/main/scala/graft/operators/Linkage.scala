@@ -9,59 +9,71 @@ import org.apache.spark.sql.functions._
   *
   * The naive edit-distance join is quadratic per block; classic blocking
   * (same nation, same length) merely caps the constant. Deletion-
-  * neighborhood blocking is exact AND linear for distance 1 on
-  * equal-length keys: two strings at substitution distance 1 that differ
-  * only at position p produce the IDENTICAL deletion variant at p (and at
-  * no other position), so emitting the |key| deletion variants of every
-  * row and self-joining on (position, variant) yields each true pair
-  * exactly once, with zero false candidates at equal length — the
-  * levenshtein verify is kept as the operator's semantic guard for the
-  * general (cross-length) case.
+  * neighborhood blocking is exact AND linear for distance 1: two strings
+  * at edit distance <= 1 share a member of each other's deletion
+  * neighborhood U(s) = {s} ∪ {s minus one char} — a substitution pair
+  * shares the deletion at the differing position, an insertion/deletion
+  * pair shares the shorter string itself — so emitting U(key) per row
+  * and self-joining on the variant yields every true pair, with
+  * candidates bounded by |alphabet|·|key| per bucket. The levenshtein
+  * verify filters coincidental variant collisions.
   *
-  * Shape at 100 TB: one exchange on (pos, variant). Row replication is
-  * |key| (9 here) short strings; for a fixed position, a bucket can hold
-  * at most |alphabet| distinct keys (each member fixes every character
-  * except the deleted one), so per-bucket pair work is bounded by
-  * C(|alphabet|, 2) — no whale buckets, candidates provably linear in
-  * rows. Compare the reference's single-process pandas scans
-  * (kafka_overwatch/processing/: no linkage op — this is pipeline
-  * breadth beyond the reference).
+  * The match key is the trailing DIGIT RUN of the name (the TPC-H-style
+  * entity-id suffix), taken at its FULL length: an earlier fixed-width
+  * variant truncated longer keys and let every truncation-equal group
+  * collide at all positions — measured at x64 (mixed 9/10-digit keys)
+  * as a 114 s blowup. Variants are distinct-ed per row first (zero runs
+  * collapse: deleting any char of a run yields one variant), pairs are
+  * distinct-ed after the join, and rows with no digit suffix get no
+  * variants (they cannot block; a corpus keyed by non-numeric names
+  * needs a different key extractor, not a bigger bucket).
+  *
+  * Shape at 100 TB: one exchange on the variant string. Row replication
+  * is <= |key|+1 short strings; a variant's bucket holds at most the
+  * ~10·|key| keys that delete onto it plus the one key equal to it, so
+  * per-bucket pair work is alphabet-bounded — no whale buckets,
+  * candidates provably linear in rows. Compare the reference's
+  * single-process pandas scans (kafka_overwatch/processing/: no linkage
+  * op — this is pipeline breadth beyond the reference).
   */
 object Linkage {
 
-  /** ed<=1 name pairs over a (id, name, nation) entity table whose match
-    * key is the trailing `keyLen` characters (the TPC-H name's 9-digit
-    * suffix). Returns one row per unordered pair, found-once by
-    * construction (no distinct needed: equal variants at two different
-    * positions would force the names equal, excluded by id1 < id2). */
+  /** ed<=1 name pairs over a (id, name, nation) entity table. Returns
+    * one row per unordered pair. */
   def editDistancePairs(entities: DataFrame, idCol: String, nameCol: String,
-                        nationCol: String, keyLen: Int = 9): DataFrame = {
+                        nationCol: String): DataFrame = {
     val base = entities.select(
       col(idCol).as("id"), col(nameCol).as("name"),
       col(nationCol).cast("int").as("nation"),
-      expr(s"substring($nameCol, length($nameCol) - ${keyLen - 1}, $keyLen)")
-        .as("k"))
-    // |keyLen| deletion variants per row; pos rides in the join key so
-    // variants from different positions never meet.
+      regexp_extract(col(nameCol), "([0-9]+)$", 1).as("k"))
+      .filter(length(col("k")) >= 1)
+    // U(k) = {k} ∪ deletions(k), distinct-ed per row (zero runs collapse).
+    // The candidate stream stays SKINNY — (variant, id) into the block
+    // join, (id1, id2) through the pair dedup — and names/nations join
+    // back only onto the deduped pair set for the verify: the candidate
+    // mass is a few times the true pair mass, and carrying 2 names + 2
+    // nations through those exchanges was measured at x64 as ~6x the
+    // bytes for nothing.
     val variants = base
-      .select(col("id"), col("name"), col("nation"),
-        explode(sequence(lit(1), lit(keyLen))).as("pos"), col("k"))
-      .select(col("id"), col("name"), col("nation"), col("pos"),
-        concat(col("k").substr(lit(1), col("pos") - 1),
-          col("k").substr(col("pos") + 1, lit(keyLen))).as("variant"))
-    val a = variants.select(col("pos"), col("variant"), col("id").as("id1"),
-      col("name").as("name1"), col("nation").as("nation1"))
-    val b = variants.select(col("pos"), col("variant"), col("id").as("id2"),
-      col("name").as("name2"), col("nation").as("nation2"))
-    a.join(b, Seq("pos", "variant"))
+      .select(col("id"),
+        explode(array_distinct(concat(array(col("k")),
+          transform(sequence(lit(1), length(col("k"))),
+            p => concat(col("k").substr(lit(1), p - 1),
+              col("k").substr(p + 1, length(col("k")))))))).as("variant"))
+    val cand = variants.select(col("variant"), col("id").as("id1"))
+      .join(variants.select(col("variant"), col("id").as("id2")),
+        Seq("variant"))
       .filter(col("id1") < col("id2"))
-      // equal-length pairs are found at exactly one position, but keys
-      // of DIFFERENT lengths (mixed-width id spaces, e.g. the scale
-      // ladder's strided keys) can collide at every position — dedupe
-      // on the pair id before the verify so the output stays a set
-      .select(col("id1"), col("id2"), col("name1"), col("name2"),
-        col("nation1"), col("nation2"))
+      // a pair can share several variants (identity + deletions, equal
+      // adjacent chars): dedupe on the pair id before the verify
+      .select(col("id1"), col("id2"))
       .dropDuplicates("id1", "id2")
+    val ent = base.select(col("id"), col("name"), col("nation"))
+    cand
+      .join(ent.select(col("id").as("id1"), col("name").as("name1"),
+        col("nation").as("nation1")), Seq("id1"))
+      .join(ent.select(col("id").as("id2"), col("name").as("name2"),
+        col("nation").as("nation2")), Seq("id2"))
       .withColumn("dist", levenshtein(col("name1"), col("name2")))
       .filter(col("dist") <= 1)
       .select(col("id1"), col("id2"), col("name1"), col("name2"),

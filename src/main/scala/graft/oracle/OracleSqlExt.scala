@@ -2398,6 +2398,28 @@ FROM reach GROUP BY node ORDER BY vec_id""",
     // accumulation so the 8-term sum is order-free in both engines
     "q_knn_pq" -> pqOracle,
 
+    // mirror of Pq.knnPqRerank: the pq chain's ADC top-50 per query,
+    // exact-cosine re-ranked to top-10 (the chain's n/qn CTEs reused)
+    "q_knn_pq_rerank" -> s"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+$pqChainCtes,
+pcand AS (SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, vec_id) AS rnk
+    FROM pqscored) WHERE rnk <= 50),
+ex AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, xn.v) / (q.nrm * xn.nrm), 9) AS score
+       FROM pcand c JOIN n xn ON xn.vec_id = c.vec_id
+       JOIN n q ON q.vec_id = c.query_id),
+rr AS (SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY score DESC, neighbor_id) AS rnk
+       FROM ex)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", score
+FROM rr WHERE rnk <= 10 ORDER BY query_id, "rank"""",
+
     // mirror of Relational.retentionCohorts: distinct user-days, min-day
     // cohort window, (cohort_day, day_offset) matrix
     "q_retention_cohorts" -> """
@@ -2432,21 +2454,24 @@ SELECT c.prev_type, c.event_type, c.transitions,
 FROM c JOIN t USING (prev_type) ORDER BY prev_type, event_type""",
 
     // mirror of Linkage.editDistancePairs: FastSS deletion-neighborhood
-    // blocking on the 9-char key suffix, then DuckDB's independent
-    // levenshtein as the verify
+    // blocking on the full trailing digit run — U(k) = {k} ∪ deletions,
+    // distinct per row — then DuckDB's independent levenshtein verify
     "q_editdist_pairs" -> """
 WITH base AS (
   SELECT c_custkey AS id, c_name AS name, CAST(c_nationkey AS INT) AS nation,
-         substring(c_name, length(c_name) - 8, 9) AS k
-  FROM customer),
+         regexp_extract(c_name, '([0-9]+)$', 1) AS k
+  FROM customer
+  WHERE length(regexp_extract(c_name, '([0-9]+)$', 1)) >= 1),
 v AS (
-  SELECT id, name, nation, p.pos,
-         substring(k, 1, p.pos - 1) || substring(k, p.pos + 1, 9) AS variant
-  FROM base CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS pos) p)
+  SELECT DISTINCT id, name, nation, u.variant
+  FROM base, unnest(list_distinct(list_append(
+    list_transform(range(1, length(k) + 1),
+      p -> substring(k, 1, p - 1) || substring(k, p + 1, length(k))),
+    k))) AS u(variant))
 SELECT DISTINCT a.id AS id1, b.id AS id2, a.name AS name1, b.name AS name2,
        CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
        (a.nation = b.nation) AS same_nation
-FROM v a JOIN v b ON a.pos = b.pos AND a.variant = b.variant AND a.id < b.id
+FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id
 WHERE levenshtein(a.name, b.name) <= 1
 ORDER BY id1, id2""",
 

@@ -113,4 +113,26 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(TextAnalytics.dupNgramCoverage(emptyDocs).count() === 0)
     assert(Dedup.containmentPairs(emptyDocs).count() === 0)
   }
+
+  test("sampling, linkage, PQ, and event matrices handle empty inputs") {
+    import graft.operators.{Linkage, Relational, Sampling}
+    import graft.functions.Pq
+    assert(Sampling.stratifiedSample(emptyDocs).count() === 0)
+    assert(Sampling.bootstrapCi(emptyDocs).count() === 0)
+    val emptyEnts = Seq.empty[(Long, String, Int)].toDF("id", "name", "nation")
+    assert(Linkage.editDistancePairs(emptyEnts, "id", "name", "nation").count() === 0)
+    // names shorter than the key span: substring clamps, no throw
+    val shortNames = Seq((1L, "ab", 0), (2L, "ab", 1)).toDF("id", "name", "nation")
+    Linkage.editDistancePairs(shortNames, "id", "name", "nation").count()
+    // empty embeddings: empty codebook -> empty result with the right schema
+    assert(Pq.trainCodebook(emptyEmb).isEmpty)
+    assert(Pq.knnPq(emptyEmb).count() === 0)
+    // nonempty codebook, empty corpus: no queries -> empty, no throw
+    val cb = Seq((0, Array.fill(8)(0.5)))
+    assert(Pq.knnPqWith(emptyEmb, cb).count() === 0)
+    val emptyEv = Seq.empty[(Long, Long, String, Long)]
+      .toDF("event_id", "user_id", "event_type", "epoch_s")
+    assert(Relational.retentionCohorts(emptyEv).count() === 0)
+    assert(Relational.eventTransitions(emptyEv).count() === 0)
+  }
 }

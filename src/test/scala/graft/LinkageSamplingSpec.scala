@@ -46,6 +46,39 @@ class LinkageSamplingSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("editDistancePairs exact on MIXED-width keys (indel pairs included)") {
+    // 9- and 10-digit suffixes, including truncation-equal groups that
+    // blew up the fixed-width variant (x64 regression)
+    val ids = (0 until 120).map(_.toLong) ++
+      Seq(1300000001L, 2300000001L, 3300000001L, 100000001L, 1100000001L)
+    val ents = ids.zipWithIndex
+      .map { case (k, i) => (i.toLong, f"Entity#$k%09d", i % 5) }
+      .toDF("id", "name", "nation")
+    val got = Linkage.editDistancePairs(ents, "id", "name", "nation")
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.distinct.length)
+    val names = ids.map(k => f"Entity#$k%09d")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      i <- names.indices; j <- (i + 1) until names.length
+      if lev(names(i), names(j)) <= 1
+    } yield (i.toLong, j.toLong)).toSet
+    assert(got.toSet == want)
+    // the cross-length insertion pair IS found
+    val i18 = ids.indexOf(100000001L).toLong
+    val i19 = ids.indexOf(1100000001L).toLong
+    assert(want.contains((math.min(i18, i19), math.max(i18, i19))))
+  }
+
   test("editDistancePairs verify column is honest (dist is real levenshtein)") {
     val ents = Seq((1L, "Entity#000000001", 0), (2L, "Entity#000000002", 1),
       (3L, "Entity#000000011", 0)).toDF("id", "name", "nation")

@@ -74,6 +74,28 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("exact re-rank of ADC candidates dominates raw ADC recall") {
+    val exact = Similarity.knnExact(emb).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def recall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val byQ = rows.groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+      val rs = exact.map { case (q, t) =>
+        byQ.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }
+      rs.sum / rs.size
+    }
+    val adc = recall(Pq.knnPqWith(emb, cb).collect())
+    val rr = Pq.knnPqRerank(emb, cb).collect()
+    rr.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length == 10)
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to 10L))
+    }
+    val reranked = recall(rr)
+    assert(reranked >= adc, s"rerank $reranked vs adc $adc")
+    assert(reranked > 0.5, s"rerank recall $reranked")
+  }
+
   test("recall@10 vs exact top-10 is materially above chance") {
     val pq = Pq.knnPqWith(emb, cb).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
