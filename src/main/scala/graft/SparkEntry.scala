@@ -762,7 +762,13 @@ object SparkEntry {
     // deterministic half-sample replication CI on per-source mean length
     // (exact integer replicate sums; percentile over 64 replicate means)
     "q_bootstrap_ci" -> ((s, dir) =>
-      Sampling.bootstrapCi(docs(s, dir)).orderBy(col("source"))))
+      Sampling.bootstrapCi(docs(s, dir)).orderBy(col("source"))),
+    // consistent JOIN sampling: both sides sampled by the same key hash,
+    // so a sampled customer keeps ALL their orders (unbiased per-entity
+    // ratios on the slice; independent sampling would keep rate^2)
+    "q_consistent_sample" -> ((s, dir) =>
+      Sampling.consistentJoinSample(tbl(s, dir, "customer"),
+        tbl(s, dir, "orders")).orderBy(col("c_mktsegment"))))
 
   private def latestWm(s: SparkSession, dir: String): DataFrame =
     Snapshots.watermarks(s, dir).filter(col("s") === Snapshots.NumScans)

@@ -56,6 +56,40 @@ object Sampling {
         col("samp_chars"))
   }
 
+  /** Consistent JOIN sampling: both sides of a key relationship are
+    * sampled by the SAME hash predicate on the JOIN KEY, so a sampled
+    * customer keeps ALL their orders — per-entity statistics (orders per
+    * customer here) stay unbiased on the slice. Independent Bernoulli
+    * sampling of two fact tables retains only rate^2 of their join and
+    * biases every per-entity ratio; key-hash sampling is the standard
+    * fix and falls out of the id-consistency the sampler already
+    * guarantees.
+    *
+    * Shape at 100 TB: orders pre-aggregate to per-customer counts before
+    * the single hint-free join; the sample predicates are row-local; the
+    * output is |segments| rows. */
+  def consistentJoinSample(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val perCust = orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    customer.select(col("c_custkey"), col("c_mktsegment"),
+        keepPredicate(col("c_custkey")).cast("long").as("keep"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_mktsegment"), col("keep"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("customers"),
+        sum(col("keep")).as("sampled_customers"),
+        sum(col("n_orders")).as("orders"),
+        sum(col("keep") * col("n_orders")).as("sampled_orders"))
+      .select(col("c_mktsegment"), col("customers"), col("sampled_customers"),
+        col("orders"), col("sampled_orders"),
+        (col("orders").cast("double") / col("customers").cast("double"))
+          .as("opc_full"),
+        when(col("sampled_customers") === 0L, lit(null).cast("double"))
+          .otherwise(col("sampled_orders").cast("double")
+            / col("sampled_customers").cast("double")).as("opc_sampled"))
+  }
+
   /** Deterministic half-sample replication CI on per-source mean doc
     * length: 64 hash-defined half-samples, each replicate mean an exact
     * BIGINT-sum ratio (order-independent — no double accumulation), and

@@ -2490,6 +2490,29 @@ SELECT source, count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS sampled,
 FROM d GROUP BY 1 ORDER BY source"""
     },
 
+    // mirror of Sampling.consistentJoinSample: same key-hash predicate
+    // on both sides of the customer/orders relationship
+    "q_consistent_sample" -> {
+      import graft.operators.Sampling.{M, A, B, SampleCut}
+      s"""
+WITH pc AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1),
+c AS (SELECT c_custkey, c_mktsegment,
+        CASE WHEN ((c_custkey % $M) * $A + $B) % $M < $SampleCut
+             THEN 1 ELSE 0 END AS keep
+      FROM customer),
+j AS (SELECT c.c_mktsegment, c.keep, COALESCE(pc.n_orders, 0) AS n_orders
+      FROM c LEFT JOIN pc ON c.c_custkey = pc.o_custkey)
+SELECT c_mktsegment, count(*) AS customers,
+  CAST(sum(keep) AS BIGINT) AS sampled_customers,
+  CAST(sum(n_orders) AS BIGINT) AS orders,
+  CAST(sum(keep * n_orders) AS BIGINT) AS sampled_orders,
+  CAST(sum(n_orders) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS opc_full,
+  CASE WHEN sum(keep) = 0 THEN NULL
+       ELSE CAST(sum(keep * n_orders) AS DOUBLE) / CAST(sum(keep) AS DOUBLE)
+  END AS opc_sampled
+FROM j GROUP BY 1 ORDER BY c_mktsegment"""
+    },
+
     // mirror of Sampling.bootstrapCi: 64 hash-defined half-samples,
     // exact-integer replicate sums, quantile_cont == Spark percentile
     "q_bootstrap_ci" -> {

@@ -116,6 +116,28 @@ class LinkageSamplingSpec extends AnyFunSuite {
     assert(a.head.getAs[Long]("sampled") == wantKeep.toLong)
   }
 
+  test("consistentJoinSample: a sampled customer keeps ALL their orders") {
+    val cust = spark.read.parquet(s"${TestSpark.Sf0001}/customer.parquet")
+    val orders = spark.read.parquet(s"${TestSpark.Sf0001}/orders.parquet")
+    val rows = Sampling.consistentJoinSample(cust, orders).collect()
+    assert(rows.nonEmpty)
+    // consistency: the sampled-order mass per segment equals a direct
+    // count of orders whose CUSTOMER passes the key-hash predicate —
+    // i.e. key-hash sampling of orders == sampling via the customer side
+    val direct = orders
+      .join(cust.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .filter(graft.streaming.SampleStream.keep(col("o_custkey")))
+      .groupBy(col("c_mktsegment")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("sampled_orders") ==
+        direct.getOrElse(r.getString(0), 0L), r.getString(0))
+      assert(r.getAs[Long]("sampled_customers") <= r.getAs[Long]("customers"))
+      assert(r.getAs[Long]("sampled_orders") <= r.getAs[Long]("orders"))
+    }
+  }
+
   test("bootstrapCi: brackets ordered and inside the stratum value range") {
     val rows = Sampling.bootstrapCi(docs).collect()
     assert(rows.length > 0)
