@@ -38,6 +38,24 @@ import org.apache.spark.sql.functions._
   */
 object Linkage {
 
+  /** (id, name, variant) rows: U(k) = {k} ∪ deletions(k) over the
+    * trailing digit run, distinct per row — the blocking index shared
+    * by the batch self-join and the streaming probe
+    * (streaming/LinkageStream). Row-local; rows with no digit suffix
+    * emit nothing. */
+  def variantRows(entities: DataFrame, idCol: String,
+                  nameCol: String): DataFrame = {
+    val base = entities.select(
+      col(idCol).as("id"), col(nameCol).as("name"),
+      regexp_extract(col(nameCol), "([0-9]+)$", 1).as("k"))
+      .filter(length(col("k")) >= 1)
+    base.select(col("id"), col("name"),
+      explode(array_distinct(concat(array(col("k")),
+        transform(sequence(lit(1), length(col("k"))),
+          p => concat(col("k").substr(lit(1), p - 1),
+            col("k").substr(p + 1, length(col("k")))))))).as("variant"))
+  }
+
   /** ed<=1 name pairs over a (id, name, nation) entity table. Returns
     * one row per unordered pair. */
   def editDistancePairs(entities: DataFrame, idCol: String, nameCol: String,
@@ -54,12 +72,7 @@ object Linkage {
     // mass is a few times the true pair mass, and carrying 2 names + 2
     // nations through those exchanges was measured at x64 as ~6x the
     // bytes for nothing.
-    val variants = base
-      .select(col("id"),
-        explode(array_distinct(concat(array(col("k")),
-          transform(sequence(lit(1), length(col("k"))),
-            p => concat(col("k").substr(lit(1), p - 1),
-              col("k").substr(p + 1, length(col("k")))))))).as("variant"))
+    val variants = variantRows(entities, idCol, nameCol).select("id", "variant")
     val cand = variants.select(col("variant"), col("id").as("id1"))
       .join(variants.select(col("variant"), col("id").as("id2")),
         Seq("variant"))
