@@ -174,4 +174,29 @@ class StreamingStateBoundSpec extends AnyFunSuite {
     } finally q.stop()
     assertPlateau(observed.result())
   }
+
+  test("TransitionStream LastSeen state plateaus while distinct users grow") {
+    // one tiny row per LIVE user, TTL-evicted: a churning user population
+    // must not accumulate state (each phase is a fresh user cohort whose
+    // events sit one TTL horizon past the previous phase's)
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[graft.streaming.TransitionStream.Ev]
+    val q = graft.streaming.TransitionStream
+      .transitions(input.toDS(), ttlSeconds = 60L)
+      .writeStream.format("noop").outputMode("append").start()
+    val observed = Seq.newBuilder[Long]
+    try {
+      for (p <- 0 until Phases) {
+        val base = p * 300L
+        input.addData((0 until KeysPerPhase).map { i =>
+          graft.streaming.TransitionStream.Ev(
+            p * 10000L + i, base, p * 1000L + i, "click")
+        })
+        q.processAllAvailable()
+        observed += stateRows(q)
+      }
+    } finally q.stop()
+    assertPlateau(observed.result())
+  }
 }
