@@ -28,6 +28,19 @@ import org.apache.spark.sql.functions._
   * variants (they cannot block; a corpus keyed by non-numeric names
   * needs a different key extractor, not a bigger bucket).
   *
+  * EXACTNESS CONTRACT (recall): the ed<=1 guarantee holds for edits
+  * that keep the trailing-digit-run extraction stable — insertions,
+  * deletions, and digit-for-digit substitutions inside the run, and any
+  * edit outside it. An edit that changes what the extractor SEES — a
+  * substitution turning a mid-run digit into a non-digit ("Ent#123" vs
+  * "Ent#1X3" extracts "123" vs "3"), or the last digit into a non-digit
+  * (key vanishes) — produces keys that share no deletion variant, and
+  * that true pair is MISSED. Precision is unconditional: every emitted
+  * pair passes a full-name levenshtein verify. LinkagePropsSpec pins
+  * both halves: pair-set equality under extraction-stable edits, and
+  * the exact blocked-pair contract (ed<=1 ∩ variant-intersecting) under
+  * adversarial mid-run corruption.
+  *
   * Shape at 100 TB: one exchange on the variant string. Row replication
   * is <= |key|+1 short strings; a variant's bucket holds at most the
   * ~10·|key| keys that delete onto it plus the one key equal to it, so

@@ -429,8 +429,13 @@ object Relational {
     * (NOT raw events), and the output is |days|^2/2-bounded. Cohort
     * sizes are a tiny rollup broadcast back onto the matrix. */
   def retentionCohorts(ev: DataFrame): DataFrame = {
+    // FLOOR division, not `div` (truncation toward zero): the two differ
+    // for negative epochs (pre-1970 timestamps), and the DuckDB mirror's
+    // `//` is floor — the day bucket must be input-independent, not
+    // fixture-positive by luck. pmod keeps it integer-exact.
     val userDays = ev
-      .select(col("user_id"), expr("epoch_s div 86400").as("day"))
+      .select(col("user_id"),
+        expr("(epoch_s - pmod(epoch_s, 86400)) div 86400").as("day"))
       .distinct()
     val byUser = Window.partitionBy(col("user_id"))
     val offsets = userDays

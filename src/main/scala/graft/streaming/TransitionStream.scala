@@ -17,8 +17,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * a fresh chain rather than bridging a week-old gap (the same judgment
   * sessionization makes; a bridge across an eviction horizon is noise,
   * not behavior). Within a micro-batch events sort by (epoch_s,
-  * event_id); across batches the ingest contract is per-key event-time
-  * order up to the watermark, which is what a partitioned log delivers.
+  * event_id); ACROSS batches ordering is only guaranteed up to the
+  * watermark: any event older than (max event time seen) minus
+  * `watermarkDelay` is DROPPED before the stateful operator, not
+  * reordered. Per-key ingest order alone is NOT sufficient with a zero
+  * delay — one user's in-order-but-old event is still dropped if
+  * another user's newer event already advanced the global watermark in
+  * a prior micro-batch. Size `watermarkDelay` to the cross-key event-
+  * time skew of the source (a partitioned log with per-partition order
+  * still skews across partitions); the default 1 hour mirrors
+  * DocStream's tolerance-first posture rather than assuming aligned
+  * partitions.
   */
 object TransitionStream {
 
@@ -31,13 +40,14 @@ object TransitionStream {
   case class Transition(user_id: Long, prev_type: String, event_type: String)
 
   def transitions(events: Dataset[Ev],
-                  ttlSeconds: Long = 86400L): Dataset[Transition] = {
+                  ttlSeconds: Long = 86400L,
+                  watermarkDelay: String = "1 hour"): Dataset[Transition] = {
     val spark = events.sparkSession
     import spark.implicits._
     val withTs = events.withColumn("ts", timestamp_seconds(col("epoch_s")))
     val src =
-      (if (events.isStreaming) withTs.withWatermark("ts", "0 seconds") else withTs)
-        .as[EvT]
+      (if (events.isStreaming) withTs.withWatermark("ts", watermarkDelay)
+       else withTs).as[EvT]
     src.groupByKey(_.user_id)
       .flatMapGroupsWithState[LastSeen, Transition](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {

@@ -24,10 +24,19 @@ object StreamBench {
     implicit val sq = spark.sqlContext
     import spark.implicits._
 
-    // --- TransitionStream: user-keyed LastSeen state, 100k live users
+    // --- TransitionStream: user-keyed LastSeen state, 100k-user
+    // population. Each batch SPANS 60 s of event time (not one instant),
+    // and ttl=30 s is UNDER that span: a user touched in the first half
+    // of batch b's span times out during batch b+1 (where it has no
+    // data — timeouts only fire for data-less keys), then re-enters at
+    // its next touch. The reported state-row plateau therefore sits
+    // BELOW the 100k population, which is the live-eviction evidence
+    // the earlier same-instant timestamps (max span 200 s vs ttl
+    // 3600 s) never actually exercised.
     locally {
       val input = MemoryStream[TransitionStream.Ev]
-      val q = TransitionStream.transitions(input.toDS(), ttlSeconds = 3600L)
+      val q = TransitionStream.transitions(input.toDS(), ttlSeconds = 30L,
+          watermarkDelay = "0 seconds")
         .writeStream.format("noop").outputMode("append").start()
       try {
         val types = Array("click", "view", "purchase", "signup", "refund")
@@ -37,7 +46,7 @@ object StreamBench {
           val rows = (0 until batchSize).map { i =>
             val uid = (b * batchSize + i) % 100000L
             eid += 1
-            TransitionStream.Ev(uid, b * 10L + i / batchSize, eid,
+            TransitionStream.Ev(uid, b * 60L + i.toLong * 60L / batchSize, eid,
               types(i % types.length))
           }
           input.addData(rows)
@@ -55,8 +64,11 @@ object StreamBench {
     // --- DocStream curate: content-hash dedup state + quality scoring
     locally {
       val input = MemoryStream[DocStream.DocIngest]
+      // dedup-hash TTL 300 s against a 60 s/batch event-time span: docs
+      // older than 5 batches evict, so state is the TTL window, not the
+      // full history
       val q = DocStream.curate(input.toDS(), minQuality = 0.2,
-          watermarkDelay = "0 seconds", ttlSeconds = 3600L)
+          watermarkDelay = "0 seconds", ttlSeconds = 300L)
         .writeStream.format("noop").outputMode("append").start()
       try {
         val docBatch = batchSize / 5
@@ -68,7 +80,8 @@ object StreamBench {
             DocStream.DocIngest(id,
               s"batch $b doc $i the quick brown fox jumps over a lazy dog " +
                 s"while unique token ${id % 9973} keeps hashes distinct",
-              "en", "web", new Timestamp((b * 10L + 1) * 1000L))
+              "en", "web",
+              new Timestamp((b * 60L + i.toLong * 60L / docBatch) * 1000L))
           }
           input.addData(rows)
           q.processAllAvailable()

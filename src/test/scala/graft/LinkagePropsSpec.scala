@@ -48,6 +48,50 @@ object LinkagePropsSpec extends Properties("graft.linkage") {
       got == want
     }
 
+  // the adversarial class the digit-only generator above never produces:
+  // a mid-run non-digit corruption changes what the key extractor SEES
+  // ("Ent#123" vs "Ent#1X3" extracts "123" vs "3"), so that true ed=1
+  // pair is legitimately unreachable by this blocking. The contract is:
+  // emitted == (true ed<=1) ∩ (keys share a deletion variant) — recall
+  // conditional on extraction-stable edits, precision unconditional.
+  private val corruptedNamesGen: Gen[List[String]] = for {
+    base <- namesGen
+    corrupted <- Gen.sequence[List[String], String](base.map { nm =>
+      Gen.frequency(
+        3 -> Gen.const(nm),
+        2 -> (for {
+          pos <- Gen.choose(4, nm.length - 1) // inside the digit run
+          c <- Gen.oneOf('X', 'Q', '#')
+        } yield nm.updated(pos, c)))
+    })
+  } yield corrupted.distinct
+
+  private def trailingDigits(s: String): String = {
+    val m = "([0-9]+)$".r.findFirstMatchIn(s)
+    m.map(_.group(1)).getOrElse("")
+  }
+  private def variantSet(s: String): Set[String] = {
+    val k = trailingDigits(s)
+    if (k.isEmpty) Set.empty
+    else Set(k) ++ k.indices.map(i => k.take(i) + k.drop(i + 1))
+  }
+
+  property("corrupted keys: emitted == ed<=1 ∩ variant-intersecting (and ⊆ ed<=1)") =
+    forAll(corruptedNamesGen) { names =>
+      val ents = names.zipWithIndex.map { case (nm, i) => (i.toLong, nm, i % 3) }
+        .toDF("id", "name", "nation")
+      val got = Linkage.editDistancePairs(ents, "id", "name", "nation")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val trueEd1 = (for {
+        i <- names.indices; j <- (i + 1) until names.length
+        if lev(names(i), names(j)) <= 1
+      } yield (i.toLong, j.toLong)).toSet
+      val blocked = trueEd1.filter { case (i, j) =>
+        variantSet(names(i.toInt)).intersect(variantSet(names(j.toInt))).nonEmpty
+      }
+      got.subsetOf(trueEd1) && got == blocked
+    }
+
   property("sample membership is a pure function of the id (any stratum mix)") =
     forAll(Gen.listOfN(30, Gen.choose(0L, Long.MaxValue / 2)),
       Gen.listOfN(30, Gen.oneOf("a", "b", "c"))) { (ids, srcs) =>

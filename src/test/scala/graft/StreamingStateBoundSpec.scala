@@ -182,8 +182,10 @@ class StreamingStateBoundSpec extends AnyFunSuite {
     implicit val sq = spark.sqlContext
     import spark.implicits._
     val input = MemoryStream[graft.streaming.TransitionStream.Ev]
+    // zero watermark delay: phases are only 300 s apart, and this input
+    // is globally in-order so nothing can be late-dropped
     val q = graft.streaming.TransitionStream
-      .transitions(input.toDS(), ttlSeconds = 60L)
+      .transitions(input.toDS(), ttlSeconds = 60L, watermarkDelay = "0 seconds")
       .writeStream.format("noop").outputMode("append").start()
     val observed = Seq.newBuilder[Long]
     try {

@@ -45,6 +45,32 @@ class TransitionStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cross-key event-time skew within the watermark delay is not dropped") {
+    // user 2's newer event lands in batch 1; user 1's older-but-per-key-
+    // in-order event lands in batch 2. With the old hardcoded 0-second
+    // watermark that event was silently dropped (watermark had already
+    // advanced past it) and the streamed matrix diverged from batch;
+    // with a delay covering the skew it must be counted.
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = TransitionStream.transitions(input.toDS(), ttlSeconds = 1L << 40,
+        watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("trans_skew")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(Ev(1L, 100L, 1L, "click"), Ev(2L, 900L, 2L, "click")))
+      q.processAllAvailable()
+      // 200 < max-event-time 900, but within the 1 h delay: must survive
+      input.addData(Seq(Ev(1L, 200L, 3L, "view")))
+      q.processAllAvailable()
+      val out = spark.table("trans_skew")
+        .select($"user_id", $"prev_type", $"event_type")
+        .as[(Long, String, String)].collect().toSet
+      assert(out.contains((1L, "click", "view")),
+        "in-order event dropped by cross-key watermark advance")
+    } finally q.stop()
+  }
+
   test("event-time TTL evicts idle users: no transition bridges the horizon") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Ev]
