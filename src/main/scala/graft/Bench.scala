@@ -1,5 +1,43 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+/** Per-stage task-metric totals, accumulated by [[ProfListener]] and
+  * diffed around each query so a bench run can attribute time to GC,
+  * spill, and shuffle instead of guessing (the x128 rung showed >3x
+  * growth on row-local queries — "consistent with spill" needed to
+  * become a measurement). */
+private case class ProfSnap(runMs: Long, gcMs: Long, memSpill: Long,
+                            diskSpill: Long, shufRead: Long, shufWrite: Long) {
+  def -(o: ProfSnap): ProfSnap = ProfSnap(runMs - o.runMs, gcMs - o.gcMs,
+    memSpill - o.memSpill, diskSpill - o.diskSpill,
+    shufRead - o.shufRead, shufWrite - o.shufWrite)
+  def fmt: String =
+    f"run=${runMs / 1000.0}%.1fs gc=${gcMs / 1000.0}%.1fs " +
+      f"spillMem=${memSpill / 1e9}%.2fGB spillDisk=${diskSpill / 1e9}%.2fGB " +
+      f"shufR=${shufRead / 1e9}%.2fGB shufW=${shufWrite / 1e9}%.2fGB"
+}
+
+private class ProfListener extends SparkListener {
+  @volatile private var runMs = 0L
+  @volatile private var gcMs = 0L
+  @volatile private var memSpill = 0L
+  @volatile private var diskSpill = 0L
+  @volatile private var shufRead = 0L
+  @volatile private var shufWrite = 0L
+  override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+    synchronized {
+      val m = sc.stageInfo.taskMetrics
+      runMs += m.executorRunTime
+      gcMs += m.jvmGCTime
+      memSpill += m.memoryBytesSpilled
+      diskSpill += m.diskBytesSpilled
+      shufRead += m.shuffleReadMetrics.totalBytesRead
+      shufWrite += m.shuffleWriteMetrics.bytesWritten
+    }
+  def snap(): ProfSnap = synchronized(
+    ProfSnap(runMs, gcMs, memSpill, diskSpill, shufRead, shufWrite))
+}
 
 object Bench {
   /** 3 decimal places: millisecond resolution keeps the one-line JSON
@@ -9,15 +47,59 @@ object Bench {
 
   private val QueryTiming = "\"(q_[a-zA-Z0-9_]+)\":([0-9.]+)".r
 
+  /** Total bytes of the corpus parquet — sizes the shuffle-partition
+    * floor below. */
+  private def corpusBytes(dir: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      else f.length()
+    walk(new java.io.File(dir))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle partitions scale with the CORPUS, not just the core count:
+    // at the x64/x128 ladder rungs a 32-partition shuffle of a 2 GB
+    // (compressed) corpus puts whole-corpus fractions in single task
+    // buffers and the per-query profile shows the cost as spill + GC —
+    // the same queries run flat when partitions track data volume. One
+    // partition per ~16 MB of corpus parquet, floored at the core count
+    // and capped at 512; AQE (on by default) coalesces small shuffles
+    // back down, so the sf0.1 driver contract is unaffected.
+    val parts = math.min(512L,
+      math.max(cpus.toLong, corpusBytes(sfDir) >> 24)).toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_PROF=1: per-query GC/spill/shuffle attribution on
+    // stderr — the scale-ladder diagnosis loop ("measure, don't guess")
+    val prof = Option.when(sys.env.get("SPARK_GRAFT_PROF").contains("1")) {
+      val l = new ProfListener
+      spark.sparkContext.addSparkListener(l)
+      l
+    }
+    def profiled[T](name: String)(body: => T): T = prof match {
+      case None => body
+      case Some(l) =>
+        val before = l.snap()
+        val r = body
+        // stage-completion events arrive async (listener bus is
+        // private[spark]): poll until the totals stop moving
+        var last = l.snap(); var stable = false; var waited = 0
+        while (!stable && waited < 2000) {
+          Thread.sleep(50); waited += 50
+          val now = l.snap()
+          if (now == last) stable = true else last = now
+        }
+        System.err.println(s"[prof] $name ${(l.snap() - before).fmt} " +
+          s"heapUsed=${(Runtime.getRuntime.totalMemory() -
+            Runtime.getRuntime.freeMemory()) / (1 << 20)}MB")
+        r
+    }
     // JVM/codegen warmup outside the timed region (no input data touched)
     spark.range(1000000L).selectExpr("sum(id * 2)").collect()
     // Shared-derivation warmup, timed and reported as its own line item:
@@ -25,14 +107,14 @@ object Bench {
     // here instead of silently inflating whichever query touches each
     // cache first. Total still includes it — nothing hides.
     val w0 = System.nanoTime()
-    SparkEntry.warmup(spark, sfDir)
+    profiled("warmup")(SparkEntry.warmup(spark, sfDir))
     val warmupSec = (System.nanoTime() - w0) / 1e9
     // noop sink: materializes every output row/column (count() would let
     // Catalyst prune the query down to a row count)
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try profiled(name)(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
       catch {
         case e: Throwable =>
           failed += name

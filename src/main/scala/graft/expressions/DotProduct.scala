@@ -60,13 +60,21 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val lGet = if (elem(left) == FloatType) "getFloat" else "getDouble"
     val rGet = if (elem(right) == FloatType) "getFloat" else "getDouble"
+    // freshName, NOT fixed locals: two DotProducts in one codegen scope
+    // (e.g. the 16-codeword PQ argmax) would otherwise redefine the
+    // loop variables — janino rejects the stage and Spark silently
+    // falls back to interpreted evaluation, which is exactly the
+    // "expression fell out of codegen" cost the PQ rewrite measured.
+    val n = ctx.freshName("dpN")
+    val s = ctx.freshName("dpS")
+    val i = ctx.freshName("dpI")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      int dp_n = Math.min($a.numElements(), $b.numElements());
-      double dp_s = 0.0;
-      for (int dp_i = 0; dp_i < dp_n; dp_i++) {
-        dp_s += (double) $a.$lGet(dp_i) * (double) $b.$rGet(dp_i);
+      int $n = Math.min($a.numElements(), $b.numElements());
+      double $s = 0.0;
+      for (int $i = 0; $i < $n; $i++) {
+        $s += (double) $a.$lGet($i) * (double) $b.$rGet($i);
       }
-      ${ev.value} = dp_s;""")
+      ${ev.value} = $s;""")
   }
 
   override protected def withNewChildrenInternal(

@@ -98,25 +98,34 @@ case class NearestCentroid(left: Expression, right: Expression,
     val cnrmRef = ctx.addReferenceObj("nc_cnrms", cnrms, "double[]")
     val cidRef = ctx.addReferenceObj("nc_cids", cids, "int[]")
     val cls = classOf[NearestCentroid].getName
+    // freshName locals: fixed names would collide (janino "redefinition")
+    // when two instances share one codegen scope, silently demoting the
+    // stage to interpreted evaluation
+    val bestS = ctx.freshName("ncBestS"); val bestC = ctx.freshName("ncBestC")
+    val firstV = ctx.freshName("ncFirst"); val j = ctx.freshName("ncJ")
+    val cv = ctx.freshName("ncCv"); val n = ctx.freshName("ncN")
+    val s = ctx.freshName("ncS"); val i = ctx.freshName("ncI")
+    val score = ctx.freshName("ncScore"); val better = ctx.freshName("ncBetter")
+    val c = ctx.freshName("ncC")
     nullSafeCodeGen(ctx, ev, (v, nrm) => s"""
-      double nc_bestS = 0.0; int nc_bestC = 0; boolean nc_first = true;
-      for (int nc_j = 0; nc_j < $cidRef.length; nc_j++) {
-        double[] nc_cv = $cvsRef[nc_j];
-        int nc_n = Math.min($v.numElements(), nc_cv.length);
-        double nc_s = 0.0;
-        for (int nc_i = 0; nc_i < nc_n; nc_i++) {
-          nc_s += (double) $v.$get(nc_i) * nc_cv[nc_i];
+      double $bestS = 0.0; int $bestC = 0; boolean $firstV = true;
+      for (int $j = 0; $j < $cidRef.length; $j++) {
+        double[] $cv = $cvsRef[$j];
+        int $n = Math.min($v.numElements(), $cv.length);
+        double $s = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $s += (double) $v.$get($i) * $cv[$i];
         }
-        double nc_score = nc_s / ($nrm * $cnrmRef[nc_j]);
-        boolean nc_better;
-        if (nc_first) { nc_better = true; } else {
-          int nc_c = $cls.cmp(nc_score, nc_bestS);
-          nc_better = nc_c > 0 || (nc_c == 0 && $cidRef[nc_j] > nc_bestC);
+        double $score = $s / ($nrm * $cnrmRef[$j]);
+        boolean $better;
+        if ($firstV) { $better = true; } else {
+          int $c = $cls.cmp($score, $bestS);
+          $better = $c > 0 || ($c == 0 && $cidRef[$j] > $bestC);
         }
-        if (nc_better) { nc_bestS = nc_score; nc_bestC = $cidRef[nc_j]; nc_first = false; }
+        if ($better) { $bestS = $score; $bestC = $cidRef[$j]; $firstV = false; }
       }
       ${ev.value} = new ${classOf[GenericInternalRow].getName}(
-        new Object[]{nc_bestS, nc_bestC});""")
+        new Object[]{$bestS, $bestC});""")
   }
 
   override protected def withNewChildrenInternal(

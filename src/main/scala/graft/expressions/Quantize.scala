@@ -52,13 +52,17 @@ case class ArrayMaxAbs(child: Expression) extends ArrayDoubleKernel {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val get = if (isFloat) "getFloat" else "getDouble"
+    // freshName locals — see DotProduct.doGenCode: fixed names collide
+    // across instances in one codegen scope
+    val s = ctx.freshName("amaS"); val i = ctx.freshName("amaI")
+    val v = ctx.freshName("amaV")
     nullSafeCodeGen(ctx, ev, a => s"""
-      double ama_s = 0.0;
-      for (int ama_i = 0; ama_i < $a.numElements(); ama_i++) {
-        double ama_v = Math.abs((double) $a.$get(ama_i));
-        if (ama_v > ama_s) ama_s = ama_v;
+      double $s = 0.0;
+      for (int $i = 0; $i < $a.numElements(); $i++) {
+        double $v = Math.abs((double) $a.$get($i));
+        if ($v > $s) $s = $v;
       }
-      ${ev.value} = ama_s;""")
+      ${ev.value} = $s;""")
   }
 
   override protected def withNewChildInternal(c: Expression): ArrayMaxAbs =
@@ -95,25 +99,31 @@ case class QuantizeMaxErr(child: Expression) extends ArrayDoubleKernel {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val get = if (isFloat) "getFloat" else "getDouble"
+    // freshName locals — see DotProduct.doGenCode
+    val n = ctx.freshName("qmeN"); val scale = ctx.freshName("qmeScale")
+    val i = ctx.freshName("qmeI"); val v = ctx.freshName("qmeV")
+    val err = ctx.freshName("qmeErr"); val i2 = ctx.freshName("qmeI2")
+    val v2 = ctx.freshName("qmeV2"); val q = ctx.freshName("qmeQ")
+    val e = ctx.freshName("qmeE")
     nullSafeCodeGen(ctx, ev, a => s"""
-      int qme_n = $a.numElements();
-      double qme_scale = 0.0;
-      for (int qme_i = 0; qme_i < qme_n; qme_i++) {
-        double qme_v = Math.abs((double) $a.$get(qme_i));
-        if (qme_v > qme_scale) qme_scale = qme_v;
+      int $n = $a.numElements();
+      double $scale = 0.0;
+      for (int $i = 0; $i < $n; $i++) {
+        double $v = Math.abs((double) $a.$get($i));
+        if ($v > $scale) $scale = $v;
       }
-      double qme_err = 0.0;
-      for (int qme_i = 0; qme_i < qme_n; qme_i++) {
-        double qme_v = (double) $a.$get(qme_i);
-        long qme_q = 0L;
-        if (qme_scale != 0.0) {
-          qme_q = (long) java.math.BigDecimal.valueOf(qme_v * 127.0 / qme_scale)
+      double $err = 0.0;
+      for (int $i2 = 0; $i2 < $n; $i2++) {
+        double $v2 = (double) $a.$get($i2);
+        long $q = 0L;
+        if ($scale != 0.0) {
+          $q = (long) java.math.BigDecimal.valueOf($v2 * 127.0 / $scale)
             .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue();
         }
-        double qme_e = Math.abs(qme_v - (double) qme_q * qme_scale / 127.0);
-        if (qme_e > qme_err) qme_err = qme_e;
+        double $e = Math.abs($v2 - (double) $q * $scale / 127.0);
+        if ($e > $err) $err = $e;
       }
-      ${ev.value} = qme_err;""")
+      ${ev.value} = $err;""")
   }
 
   override protected def withNewChildInternal(c: Expression): QuantizeMaxErr =
