@@ -93,6 +93,27 @@ object SparkEntry {
     minhashMemo.getOrElseUpdate((s, dir),
       Sketches.minHashPairs(docs(s, dir), threshold = 0.0).persist())
 
+  /** The corpus-to-date dedup index (exact hashes + band rows over the
+    * first 80% of ids) — in production a pair of lake tables appended
+    * per crawl; memoized here so q_incremental_dedup measures the PROBE
+    * path, not an index rebuild. */
+  private val incIndexMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Long, DataFrame, DataFrame, DataFrame)]
+
+  private def incrementalStateOf(
+      s: SparkSession, dir: String): (Long, DataFrame, DataFrame, DataFrame) =
+    incIndexMemo.getOrElseUpdate((s, dir), {
+      val d = docs(s, dir)
+      val split = IncrementalDedup.splitAt(d)
+      val corpus = d.filter(col("doc_id") <= split)
+      val sigs = IncrementalDedup.sigIndex(corpus).persist()
+      (split, IncrementalDedup.exactIndex(corpus).persist(),
+        IncrementalDedup.bandRows(sigs).persist(), sigs)
+    })
+
+  private def incrementalSplitOf(s: SparkSession, dir: String): Long =
+    incrementalStateOf(s, dir)._1
+
   /** The deflated power-iteration direction stack feeds three queries —
     * train once per (session, dir) (2 x 64 doubles of driver state, the
     * IVF centroid contract). Component 1 of the stack IS topDirection
@@ -148,6 +169,13 @@ object SparkEntry {
 
   private def pqCodebookOf(s: SparkSession, dir: String): Seq[(Int, Array[Double])] =
     pqMemo.getOrElseUpdate((s, dir), functions.Pq.trainCodebook(emb(s, dir)))
+
+  private val pqSubMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[Seq[(Int, Array[Double])]]]
+
+  private def pqSubCodebooksOf(s: SparkSession,
+                               dir: String): Seq[Seq[(Int, Array[Double])]] =
+    pqSubMemo.getOrElseUpdate((s, dir), functions.Pq.trainCodebooks(emb(s, dir)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topics_stats" -> ((s, dir) =>
@@ -340,6 +368,17 @@ object SparkEntry {
     "q_minhash_pairs" -> ((s, dir) =>
       minhashCandidates(s, dir).filter(col("est_jaccard") >= 0.3)
         .orderBy(col("doc_a"), col("doc_b"))),
+    // cross-crawl incremental dedup: the last 20% of ids ("today's
+    // crawl") admitted against the persisted-index view of the first
+    // 80% ("corpus to date") — the index is memoized like a lake table,
+    // so the measured cost is the probe path, and the oracle runs the
+    // FROM-SCRATCH union dedup (equivalence is the gate)
+    "q_incremental_dedup" -> ((s, dir) => {
+      val (split, ex, bi, si) = incrementalStateOf(s, dir)
+      IncrementalDedup.admissions(
+          docs(s, dir).filter(col("doc_id") > split), ex, bi, si)
+        .orderBy(col("doc_id"))
+    }),
     // estimator calibration: minhash est vs the TRUE full-shingle
     // jaccard per estimate bucket — truth comes from row-local distinct
     // shingle-hash arrays intersected per candidate pair (NOT the
@@ -381,9 +420,12 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))),
     // ANN recall vs exact truth on the fixed benchmark query slice —
     // the report that picks probe counts (and code budgets) before an
-    // index ships; LSH, multi-probe, and PQ/ADC side by side
+    // index ships; LSH, multi-probe, pooled PQ/ADC, and per-subspace
+    // PQ/ADC side by side (the pooled-vs-per-subspace delta IS the
+    // codebook config decision)
     "q_ann_recall" -> ((s, dir) =>
-      Similarity.annRecall(emb(s, dir), pqCodebookOf(s, dir))
+      Similarity.annRecall(emb(s, dir), pqCodebookOf(s, dir),
+          pqSubCodebooksOf(s, dir))
         .orderBy(col("query_id"))),
     // iterative float pipeline made oracle-checkable via the integer-
     // grid trick (see functions/Pca.scala)
@@ -798,11 +840,16 @@ object SparkEntry {
     timed("dedupClusters")(dedupClusters03(s, dir).count())
     timed("scoredBucketPairs")(scoredBucketPairsOf(s, dir).count())
     timed("minhashCandidates")(minhashCandidates(s, dir).count())
+    timed("incrementalIndex") {
+      val (_, ex, bi, si) = incrementalStateOf(s, dir)
+      ex.count(); bi.count(); si.count()
+    }
     timed("pcaDirections")(pcaDirections(s, dir))
     timed("ivfCentroids")(ivfCentroids(s, dir))
     timed("dedupIvfCentroids")(dedupIvfCentroids(s, dir))
     timed("bpeMerges")(bpeMergesOf(s, dir))
     timed("pqCodebook")(pqCodebookOf(s, dir))
+    timed("pqSubCodebooks")(pqSubCodebooksOf(s, dir))
   }
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =

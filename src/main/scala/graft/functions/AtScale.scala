@@ -42,4 +42,14 @@ object AtScale {
     if (approxEnabled(ds))
       percentile_approx(c, lit(p), lit(accuracy(ds))).cast("double")
     else percentile(c, lit(p))
+
+  /** Array form — one digest serves every requested percentile (the
+    * exact form likewise buffers the group once). Same schema both
+    * modes: array<double>. */
+  def quantiles(ds: Dataset[_], c: Column, ps: Seq[Double]): Column = {
+    val arr = array(ps.map(lit): _*)
+    if (approxEnabled(ds))
+      percentile_approx(c, arr, lit(accuracy(ds))).cast("array<double>")
+    else percentile(c, arr)
+  }
 }

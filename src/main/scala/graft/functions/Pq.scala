@@ -212,6 +212,161 @@ object Pq {
   def knnPq(emb: DataFrame, k: Int = 10, nQueries: Int = 10): DataFrame =
     knnPqWith(emb, trainCodebook(emb), k, nQueries)
 
+  /** Per-subspace codebooks (the paper's original scheme) as a CONFIG
+    * next to the pooled default: subspace s gets its own CodebookK
+    * centroids trained on only its subvectors, so codewords track each
+    * coordinate block's distribution instead of the pooled average —
+    * the recall lever q_ann_recall measures side by side with the
+    * pooled variant (pooled stays the default: on the fixture's
+    * structure-free random vectors the delta is what it is, and the
+    * pooled oracle chain stays 1/8 the size).
+    *
+    * Training runs ALL subspaces in each Lloyd round (assignment keyed
+    * by (s, code), means grouped by (s, code)) — same number of Spark
+    * jobs as the pooled fit, 8x the (still tiny) driver state. Seeds:
+    * per subspace, its first CodebookK subvectors by vec_id. */
+  def trainCodebooks(emb: DataFrame): Seq[Seq[(Int, Array[Double])]] = {
+    val base = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = base.count()
+      val stride = math.max(1L, (n + Ivf.TrainSampleCap - 1) / Ivf.TrainSampleCap)
+      val train =
+        if (stride > 1) base.filter(col("vec_id") % stride === 0) else base
+      val sv = subvectors(train)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val seedRows = sv
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("s")).orderBy(col("vec_id"))))
+          .filter(col("rn") <= CodebookK)
+          .select(col("s"), (col("rn") - 1).as("code"), col("sub"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1),
+            r.getAs[scala.collection.Seq[Double]]("sub").toArray))
+        if (seedRows.isEmpty) return Seq.empty
+        var cbs: Seq[Seq[(Int, Array[Double])]] = (0 until NumSub).map(s =>
+          seedRows.filter(_._1 == s).sortBy(_._2)
+            .map { case (_, code, cv) => (code, cv) }.toSeq)
+        (1 to PqIters).foreach { _ =>
+          val assigned = sv.withColumn("code",
+            nearestCodePerSub(cbs, col("s"), col("sub")))
+          val means = assigned
+            .select(col("s"), col("code"),
+              posexplode(transform(col("sub"), x => floor(x * lit(Grid20)))))
+            .groupBy(col("s"), col("code"), col("pos"))
+            .agg((sum(col("col")).cast("double")
+              / (lit(Grid20) * count(lit(1)).cast("double"))).as("m"))
+            .groupBy(col("s"), col("code"))
+            .agg(map_from_entries(collect_list(struct(col("pos"), col("m"))))
+              .as("byPos"))
+            .collect()
+            .map { r =>
+              val m = r.getAs[Map[Int, Double]]("byPos")
+              (r.getInt(0), r.getInt(1)) -> Array.tabulate(m.size)(m)
+            }.toMap
+          cbs = cbs.zipWithIndex.map { case (cb, s) =>
+            cb.map { case (code, old) => (code, means.getOrElse((s, code), old)) }
+          }
+        }
+        cbs
+      } finally sv.unpersist()
+    } finally base.unpersist()
+  }
+
+  /** nearestCode where the codebook depends on the row's subspace `s`:
+    * same argmax and (score DESC, code DESC) tie-break, with each
+    * codeword looked up from a per-subspace literal. */
+  private def nearestCodePerSub(cbs: Seq[Seq[(Int, Array[Double])]],
+                                s: Column, sub: Column): Column = {
+    val scoredPerS = cbs.zipWithIndex.map { case (cb, si) =>
+      val scored = cb.map { case (code, c) =>
+        val cn2 = c.map(x => x * x).sum
+        struct(
+          (lit(2.0) * Similarity.dot(sub, array(c.toIndexedSeq.map(lit): _*))
+            - lit(cn2)).as("score"),
+          lit(code).as("code"))
+      }
+      (si, array_max(array(scored: _*)).getField("code"))
+    }
+    scoredPerS.foldRight(lit(-1): Column) { case ((si, c), acc) =>
+      when(s === si, c).otherwise(acc)
+    }
+  }
+
+  /** knnPqWith for per-subspace codebooks: identical ADC machinery —
+    * the flattened s*16+code LUT layout already spans subspaces, so
+    * only the LUT/norm CONTENTS and the per-row code derivation change. */
+  def knnPqSubWith(emb: DataFrame, cbs: Seq[Seq[(Int, Array[Double])]],
+                   k: Int = 10, nQueries: Int = 10): DataFrame = {
+    if (cbs.isEmpty || cbs.exists(_.isEmpty))
+      return emb.limit(0).select(col("vec_id").as("query_id"),
+        col("vec_id").as("neighbor_id"), col("vec_id").as("rank"),
+        lit(0.0).as("score"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    if (queries.isEmpty)
+      return emb.limit(0).select(col("vec_id").as("query_id"),
+        col("vec_id").as("neighbor_id"), col("vec_id").as("rank"),
+        lit(0.0).as("score"))
+    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { d += a(i) * b(i); i += 1 }
+      d
+    }
+    val sorted = cbs.map(_.sortBy(_._1))
+    // codeword norm^2 per (s, code), flattened s*16+code
+    val cn2q = (0 until NumSub).flatMap { s =>
+      sorted(s).map { case (_, c) =>
+        math.floor(c.map(x => x * x).sum * Grid30).toLong
+      }
+    }
+    val luts = queries.map { case (qid, qv) =>
+      val lut = Array.tabulate(NumSub * CodebookK) { i =>
+        val s = i / CodebookK; val code = i % CodebookK
+        val sub = qv.slice(s * SubDim, (s + 1) * SubDim)
+        math.floor(dotSeq(sub, sorted(s)(code)._2) * Grid30).toLong
+      }
+      (qid, math.sqrt(dotSeq(qv, qv)), lut)
+    }
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val withCodes = base.withColumn("codes",
+      transform(sequence(lit(0), lit(NumSub - 1)),
+        s => nearestCodePerSub(sorted, s,
+          slice(col("v"), s * SubDim + 1, lit(SubDim)))))
+    val cn2qLit = array(cn2q.map(lit): _*)
+    val rq = aggregate(sequence(lit(0), lit(NumSub - 1)), lit(0L),
+      (acc, s) => acc +
+        element_at(cn2qLit, s * CodebookK + element_at(col("codes"), s + 1) + 1))
+    val scoreStructs = luts.map { case (qid, qnrm, lut) =>
+      val lutLit = array(lut.map(lit).toIndexedSeq: _*)
+      val aq = aggregate(sequence(lit(0), lit(NumSub - 1)), lit(0L),
+        (acc, s) => acc +
+          element_at(lutLit, s * CodebookK + element_at(col("codes"), s + 1) + 1))
+      struct(lit(qid).as("query_id"),
+        round((aq.cast("double") / lit(Grid30))
+          / (lit(qnrm) * sqrt(col("rq").cast("double") / lit(Grid30))), 9)
+          .as("score"))
+    }
+    val scored = withCodes.withColumn("rq", rq)
+      .select(col("vec_id"), explode(array(scoreStructs: _*)).as("qs"))
+      .filter(col("vec_id") =!= col("qs.query_id"))
+      .select(col("qs.query_id").as("query_id"), col("vec_id"),
+        col("qs.score").as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("score"))
+  }
+
   /** PQ + exact re-rank — the standard deployment pattern: the cheap
     * codes-scan ADC pass nominates `candidates` per query, and ONLY
     * those rows pick up their raw vectors for an exact cosine re-rank.

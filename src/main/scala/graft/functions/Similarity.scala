@@ -372,11 +372,14 @@ object Similarity {
     * always measured on a slice, never the full corpus. The hit joins
     * are k-bounded per query (10 rows/side). */
   def annRecall(emb: DataFrame, pqCodebook: Seq[(Int, Array[Double])],
+                pqSubCodebooks: Seq[Seq[(Int, Array[Double])]] = Seq.empty,
                 k: Int = 10): DataFrame = {
     // the ANN sets tagged and unioned so the exact truth side is
     // derived ONCE and joined once (per-method counts split back out in
     // the aggregate; a neighbor several methods find matches one tagged
-    // row per method — each lands in exactly one conditional count)
+    // row per method — each lands in exactly one conditional count).
+    // "pqs" is the per-subspace-codebook config next to the pooled
+    // default — the recall delta the config decision reads.
     val ex = knnExact(emb, k = k).select(col("query_id"), col("neighbor_id"))
     val ann = knnLsh(emb, k = k)
         .select(col("query_id"), col("neighbor_id"), lit("lsh").as("m"))
@@ -384,18 +387,24 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"), lit("mp").as("m")))
       .unionByName(Pq.knnPqWith(emb, pqCodebook, k = k)
         .select(col("query_id"), col("neighbor_id"), lit("pq").as("m")))
+      .unionByName(Pq.knnPqSubWith(emb, pqSubCodebooks, k = k)
+        .select(col("query_id"), col("neighbor_id"), lit("pqs").as("m")))
     ex.join(ann, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(count(when(col("m") === "lsh", 1)).as("lsh_hits"),
         count(when(col("m") === "mp", 1)).as("multiprobe_hits"),
-        count(when(col("m") === "pq", 1)).as("pq_hits"))
+        count(when(col("m") === "pq", 1)).as("pq_hits"),
+        count(when(col("m") === "pqs", 1)).as("pq_sub_hits"))
       .select(col("query_id"), col("lsh_hits"),
         (col("lsh_hits").cast("double") / lit(k.toDouble)).as("lsh_recall"),
         col("multiprobe_hits"),
         (col("multiprobe_hits").cast("double") / lit(k.toDouble))
           .as("multiprobe_recall"),
         col("pq_hits"),
-        (col("pq_hits").cast("double") / lit(k.toDouble)).as("pq_recall"))
+        (col("pq_hits").cast("double") / lit(k.toDouble)).as("pq_recall"),
+        col("pq_sub_hits"),
+        (col("pq_sub_hits").cast("double") / lit(k.toDouble))
+          .as("pq_sub_recall"))
   }
 
   /** Hybrid dedup verification: TEXT-side MinHash/LSH candidate pairs

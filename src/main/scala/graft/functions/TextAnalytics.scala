@@ -425,20 +425,44 @@ object TextAnalytics {
     * global threshold.
     *
     * Scale note: ntile is ONE window shuffle keyed by source; a single
-    * whale source serializes into one task's sort, so at 100 TB the
-    * exact-decile contract would be relaxed to approx-percentile
-    * cutoffs (A10's documented variant). Here the contract is exact,
-    * and min/max per decile are order-free. */
+    * whale source serializes into one task's sort. Under the AtScale
+    * session conf the exact-decile contract is relaxed to
+    * approx-percentile CUTOFFS: 9 digest-derived boundaries per source
+    * (one bounded-state aggregation, no per-source sort anywhere in the
+    * plan — AtScaleSpec asserts the Window operator is gone), each doc
+    * assigned row-locally by counting boundaries below its score.
+    * Equal-count remainder handling differs from ntile by design (cut
+    * semantics vs rank semantics); the decile MASSES converge at the
+    * digest's error bound, pinned in AtScaleSpec. Exact mode (the
+    * oracle-gated default) is unchanged. */
   def qualityDeciles(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("quality_score"), col("doc_id"))
-    qualityScores(docs).join(docs.select(col("doc_id"), col("source")), "doc_id")
-      .withColumn("decile", ntile(10).over(w).cast("long"))
-      .groupBy(col("source"), col("decile"))
-      .agg(count(lit(1)).as("docs"),
-        min(col("quality_score")).as("q_lo"),
-        max(col("quality_score")).as("q_hi"))
+    val scored = qualityScores(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    if (graft.functions.AtScale.approxEnabled(docs)) {
+      val cuts = scored.groupBy(col("source"))
+        .agg(graft.functions.AtScale.quantiles(docs, col("quality_score"),
+          (1 to 9).map(_ / 10.0)).as("cuts"))
+      scored.join(broadcast(cuts), Seq("source"))
+        .withColumn("decile",
+          coalesce(
+            (lit(1) + size(filter(col("cuts"), cv => col("quality_score") > cv)))
+              .cast("long"),
+            lit(1L)))
+        .groupBy(col("source"), col("decile"))
+        .agg(count(lit(1)).as("docs"),
+          min(col("quality_score")).as("q_lo"),
+          max(col("quality_score")).as("q_hi"))
+    } else {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality_score"), col("doc_id"))
+      scored
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy(col("source"), col("decile"))
+        .agg(count(lit(1)).as("docs"),
+          min(col("quality_score")).as("q_lo"),
+          max(col("quality_score")).as("q_hi"))
+    }
   }
 
   /** Histogram-estimated median next to the exact one, per source — the

@@ -114,7 +114,8 @@ object Sampling {
         (sum(col("n_chars")).cast("double") / count(lit(1))).as("mean_chars"))
     val ci = reps.groupBy(col("source"))
       .agg(count(lit(1)).as("replicates"),
-        expr("percentile(m, array(0.025, 0.975))").as("q"))
+        graft.functions.AtScale.quantiles(docs, col("m"),
+          Seq(0.025, 0.975)).as("q"))
       .select(col("source"), col("replicates"),
         col("q").getItem(0).as("ci_lo"), col("q").getItem(1).as("ci_hi"))
     full.join(ci, Seq("source"))

@@ -310,6 +310,56 @@ pqscored AS (SELECT a.query_id, a.vec_id,
       FROM adc a JOIN rn2 r ON r.vec_id = a.vec_id JOIN qn q USING (query_id))"""
   }
 
+  /** The PER-SUBSPACE codebook chain (Pq.trainCodebooks /
+    * knnPqSubWith) — the config q_ann_recall measures next to the
+    * pooled default. Assumes the pooled chain's sv/scc/tsv/qsub/qn CTEs
+    * are already declared (both chains share the subvector views, like
+    * the engine shares one subvectors() scan); everything trained is
+    * keyed by (s, code) instead of code. */
+  private val pqSubChainCtes: String = {
+    import graft.functions.Pq.{CodebookK, PqIters, Grid20, Grid30}
+    def argCodeS(src: String, cbRel: String, out: String) =
+      s"""$out AS (SELECT vec_id, s, sub, subq, code FROM (
+    SELECT t.vec_id, t.s, t.sub, t.subq, c.code,
+           row_number() OVER (PARTITION BY t.vec_id, t.s
+             ORDER BY 2*list_dot_product(t.sub, c.cv)
+                      - list_dot_product(c.cv, c.cv) DESC, c.code DESC) AS rn
+    FROM $src t JOIN $cbRel c ON c.s = t.s) WHERE rn = 1)"""
+    val iterCtes = (1 to PqIters).map { t =>
+      s"""${argCodeS("tsv", s"zc${t - 1}", s"za$t")},
+zm$t AS (SELECT s, code, list(m ORDER BY pos) AS mv FROM (
+    SELECT s, code, pos,
+           CAST(sum(qc) AS DOUBLE) / ($Grid20 * CAST(count(*) AS DOUBLE)) AS m
+    FROM (SELECT s, code, unnest(subq) AS qc, generate_subscripts(subq, 1) AS pos
+          FROM za$t)
+    GROUP BY 1, 2, 3) GROUP BY 1, 2),
+zc$t AS (SELECT p.s, p.code, COALESCE(m.mv, p.cv) AS cv
+         FROM zc${t - 1} p LEFT JOIN zm$t m ON m.s = p.s AND m.code = p.code)"""
+    }.mkString(",\n")
+    s"""zc0 AS (SELECT s, code, cv FROM (
+          SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS code,
+                 sub AS cv
+          FROM tsv)
+        WHERE code < $CodebookK),
+$iterCtes,
+${argCodeS("sv", s"zc$PqIters", "zcodes")},
+zcn AS (SELECT s, code, cv,
+               CAST(floor(list_dot_product(cv, cv) * $Grid30) AS BIGINT) AS cn2q
+        FROM zc$PqIters),
+zrn AS (SELECT c.vec_id, CAST(sum(k.cn2q) AS BIGINT) AS rq
+        FROM zcodes c JOIN zcn k ON k.s = c.s AND k.code = c.code GROUP BY 1),
+zlut AS (SELECT q.query_id, q.s, c.code,
+                CAST(floor(list_dot_product(q.sub, c.cv) * $Grid30) AS BIGINT) AS pq
+         FROM qsub q JOIN zcn c ON c.s = q.s),
+zadc AS (SELECT l.query_id, c.vec_id, CAST(sum(l.pq) AS BIGINT) AS aq
+         FROM zcodes c JOIN zlut l ON l.s = c.s AND l.code = c.code
+         WHERE c.vec_id <> l.query_id GROUP BY 1, 2),
+zpqscored AS (SELECT a.query_id, a.vec_id,
+        round((CAST(a.aq AS DOUBLE) / $Grid30)
+          / (q.nrm * sqrt(CAST(r.rq AS DOUBLE) / $Grid30)), 9) AS score
+      FROM zadc a JOIN zrn r ON r.vec_id = a.vec_id JOIN qn q USING (query_id))"""
+  }
+
   private val pqOracle: String = {
     val topk = 10
     s"""
@@ -725,9 +775,10 @@ ORDER BY component, dim""",
 
     // mirror of Similarity.knnLshMultiProbe: qb expands each query key
     // with the Hamming-distance-1 probes (xor with one bit, plus 0)
-    // mirror of Similarity.annRecall: the exact, single-probe, and
-    // multi-probe top-10 sets regenerated (the three committed mirrors
-    // composed over shared e/n/b CTEs), hit-counted per query
+    // mirror of Similarity.annRecall: the exact, single-probe,
+    // multi-probe, pooled-PQ, and per-subspace-PQ top-10 sets
+    // regenerated (the committed mirrors composed over shared
+    // e/n/b/sv CTEs), hit-counted per query
     "q_ann_recall" -> s"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
@@ -763,16 +814,25 @@ l3 AS (SELECT query_id, vec_id AS neighbor_id FROM (
          SELECT query_id, vec_id,
                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
          FROM pqscored) WHERE rnk <= 10),
+$pqSubChainCtes,
+l4 AS (SELECT query_id, vec_id AS neighbor_id FROM (
+         SELECT query_id, vec_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+         FROM zpqscored) WHERE rnk <= 10),
 h1 AS (SELECT ex.query_id, CAST(count(l1.neighbor_id) AS BIGINT) AS lsh_hits
        FROM ex LEFT JOIN l1 USING (query_id, neighbor_id) GROUP BY 1),
 h2 AS (SELECT ex.query_id, CAST(count(l2.neighbor_id) AS BIGINT) AS multiprobe_hits
        FROM ex LEFT JOIN l2 USING (query_id, neighbor_id) GROUP BY 1),
 h3 AS (SELECT ex.query_id, CAST(count(l3.neighbor_id) AS BIGINT) AS pq_hits
-       FROM ex LEFT JOIN l3 USING (query_id, neighbor_id) GROUP BY 1)
+       FROM ex LEFT JOIN l3 USING (query_id, neighbor_id) GROUP BY 1),
+h4 AS (SELECT ex.query_id, CAST(count(l4.neighbor_id) AS BIGINT) AS pq_sub_hits
+       FROM ex LEFT JOIN l4 USING (query_id, neighbor_id) GROUP BY 1)
 SELECT h1.query_id, lsh_hits, CAST(lsh_hits AS DOUBLE) / 10.0 AS lsh_recall,
        multiprobe_hits, CAST(multiprobe_hits AS DOUBLE) / 10.0 AS multiprobe_recall,
-       pq_hits, CAST(pq_hits AS DOUBLE) / 10.0 AS pq_recall
-FROM h1 JOIN h2 USING (query_id) JOIN h3 USING (query_id) ORDER BY query_id""",
+       pq_hits, CAST(pq_hits AS DOUBLE) / 10.0 AS pq_recall,
+       pq_sub_hits, CAST(pq_sub_hits AS DOUBLE) / 10.0 AS pq_sub_recall
+FROM h1 JOIN h2 USING (query_id) JOIN h3 USING (query_id)
+JOIN h4 USING (query_id) ORDER BY query_id""",
 
     "q_knn_lsh_multiprobe" -> s"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -876,6 +936,51 @@ $minhashCandCtes
 SELECT doc_a, doc_b, est_jaccard FROM cand
 WHERE est_jaccard >= 0.3
 ORDER BY doc_a, doc_b""",
+
+    // mirror of IncrementalDedup.incrementalRun — deliberately NOT the
+    // engine's decomposition: this runs the FROM-SCRATCH two-stage dedup
+    // of the whole union (exact keep-min, then minhash-LSH connected
+    // components keep-min) and reads off the crawl docs' verdicts, so
+    // the hash gate IS the incremental-equals-from-scratch equivalence
+    // proof. Split boundary = 4/5 of max id, same scalar both sides.
+    "q_incremental_dedup" -> s"""
+WITH RECURSIVE
+bnd AS (SELECT (max(doc_id) * 4) // 5 AS t FROM documents),
+h AS (SELECT doc_id, source, text, md5(text) AS ch FROM documents),
+km AS (SELECT ch, min(doc_id) AS keep_id FROM h GROUP BY 1),
+surv AS (SELECT h.doc_id, h.text FROM h
+         JOIN km ON h.ch = km.ch AND h.doc_id = km.keep_id),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(text) - 4, 0) + 1),
+           i -> text[i:i+4])) AS shingles
+  FROM surv WHERE length(text) >= 5),
+xs AS (
+  SELECT doc_id,
+         list_transform(shingles, sgl -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(sgl) + 1), i -> CAST(ascii(sgl[i:i]) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 1000000007)) AS xs
+  FROM sh),
+f AS (SELECT doc_id, $minhashSigSql AS sig FROM xs),
+$minhashCandCtes,
+prs AS (SELECT doc_a, doc_b FROM cand WHERE est_jaccard >= 0.3),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+          UNION SELECT doc_b, doc_a FROM prs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+cl AS (SELECT node AS doc_id, min(label) <> node AS dropped
+       FROM reach GROUP BY node)
+SELECT h.doc_id, h.source,
+       CASE WHEN km.keep_id <> h.doc_id THEN 'exact_dup'
+            WHEN coalesce(cl.dropped, false) THEN 'near_dup'
+            ELSE 'admitted' END AS outcome
+FROM h JOIN km ON h.ch = km.ch
+LEFT JOIN cl ON cl.doc_id = h.doc_id
+CROSS JOIN bnd WHERE h.doc_id > bnd.t
+ORDER BY h.doc_id""",
 
     // mirror of Similarity.hybridVerify: the banded MinHash candidate
     // set (text signal) joined to exact embedding cosine (semantic

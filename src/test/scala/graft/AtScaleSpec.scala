@@ -54,6 +54,77 @@ class AtScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("lag percentiles and bootstrap CI swap expressions, keep schema, stay close") {
+    val wm = graft.sources.Snapshots.watermarks(spark, TestSpark.Sf001)
+    val go = graft.sources.Snapshots.groupOffsets(spark, TestSpark.Sf001)
+    val exactLag = graft.operators.GroupAnalytics.lagPercentiles(wm, go)
+    val approxLag = withApprox(
+      graft.operators.GroupAnalytics.lagPercentiles(wm, go))
+    assert(!exactLag.queryExecution.analyzed.toString().contains("percentile_approx"))
+    assert(approxLag.queryExecution.analyzed.toString().contains("percentile_approx"))
+    assert(approxLag.schema === exactLag.schema)
+    val e = exactLag.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(3), r.getLong(5))).toMap
+    val a = approxLag.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(a.keySet === e.keySet)
+    // group sizes here are far below the digest's 1/accuracy rank
+    // budget, so the approx p50 is an exact nearest-rank order
+    // statistic; it can differ from the interpolated exact p50 by at
+    // most half the gap between the two middle values <= range/2
+    for ((k, v) <- a) assert(math.abs(v - e(k)._1) <= e(k)._2 / 2.0 + 1.0,
+      s"$k p50: approx $v vs exact ${e(k)._1}")
+
+    val docs = spark.read.parquet(s"${TestSpark.Sf001}/documents.parquet")
+    val exactCi = graft.operators.Sampling.bootstrapCi(docs)
+    val approxCi = withApprox(graft.operators.Sampling.bootstrapCi(docs))
+    assert(approxCi.queryExecution.analyzed.toString().contains("percentile_approx"))
+    assert(approxCi.schema === exactCi.schema)
+    val eCi = exactCi.collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    val aCi = approxCi.collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(aCi.keySet === eCi.keySet)
+    // 64 replicate means per stratum: the digest holds them all, but the
+    // estimators differ (interpolated vs nearest-rank) — bound by the
+    // spread between adjacent replicate means
+    for ((src, (lo, hi)) <- aCi) {
+      assert(math.abs(lo - eCi(src)._1) <= math.abs(eCi(src)._2 - eCi(src)._1),
+        s"$src ci_lo drifted: $lo vs ${eCi(src)._1}")
+      assert(math.abs(hi - eCi(src)._2) <= math.abs(eCi(src)._2 - eCi(src)._1),
+        s"$src ci_hi drifted: $hi vs ${eCi(src)._2}")
+    }
+  }
+
+  test("quality deciles at scale: window sort gone, masses within digest error") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf001}/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val exact = TextAnalytics.qualityDeciles(docs)
+    val approx = withApprox(TextAnalytics.qualityDeciles(docs))
+    assert(approx.schema === exact.schema)
+    // the at-scale plan must not contain the per-source ntile window —
+    // the whale-source sort is exactly what the toggle removes
+    val exactPlan = exact.queryExecution.executedPlan.toString()
+    val approxPlan = approx.queryExecution.executedPlan.toString()
+    assert(exactPlan.contains("Window"), "exact mode should keep ntile")
+    assert(!approxPlan.contains("Window"),
+      s"approx mode must drop the window sort:\n$approxPlan")
+    // cut semantics vs rank semantics: every document still lands in
+    // exactly one decile, per-source totals match, and each decile's
+    // mass is within one digest error of n/10
+    val eTot = exact.groupBy(col("source")).agg(sum(col("docs")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val aRows = approx.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val aTot = aRows.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    assert(aTot === eTot, "approx deciles must partition each source exactly")
+    for (((src, d), n) <- aRows) {
+      val expect = eTot(src) / 10.0
+      assert(math.abs(n - expect) <= math.max(2.0, expect * 0.5),
+        s"$src decile $d mass $n vs ~$expect")
+      assert(d >= 1L && d <= 10L)
+    }
+  }
+
   test("describeStats delegates to the single-pass approx form at scale") {
     val topics = Seq((1L, 100L, 10L), (2L, 220L, 20L), (3L, 340L, 30L),
         (4L, 460L, 40L), (5L, 580L, 50L))

@@ -1,0 +1,215 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.functions.{Dedup, Sketches}
+import graft.operators.IncrementalDedup
+
+/** Cross-crawl incremental dedup: the decomposed probe-the-index path
+  * must equal the from-scratch union dedup (the DuckDB oracle re-proves
+  * this externally at three sfs), the index must be appendable without
+  * touching existing rows, and the lake-backed streaming ingest must
+  * equal the batch operator — with the one online-vs-offline divergence
+  * (retroactive component merges) pinned explicitly rather than hidden.
+  */
+class IncrementalDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while seventeen green " +
+      "turtles carry a library of ancient scrolls across the wide river " +
+      "delta toward the limestone caves beyond the northern ridge line"
+  private def mut(s: String, i: Int, c: Char): String = s.updated(i, c)
+  private val unrelated =
+    "completely different content about quantum chromodynamics lattice " +
+      "simulations running on distributed tensor hardware with exotic " +
+      "cooling requirements and liquid helium plumbing diagrams attached"
+
+  /** corpus ids 1-5, crawl ids 101-108: exact corpus dup, exact batch
+    * dup, near-dup of corpus, near-dup chain inside the crawl, unique,
+    * and a <5-char doc (no signature — exact path only). */
+  private def corpusDocs: DataFrame = Seq(
+    (1L, base, "web"),
+    (2L, unrelated, "web"),
+    (3L, "tiny", "web"),
+    (4L, mut(unrelated, 10, 'x'), "books"), // near-dup of 2 (already in corpus)
+    (5L, base.reverse, "books")
+  ).toDF("doc_id", "text", "source")
+
+  private def crawlDocs: DataFrame = Seq(
+    (101L, base, "crawl"),                  // exact dup of corpus 1
+    (102L, mut(base, 20, 'q'), "crawl"),    // near-dup of corpus 1
+    (103L, unrelated.toUpperCase, "crawl"), // unique (case breaks shingles)
+    (104L, mut(base.reverse, 30, 'z'), "crawl"), // near-dup of corpus 5
+    (105L, mut(base.reverse, 30, 'z'), "crawl"), // exact dup of 104 (batch)
+    (106L, "tiny", "crawl"),                // exact dup of corpus 3 (short)
+    (107L, mut(unrelated.toUpperCase, 5, 'k'), "crawl"), // near-dup of 103
+    (108L, "wee", "crawl")                  // short + unique -> admitted
+  ).toDF("doc_id", "text", "source")
+
+  private def verdictMap(df: DataFrame): Map[Long, String] =
+    df.select($"doc_id", $"outcome").as[(Long, String)].collect().toMap
+
+  /** From-scratch union dedup verdicts via the BATCH operators (a code
+    * path sharing nothing with the incremental decomposition past the
+    * signature kernel): exact keep-min, then minHashPairs + CC keep-min
+    * over the exact survivors. */
+  private def fromScratch(all: DataFrame, splitId: Long): Map[Long, String] = {
+    val hashed = all.withColumn("h", md5($"text"))
+    val keepers = hashed.groupBy($"h").agg(min($"doc_id").as("keep_id"))
+    val surv = hashed.join(keepers,
+      hashed("h") === keepers("h") && hashed("doc_id") === keepers("keep_id"))
+      .select(hashed("doc_id"), hashed("text"))
+    val pairs = Sketches.minHashPairs(surv, threshold = 0.3)
+    val dropped = Dedup.dedupClusters(pairs).filter(!$"keep")
+      .select($"doc_id").as[Long].collect().toSet
+    val exactDropped = hashed.join(keepers,
+      hashed("h") === keepers("h") && hashed("doc_id") =!= keepers("keep_id"))
+      .select(hashed("doc_id")).as[Long].collect().toSet
+    all.select($"doc_id").as[Long].collect().filter(_ > splitId).map { id =>
+      id -> (if (exactDropped(id)) "exact_dup"
+             else if (dropped(id)) "near_dup" else "admitted")
+    }.toMap
+  }
+
+  private def corpusIndex(corpus: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val sigs = IncrementalDedup.sigIndex(corpus)
+    (IncrementalDedup.exactIndex(corpus), IncrementalDedup.bandRows(sigs), sigs)
+  }
+
+  test("incremental admissions == from-scratch union dedup verdicts") {
+    val (ex, bi, si) = corpusIndex(corpusDocs)
+    val got = verdictMap(IncrementalDedup.admissions(crawlDocs, ex, bi, si))
+    val want = fromScratch(corpusDocs.unionByName(crawlDocs), 100L)
+    assert(got === want)
+    // the scenario actually exercises every outcome class
+    assert(got.values.toSet === Set("admitted", "exact_dup", "near_dup"))
+    assert(got(101L) === "exact_dup")
+    assert(got(102L) === "near_dup")
+    assert(got(105L) === "exact_dup")
+    assert(got(106L) === "exact_dup")
+    assert(got(108L) === "admitted")
+  }
+
+  test("index append invariant: corpus index + crawl delta == union index") {
+    val (ex, bi, si) = corpusIndex(corpusDocs)
+    val (dh, db, ds) = IncrementalDedup.indexDelta(crawlDocs, ex)
+    val union = corpusDocs.unionByName(crawlDocs)
+    val wantEx = IncrementalDedup.exactIndex(union)
+      .as[(String, Long)].collect().toSet
+    val gotEx = ex.unionByName(dh).as[(String, Long)].collect().toSet
+    assert(gotEx === wantEx)
+    def bandSet(df: DataFrame): Set[(Long, Int, Seq[Long])] =
+      df.select($"doc_id", $"band", $"band_key")
+        .as[(Long, Int, Seq[Long])].collect().toSet
+    assert(bandSet(bi.unionByName(db)) ===
+      bandSet(IncrementalDedup.bandIndex(union)))
+    def sigSet(df: DataFrame): Set[(Long, Seq[Long])] =
+      df.select($"doc_id", $"sig").as[(Long, Seq[Long])].collect().toSet
+    assert(sigSet(si.unionByName(ds)) ===
+      sigSet(IncrementalDedup.sigIndex(union)))
+  }
+
+  private def writeIndex(corpus: DataFrame, dir: String): Unit = {
+    val (ex, bi, si) = corpusIndex(corpus)
+    ex.write.parquet(s"$dir/exact")
+    bi.write.parquet(s"$dir/bands")
+    si.write.parquet(s"$dir/sigs")
+  }
+
+  test("lake round-trip: admissions from parquet index == in-memory") {
+    val dir = Files.createTempDirectory("graft-inc-lake").toFile.getAbsolutePath
+    writeIndex(corpusDocs, dir)
+    val fromLake = verdictMap(IncrementalDedup.admissions(crawlDocs,
+      spark.read.parquet(s"$dir/exact"), spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/sigs")))
+    val (ex, bi, si) = corpusIndex(corpusDocs)
+    val inMem = verdictMap(IncrementalDedup.admissions(crawlDocs, ex, bi, si))
+    assert(fromLake === inMem)
+  }
+
+  private def streamIngest(corpus: DataFrame,
+                           batches: Seq[Seq[(Long, String, String)]])
+      : Map[Long, String] = {
+    val dir = Files.createTempDirectory("graft-inc-stream").toFile.getAbsolutePath
+    writeIndex(corpus, dir)
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val verdicts = scala.collection.mutable.Map.empty[Long, String]
+    val q = input.toDF().toDF("doc_id", "text", "source").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        IncrementalDedup.ingestBatch(batch, s"$dir/exact", s"$dir/bands",
+            s"$dir/sigs")
+          .collect().foreach(r =>
+            verdicts(r.getLong(0)) = r.getString(2))
+        ()
+      }.start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    verdicts.toMap
+  }
+
+  test("streamed ingest == batch admissions when chains stay within a batch") {
+    val rows = crawlDocs.as[(Long, String, String)].collect().sortBy(_._1)
+    // 104/105 (exact pair) and 103/107 (near-dup pair) kept together;
+    // cross-corpus edges (101, 102, 106) may land anywhere
+    val batches = Seq(rows.filter(_._1 <= 103).toSeq,
+      rows.filter(d => d._1 >= 104 && d._1 <= 105).toSeq,
+      rows.filter(_._1 >= 106).toSeq)
+    val streamed = streamIngest(corpusDocs, batches)
+    val (ex, bi, si) = corpusIndex(corpusDocs)
+    val batch = verdictMap(IncrementalDedup.admissions(crawlDocs, ex, bi, si))
+    assert(streamed === batch)
+  }
+
+  test("pinned divergence: a later doc cannot retro-drop an admitted one") {
+    // A (201) and B (202) are unrelated texts; C (203) is a half-A,
+    // half-B concatenation that bridges both. Offline CC merges
+    // {A, B, C} -> B dropped (A is the min); online ingest admitted B
+    // before C existed and cannot un-admit it.
+    val a = base
+    val b = unrelated
+    // banding at J ~ 0.5 is a deterministic coin-flip per text choice:
+    // search a small grid of concat fractions for a bridge that collides
+    // with BOTH sides and neither side with the other (all engine-side,
+    // so whatever the grid finds is pinned forever)
+    val c = (for {
+      fa <- Seq(150, 160, 170, 180, 140)
+      fb <- Seq(150, 160, 170, 180, 140)
+    } yield a.take(fa) + b.take(fb)).find { cand =>
+      Sketches.minHashPairs(
+        Seq((201L, a), (202L, b), (203L, cand)).toDF("doc_id", "text"),
+        threshold = 0.3)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet ===
+        Set((201L, 203L), (202L, 203L))
+    }.getOrElse(fail("no concat fraction bridges both sides — rebuild fixture"))
+    val cDocs = Seq((201L, a, "s"), (202L, b, "s"), (203L, c, "s"))
+    // a one-doc corpus unrelated to A/B/C (an empty corpus would write
+    // zero-file parquet dirs the lake reader cannot infer a schema from)
+    val seedCorpus = Seq((1L,
+      "entirely separate seed material nine yaks juggle violet umbrellas " +
+        "beneath monsoon clouds while marble statues hum forgotten anthems",
+      "seed")).toDF("doc_id", "text", "source")
+    val (eEx, eBi, eSi) = corpusIndex(seedCorpus)
+    val offline = verdictMap(IncrementalDedup.admissions(
+      cDocs.toDF("doc_id", "text", "source"), eEx, eBi, eSi))
+    // A and B arrive (and are admitted) before the bridge C exists
+    val streamed = streamIngest(seedCorpus,
+      Seq(cDocs.take(2), cDocs.drop(2)))
+    // both agree the bridge doc is a near-dup and A is admitted…
+    assert(offline(203L) === "near_dup")
+    assert(streamed(203L) === "near_dup")
+    assert(offline(201L) === "admitted")
+    assert(streamed(201L) === "admitted")
+    // …but only offline CC can reach back and drop B through C
+    assert(offline(202L) === "near_dup",
+      "offline must collapse the A-C-B chain")
+    assert(streamed(202L) === "admitted",
+      "online ingest must NOT retro-drop an already-admitted doc")
+  }
+}

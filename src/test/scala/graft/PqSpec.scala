@@ -74,6 +74,59 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("per-subspace config: geometry + bitwise ADC reproduction") {
+    val cbs = Pq.trainCodebooks(emb)
+    assert(cbs.size == Pq.NumSub)
+    cbs.foreach { cb =>
+      assert(cb.size == Pq.CodebookK)
+      assert(cb.forall(_._2.length == Pq.SubDim))
+      assert(cb.map(_._1).sorted == (0 until Pq.CodebookK))
+    }
+    // subspace codebooks must actually differ from each other (they
+    // track per-block distributions; identical books would mean the
+    // per-s training silently collapsed to the pooled fit)
+    assert(cbs.map(_.map(_._2.toSeq)).distinct.size > 1)
+    val out = Pq.knnPqSubWith(emb, cbs).collect()
+    assert(out.nonEmpty)
+    val vecs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"),
+        Similarity.l2Norm(col("embedding")).as("nrm"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .toMap
+    val sorted = cbs.map(_.sortBy(_._1))
+    // independent driver-side code assignment per (vector, subspace):
+    // argmax of 2*dot - |c|^2 with the (score, code) max tie-break
+    def codeOf(v: Array[Double], s: Int): Int = {
+      val sub = v.slice(s * Pq.SubDim, (s + 1) * Pq.SubDim)
+      sorted(s).map { case (code, c) =>
+        var d = 0.0; var i = 0
+        while (i < Pq.SubDim) { d += sub(i) * c(i); i += 1 }
+        (2.0 * d - c.map(x => x * x).sum, code)
+      }.max._2
+    }
+    out.foreach { r =>
+      val q = r.getLong(0); val x = r.getLong(1); val got = r.getDouble(3)
+      val (qv, qn) = vecs(q)
+      val (xv, _) = vecs(x)
+      val aq = (0 until Pq.NumSub).map { s =>
+        val sub = qv.slice(s * Pq.SubDim, (s + 1) * Pq.SubDim)
+        val c = sorted(s)(codeOf(xv, s))._2
+        var d = 0.0; var i = 0
+        while (i < Pq.SubDim) { d += sub(i) * c(i); i += 1 }
+        math.floor(d * Pq.Grid30).toLong
+      }.sum
+      val rq = (0 until Pq.NumSub).map { s =>
+        val c = sorted(s)(codeOf(xv, s))._2
+        math.floor(c.map(x => x * x).sum * Pq.Grid30).toLong
+      }.sum
+      val want = BigDecimal((aq.toDouble / Pq.Grid30)
+        / (qn * math.sqrt(rq.toDouble / Pq.Grid30)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got == want, s"query $q neighbor $x: got $got want $want")
+    }
+  }
+
   test("exact re-rank of ADC candidates dominates raw ADC recall") {
     val exact = Similarity.knnExact(emb).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
