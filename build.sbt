@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Xms == Xmx + pre-touch: without it a large-heap bench run spends its
+  // first ~10 minutes inside an expanding, G1-resizing heap — measured
+  // at the x64 rung as 4-8x inflation on every early query
+  // (q_baseline_deltas 0.6 -> 4.7 s) that vanished in later alphabet
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 )

@@ -67,8 +67,8 @@ object Bench {
     // partition per ~16 MB of corpus parquet, floored at the core count
     // and capped at 512; AQE (on by default) coalesces small shuffles
     // back down, so the sf0.1 driver contract is unaffected.
-    val parts = math.min(512L,
-      math.max(cpus.toLong, corpusBytes(sfDir) >> 24)).toString
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+      math.min(512L, math.max(cpus.toLong, corpusBytes(sfDir) >> 24)).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)

@@ -108,7 +108,8 @@ object SparkEntry {
       val corpus = d.filter(col("doc_id") <= split)
       val sigs = IncrementalDedup.sigIndex(corpus).persist()
       (split, IncrementalDedup.exactIndex(corpus).persist(),
-        IncrementalDedup.bandRows(sigs).persist(), sigs)
+        IncrementalDedup.rankedIndex(IncrementalDedup.bandRows(sigs)).persist(),
+        sigs)
     })
 
   private def incrementalSplitOf(s: SparkSession, dir: String): Long =

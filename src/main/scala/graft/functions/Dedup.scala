@@ -63,6 +63,20 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().localCheckpoint()
+    // The loop's tables are EDGE/LABEL-sized, far below the corpus the
+    // session's shuffle width is tuned for, and every round pays that
+    // width in task-scheduling fixed costs (~10 rounds x hundreds of
+    // near-empty tasks: measured 34 s -> 80 s on the same x128 corpus
+    // when the bench session went 32 -> 128 partitions). Size the loop's
+    // exchanges to the materialized edge count instead — the same
+    // decision a production iterative-graph job makes — and restore the
+    // session setting after. AQE's parallelism-first coalescing does NOT
+    // do this (it deliberately keeps small shuffles wide).
+    val spark = pairs.sparkSession
+    val partsKey = "spark.sql.shuffle.partitions"
+    val sessionParts = spark.conf.get(partsKey)
+    val loopParts = math.max(8L, math.min(sessionParts.toLong,
+      edges.count() / 500000L + 1L))
     // no checkpoint for the init labels: it's one narrow distinct over
     // the just-checkpointed edges, folded into round 0's job (a separate
     // materialization job bought nothing — measured ~0.8 s of the sf0.1
@@ -71,7 +85,8 @@ object Dedup {
       .withColumn("label", col("doc_id"))
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
+    spark.conf.set(partsKey, loopParts.toString)
+    try while (!converged && i < maxIter) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
@@ -102,7 +117,7 @@ object Dedup {
         .first().getBoolean(0)
       labels = next.drop("changed")
       i += 1
-    }
+    } finally spark.conf.set(partsKey, sessionParts)
     labels.withColumn("keep", col("doc_id") === col("label"))
       .select(col("doc_id"), col("label").as("cluster_id"), col("keep"))
   }

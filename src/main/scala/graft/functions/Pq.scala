@@ -221,11 +221,19 @@ object Pq {
     * structure-free random vectors the delta is what it is, and the
     * pooled oracle chain stays 1/8 the size).
     *
-    * Training runs ALL subspaces in each Lloyd round (assignment keyed
-    * by (s, code), means grouped by (s, code)) — same number of Spark
-    * jobs as the pooled fit, 8x the (still tiny) driver state. Seeds:
-    * per subspace, its first CodebookK subvectors by vec_id. */
+    * Training runs ALL subspaces in each Lloyd round. Assignment joins
+    * the subvector rows to a BROADCAST 128-row codebook frame on `s`
+    * and takes max(struct(score, code)) per (vec_id, s) — a first cut
+    * expressed the per-row dynamic-subspace argmax as an 8-branch CASE
+    * over 16-codeword array_max literals (1024 inlined dot products);
+    * that expression blew straight past janino's method budget and ran
+    * interpreted (measured: 41 s of x64 warmup for a training step the
+    * pooled fit does in 5). The join shape is ordinary codegen'd
+    * hash-join + hash-agg at any K. Seeds: per subspace, its first
+    * CodebookK subvectors by vec_id. */
   def trainCodebooks(emb: DataFrame): Seq[Seq[(Int, Array[Double])]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val base = emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -250,8 +258,18 @@ object Pq {
           seedRows.filter(_._1 == s).sortBy(_._2)
             .map { case (_, code, cv) => (code, cv) }.toSeq)
         (1 to PqIters).foreach { _ =>
-          val assigned = sv.withColumn("code",
-            nearestCodePerSub(cbs, col("s"), col("sub")))
+          val cbDf = (for {
+            s <- cbs.indices; (code, cv) <- cbs(s)
+          } yield (s, code, cv.toSeq, cv.map(x => x * x).sum))
+            .toDF("s", "code", "cv", "cn2")
+          val assigned = sv.join(broadcast(cbDf), Seq("s"))
+            .withColumn("score",
+              lit(2.0) * Similarity.dot(col("sub"), col("cv")) - col("cn2"))
+            .groupBy(col("vec_id"), col("s"), col("sub"))
+            // max of struct = lexicographic (score, code): the same
+            // (score DESC, code DESC) tie-break as the pooled argmax
+            .agg(max(struct(col("score"), col("code"))).getField("code")
+              .as("code"))
           val means = assigned
             .select(col("s"), col("code"),
               posexplode(transform(col("sub"), x => floor(x * lit(Grid20)))))
@@ -273,26 +291,6 @@ object Pq {
         cbs
       } finally sv.unpersist()
     } finally base.unpersist()
-  }
-
-  /** nearestCode where the codebook depends on the row's subspace `s`:
-    * same argmax and (score DESC, code DESC) tie-break, with each
-    * codeword looked up from a per-subspace literal. */
-  private def nearestCodePerSub(cbs: Seq[Seq[(Int, Array[Double])]],
-                                s: Column, sub: Column): Column = {
-    val scoredPerS = cbs.zipWithIndex.map { case (cb, si) =>
-      val scored = cb.map { case (code, c) =>
-        val cn2 = c.map(x => x * x).sum
-        struct(
-          (lit(2.0) * Similarity.dot(sub, array(c.toIndexedSeq.map(lit): _*))
-            - lit(cn2)).as("score"),
-          lit(code).as("code"))
-      }
-      (si, array_max(array(scored: _*)).getField("code"))
-    }
-    scoredPerS.foldRight(lit(-1): Column) { case ((si, c), acc) =>
-      when(s === si, c).otherwise(acc)
-    }
   }
 
   /** knnPqWith for per-subspace codebooks: identical ADC machinery —
@@ -336,10 +334,18 @@ object Pq {
     }
     val base = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
-    val withCodes = base.withColumn("codes",
-      transform(sequence(lit(0), lit(NumSub - 1)),
-        s => nearestCodePerSub(sorted, s,
-          slice(col("v"), s * SubDim + 1, lit(SubDim)))))
+    // the subspace of each code position is STATIC, so each position
+    // gets its own codebook's pooled argmax expression as a separate
+    // column (separate aliases let codegen split methods; a dynamic-s
+    // CASE chain over all 8 codebooks measured 9x slower — see
+    // trainCodebooks' scaladoc)
+    val withCodeCols = (0 until NumSub).foldLeft(base) { (df, s) =>
+      df.withColumn(s"code_$s",
+        nearestCode(sorted(s), slice(col("v"), s * SubDim + 1, SubDim)))
+    }
+    val withCodes = withCodeCols
+      .withColumn("codes", array((0 until NumSub).map(s => col(s"code_$s")): _*))
+      .drop((0 until NumSub).map(s => s"code_$s"): _*)
     val cn2qLit = array(cn2q.map(lit): _*)
     val rq = aggregate(sequence(lit(0), lit(NumSub - 1)), lit(0L),
       (acc, s) => acc +
