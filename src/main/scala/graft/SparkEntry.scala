@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Snapshots
 import graft.operators._
-import graft.functions.{Dedup, Sketches, Similarity, TextAnalytics}
+import graft.functions.{AtScale, Dedup, Sketches, Similarity, TextAnalytics}
 import graft.expressions.PolyHash
 import graft.oracle.{OracleSql, OracleSqlExt}
 
@@ -395,9 +395,14 @@ object SparkEntry {
         .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
         .withColumn("true_j", col("inter").cast("double") /
           (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
+      // p50 through the AtScale switchboard: per-bucket value buffering
+      // over the candidate-PAIR set is the one place group cardinality
+      // grows superlinearly with corpus size — exact `percentile` here
+      // was the last bypass outside the switchboard (r6 verdict item 3).
       est.groupBy(floor(col("est_jaccard") * 8).cast("long").as("bucket"))
         .agg(count(lit(1)).as("pairs"),
-          expr("percentile(abs(est_jaccard - true_j), 0.5)").as("p50_abs_err"),
+          AtScale.quantile(est, abs(col("est_jaccard") - col("true_j")), 0.5)
+            .as("p50_abs_err"),
           max(abs(col("est_jaccard") - col("true_j"))).as("max_abs_err"))
         .orderBy(col("bucket"))
     }),

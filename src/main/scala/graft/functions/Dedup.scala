@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.SessionBridge
 
 /** Deduplication operators for an LLM training-data pipeline.
   *
@@ -69,25 +70,33 @@ object Dedup {
     // near-empty tasks: measured 34 s -> 80 s on the same x128 corpus
     // when the bench session went 32 -> 128 partitions). Size the loop's
     // exchanges to the materialized edge count instead — the same
-    // decision a production iterative-graph job makes — and restore the
-    // session setting after. AQE's parallelism-first coalescing does NOT
-    // do this (it deliberately keeps small shuffles wide).
+    // decision a production iterative-graph job makes. AQE's
+    // parallelism-first coalescing does NOT do this (it deliberately
+    // keeps small shuffles wide). The narrow width lives in an ISOLATED
+    // child session (newSession: own conf, shared context + caches), so
+    // the caller's shuffle width is never touched — the previous
+    // set/restore on the shared session leaked the narrow width to any
+    // query planned concurrently and was not reentrant (r6 ADVICE).
+    // Rebinding is safe both ways: edges is localCheckpoint'd
+    // (LogicalRDD — session-independent lineage), as is every round's
+    // label table.
     val spark = pairs.sparkSession
     val partsKey = "spark.sql.shuffle.partitions"
-    val sessionParts = spark.conf.get(partsKey)
-    val loopParts = math.max(8L, math.min(sessionParts.toLong,
+    val loopParts = math.max(8L, math.min(spark.conf.get(partsKey).toLong,
       edges.count() / 500000L + 1L))
+    val loopSession = spark.newSession()
+    loopSession.conf.set(partsKey, loopParts.toString)
+    val loopEdges = SessionBridge.rebind(edges, loopSession)
     // no checkpoint for the init labels: it's one narrow distinct over
     // the just-checkpointed edges, folded into round 0's job (a separate
     // materialization job bought nothing — measured ~0.8 s of the sf0.1
     // label-propagation wall)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
+    var labels = loopEdges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
     var converged = false
     var i = 0
-    spark.conf.set(partsKey, loopParts.toString)
-    try while (!converged && i < maxIter) {
-      val neighborMin = edges
+    while (!converged && i < maxIter) {
+      val neighborMin = loopEdges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("label")).as("nmin"))
@@ -117,8 +126,11 @@ object Dedup {
         .first().getBoolean(0)
       labels = next.drop("changed")
       i += 1
-    } finally spark.conf.set(partsKey, sessionParts)
-    labels.withColumn("keep", col("doc_id") === col("label"))
+    }
+    // hand the result back on the CALLER's session (checkpointed plan —
+    // rebind is lineage-only) so downstream joins don't mix sessions
+    SessionBridge.rebind(labels, spark)
+      .withColumn("keep", col("doc_id") === col("label"))
       .select(col("doc_id"), col("label").as("cluster_id"), col("keep"))
   }
 

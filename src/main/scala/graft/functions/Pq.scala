@@ -167,12 +167,18 @@ object Pq {
     val cn2q = cbSorted.map { case (_, c) =>
       math.floor(c.map(x => x * x).sum * Grid30).toLong
     }
-    // per-query: L2 norm and the flattened ADC table (s * 16 + code)
+    // per-query: L2 norm and the flattened ADC table (s * 16 + code).
+    // Slots are FILLED BY ACTUAL CODE, not tabulated positionally: a
+    // training sample smaller than CodebookK yields a shorter codebook
+    // (codes still contiguous from 0), and positional tabulation read
+    // past its end (r6 ADVICE). Unfilled slots stay 0 and are never
+    // read — nearestCode only emits existing codes.
     val luts = queries.map { case (qid, qv) =>
-      val lut = Array.tabulate(NumSub * CodebookK) { i =>
-        val s = i / CodebookK; val code = i % CodebookK
+      val lut = Array.fill(NumSub * CodebookK)(0L)
+      for (s <- 0 until NumSub; (code, cw) <- cbSorted
+           if code >= 0 && code < CodebookK) {
         val sub = qv.slice(s * SubDim, (s + 1) * SubDim)
-        math.floor(dotSeq(sub, cbSorted(code)._2) * Grid30).toLong
+        lut(s * CodebookK + code) = math.floor(dotSeq(sub, cw) * Grid30).toLong
       }
       (qid, math.sqrt(dotSeq(qv, qv)), lut)
     }
@@ -318,17 +324,23 @@ object Pq {
       d
     }
     val sorted = cbs.map(_.sortBy(_._1))
-    // codeword norm^2 per (s, code), flattened s*16+code
-    val cn2q = (0 until NumSub).flatMap { s =>
-      sorted(s).map { case (_, c) =>
-        math.floor(c.map(x => x * x).sum * Grid30).toLong
-      }
+    // codeword norm^2 per (s, code), flattened s*16+code — filled BY
+    // ACTUAL CODE so a short per-subspace codebook (training sample
+    // < CodebookK) neither shifts the flattened layout nor indexes past
+    // the codebook seq (r6 ADVICE; unfilled slots are never read)
+    val cn2q = {
+      val a = Array.fill(NumSub * CodebookK)(0L)
+      for (s <- 0 until NumSub; (code, c) <- sorted(s)
+           if code >= 0 && code < CodebookK)
+        a(s * CodebookK + code) = math.floor(c.map(x => x * x).sum * Grid30).toLong
+      a.toIndexedSeq
     }
     val luts = queries.map { case (qid, qv) =>
-      val lut = Array.tabulate(NumSub * CodebookK) { i =>
-        val s = i / CodebookK; val code = i % CodebookK
+      val lut = Array.fill(NumSub * CodebookK)(0L)
+      for (s <- 0 until NumSub; (code, cw) <- sorted(s)
+           if code >= 0 && code < CodebookK) {
         val sub = qv.slice(s * SubDim, (s + 1) * SubDim)
-        math.floor(dotSeq(sub, sorted(s)(code)._2) * Grid30).toLong
+        lut(s * CodebookK + code) = math.floor(dotSeq(sub, cw) * Grid30).toLong
       }
       (qid, math.sqrt(dotSeq(qv, qv)), lut)
     }

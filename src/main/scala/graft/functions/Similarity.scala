@@ -372,8 +372,14 @@ object Similarity {
     * always measured on a slice, never the full corpus. The hit joins
     * are k-bounded per query (10 rows/side). */
   def annRecall(emb: DataFrame, pqCodebook: Seq[(Int, Array[Double])],
-                pqSubCodebooks: Seq[Seq[(Int, Array[Double])]] = Seq.empty,
+                pqSubCodebooks: Seq[Seq[(Int, Array[Double])]],
                 k: Int = 10): DataFrame = {
+    // No default for pqSubCodebooks (r6 ADVICE): a silent Seq.empty
+    // produced pq_sub_recall=0.0 rows that read as "per-subspace PQ has
+    // zero recall" rather than "not measured". Callers that don't train
+    // per-subspace codebooks pass Seq.empty EXPLICITLY and get NULL
+    // pq_sub columns — unmeasured, not zero.
+    val measureSub = pqSubCodebooks.nonEmpty && !pqSubCodebooks.exists(_.isEmpty)
     // the ANN sets tagged and unioned so the exact truth side is
     // derived ONCE and joined once (per-method counts split back out in
     // the aggregate; a neighbor several methods find matches one tagged
@@ -402,9 +408,11 @@ object Similarity {
           .as("multiprobe_recall"),
         col("pq_hits"),
         (col("pq_hits").cast("double") / lit(k.toDouble)).as("pq_recall"),
-        col("pq_sub_hits"),
-        (col("pq_sub_hits").cast("double") / lit(k.toDouble))
-          .as("pq_sub_recall"))
+        (if (measureSub) col("pq_sub_hits")
+         else lit(null).cast("long")).as("pq_sub_hits"),
+        (if (measureSub)
+           (col("pq_sub_hits").cast("double") / lit(k.toDouble))
+         else lit(null).cast("double")).as("pq_sub_recall"))
   }
 
   /** Hybrid dedup verification: TEXT-side MinHash/LSH candidate pairs

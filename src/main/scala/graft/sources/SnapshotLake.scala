@@ -116,8 +116,22 @@ object SnapshotLake {
     val maxRow = wm.agg(max(col("s"))).collect()(0)
     if (maxRow.isNullAt(0)) return // empty lake: nothing to retain
     val maxS = maxRow.getLong(0)
+    swapInPlace(spark, path)(tmp =>
+      writeWatermarks(compact(wm, maxS - keepLast + 1), tmp))
+  }
+
+  /** Stage-and-swap primitive shared by retention and index compaction:
+    * `write(tmp)` must EAGERLY write the replacement (reading the live
+    * `path` is fine — the swap happens only after the write returns),
+    * then the live directory is swapped out through the same rename
+    * dance as applyRetention, with the identical crash contract:
+    * the only non-atomic window leaves the old data parked at
+    * `.expired` and [[recoverRetention]] repairs it. */
+  def swapInPlace(spark: SparkSession, path: String)
+                 (write: String => Unit): Unit = {
+    recoverRetention(spark, path)
     val tmp = path + ".retaining"
-    writeWatermarks(compact(wm, maxS - keepLast + 1), tmp) // eager: full write
+    write(tmp) // eager: full write before any rename
     val conf = spark.sparkContext.hadoopConfiguration
     val lake = new org.apache.hadoop.fs.Path(path)
     val staged = new org.apache.hadoop.fs.Path(tmp)

@@ -125,6 +125,24 @@ class AtScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash calibration p50 routes through the switchboard (r6 item 3)") {
+    // the candidate-PAIR set is where group cardinality grows
+    // superlinearly with corpus size — the last exact-percentile bypass
+    val q = SparkEntry.queries("q_minhash_calibration")
+    val exact = q(spark, TestSpark.Sf0001)
+    val approx = withApprox(q(spark, TestSpark.Sf0001))
+    assert(!exact.queryExecution.analyzed.toString().contains("percentile_approx"))
+    assert(approx.queryExecution.analyzed.toString().contains("percentile_approx"),
+      "at-scale mode must swap the calibration p50 to percentile_approx")
+    assert(approx.schema === exact.schema)
+    val e = exact.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val a = approx.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(a.keySet === e.keySet)
+    // buckets hold few pairs at sf0.001 → digest ~exact; loose bound on [0,1]
+    for ((b, v) <- a) assert(math.abs(v - e(b)) <= 0.05,
+      s"bucket $b p50_abs_err: approx $v vs exact ${e(b)}")
+  }
+
   test("describeStats delegates to the single-pass approx form at scale") {
     val topics = Seq((1L, 100L, 10L), (2L, 220L, 20L), (3L, 340L, 30L),
         (4L, 460L, 40L), (5L, 580L, 50L))
