@@ -85,6 +85,14 @@ object Dedup {
     val loopParts = math.max(8L, math.min(spark.conf.get(partsKey).toLong,
       edges.count() / 500000L + 1L))
     val loopSession = spark.newSession()
+    // newSession starts from the SparkContext conf, NOT the caller's
+    // runtime conf — without this copy, session-level settings the
+    // caller changed via spark.conf.set (AQE tuning, ANSI, at-scale
+    // toggles) would silently revert to defaults inside the loop
+    // (r7 ADVICE). Only modifiable (non-static) confs can be carried.
+    spark.conf.getAll.foreach { case (k, v) =>
+      if (loopSession.conf.isModifiable(k)) loopSession.conf.set(k, v)
+    }
     loopSession.conf.set(partsKey, loopParts.toString)
     val loopEdges = SessionBridge.rebind(edges, loopSession)
     // no checkpoint for the init labels: it's one narrow distinct over

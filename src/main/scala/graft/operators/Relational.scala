@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Snapshots
@@ -149,6 +149,15 @@ object Relational {
       .withColumn("epoch_s",
         expr("(ts - pmod(ts, 1000000000)) div 1000000000"))
 
+  /** BIGINT nanos -> epoch MICROS with FLOOR semantics (pmod idiom):
+    * DuckDB's `//` floors, Spark's `div` truncates toward zero, and the
+    * two diverge for pre-1970 nanos — the same bug class the epoch_s
+    * bucket fix above eliminated, applied to every ts->micros
+    * conversion (r7 ADVICE). Downstream integer differences of these
+    * micros (asof gap_s) are non-negative by construction, so their
+    * plain `div` is already floor. */
+  private def nanosToMicros: Column = expr("(ts - pmod(ts, 1000)) div 1000")
+
   /** Tumbling per-minute rollup per event type: counts + exact value sums
     * (DECIMAL accumulate, DOUBLE surface). */
   def eventsMinuteRollup(ev: DataFrame): DataFrame =
@@ -164,7 +173,7 @@ object Relational {
     * mirrors by exploding the two qualifying starts. Counts and exact
     * DECIMAL value sums, keyed by epoch-second window start. */
   def slidingEventCounts(ev: DataFrame): DataFrame =
-    ev.withColumn("tss", timestamp_micros(expr("ts div 1000")))
+    ev.withColumn("tss", timestamp_micros(nanosToMicros))
       .groupBy(col("event_type"),
         window(col("tss"), "10 minutes", "5 minutes").as("w"))
       .agg(count(lit(1)).as("events"),
@@ -179,7 +188,7 @@ object Relational {
     * island construction: a session breaks when the gap is >= 30 min
     * (session_window's interval is [start, start + gap)). */
   def sessionWindows(ev: DataFrame): DataFrame =
-    ev.withColumn("tss", timestamp_micros(expr("ts div 1000")))
+    ev.withColumn("tss", timestamp_micros(nanosToMicros))
       .groupBy(col("user_id"), session_window(col("tss"), "30 minutes").as("w"))
       .agg(count(lit(1)).as("events"),
         countDistinct(col("event_type")).as("event_types"))
@@ -295,7 +304,7 @@ object Relational {
     * DuckDB timestamps are micro-resolution and the oracle must order
     * by the same clock the engine does. */
   def purchaseClickAsof(ev: DataFrame): DataFrame = {
-    val e = ev.withColumn("tus", expr("ts div 1000"))
+    val e = ev.withColumn("tus", nanosToMicros)
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"), col("tus"))
     val clicks = e.filter(col("event_type") === "click")

@@ -17,7 +17,7 @@ class AsofStreamSpec extends AnyFunSuite {
   test("streaming as-of enrichment equals the batch as-of join") {
     implicit val sq = spark.sqlContext
     val ev = Relational.eventsWithEpoch(spark, TestSpark.Sf0001)
-      .withColumn("tus", expr("ts div 1000"))
+      .withColumn("tus", expr("(ts - pmod(ts, 1000)) div 1000"))
     val asofEvents = ev
       .filter($"event_type".isin("click", "purchase"))
       .select($"user_id", $"tus",

@@ -49,9 +49,32 @@ class EventMatrixSpec extends AnyFunSuite {
       .filter($"event_type" === "signup").collect()
       .map(_.getAs[Long]("minute")).toSet
     assert(minutes == Set(-1L, 1440L))
-    // and the epoch_s derivation itself floors: -1 ns → second -1
-    val es = Relational.eventsWithEpoch(spark, TestSpark.Sf0001)
-    assert(es.schema.fieldNames.contains("epoch_s")) // smoke: unchanged shape
+    // and the production epoch_s derivation itself floors: a one-row
+    // parquet with ts = -1 ns must yield second -1, not trunc's 0
+    // (r7 ADVICE: the old assertion only checked schema shape)
+    val dir = java.nio.file.Files.createTempDirectory("graft-negts")
+      .toFile.getAbsolutePath
+    Seq((1L, -1L, 7L, "click", 0.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val es = Relational.eventsWithEpoch(spark, dir)
+    assert(es.select($"epoch_s").as[Long].collect().toSeq == Seq(-1L))
+  }
+
+  test("nanos->micros conversions FLOOR for pre-1970 ts (asof tus)") {
+    // ts = -1 ns: floor micros = -1; truncating `div` gave 0 — the same
+    // divergence class vs DuckDB `//` as the bucket fix above, on the
+    // micros paths (r7 ADVICE item 2). The click at exactly -1 s floors
+    // to -1e6 micros; gap_s = (-1 - -1000000) div 1e6 = 0 (non-negative
+    // by the as-of contract, so trunc == floor there).
+    val negEv = Seq(
+      (1L, "u", "purchase", 1.0, -1L),
+      (2L, "u", "click", 0.2, -1000000000L)
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    val asof = Relational.purchaseClickAsof(negEv).collect()
+    assert(asof.length == 1)
+    assert(asof(0).getAs[Long]("p_ts") == -1L, "purchase micros must floor")
+    assert(asof(0).getAs[Long]("gap_s") == 0L)
   }
 
   test("transitions: rows sum to a stochastic matrix, mass = events - users") {

@@ -167,6 +167,117 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  // --- index maintenance (compactIndex / swapInPlace) -----------------
+
+  /** A probe batch exercising all three outcomes against the ingested
+    * index: 301 near-dup of corpus 1's text, 302 brand-new, 303 exact
+    * dup of corpus 1. */
+  private def probeDocs: DataFrame = Seq(
+    (301L, mut(base, 40, 'p'), "probe"),
+    (302L, "never seen before prose describing migratory lanternfish " +
+      "charting moonlit currents past basalt arches and kelp cathedrals",
+      "probe"),
+    (303L, base, "probe")
+  ).toDF("doc_id", "text", "source")
+
+  /** Index dirs seeded from the corpus then grown by two ingestBatch
+    * appends — each table ends up with >= 3 parquet appends, the state
+    * compactIndex exists to fold. */
+  private def ingestedIndexDir(): String = {
+    val dir = Files.createTempDirectory("graft-inc-compact").toFile.getAbsolutePath
+    writeIndex(corpusDocs, dir)
+    val rows = crawlDocs.as[(Long, String, String)].collect().sortBy(_._1)
+    Seq(rows.filter(_._1 <= 103).toSeq, rows.filter(_._1 >= 104).toSeq)
+      .foreach { b =>
+        IncrementalDedup.ingestBatch(b.toDF("doc_id", "text", "source"),
+          s"$dir/exact", s"$dir/bands", s"$dir/sigs")
+      }
+    dir
+  }
+
+  private def admitFromDir(dir: String): Map[Long, String] =
+    verdictMap(IncrementalDedup.admissions(probeDocs,
+      spark.read.parquet(s"$dir/exact"), spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/sigs")))
+
+  private def partFiles(dir: String, table: String): Int =
+    new java.io.File(s"$dir/$table").listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+
+  test("compactIndex: admissions equality, unranked and ranked") {
+    val dir = ingestedIndexDir()
+    val before = admitFromDir(dir)
+    // the scenario is meaningful: every outcome class present
+    assert(before === Map(301L -> "near_dup", 302L -> "admitted",
+      303L -> "exact_dup"))
+    assert(partFiles(dir, "bands") > 1, "ingest appends must leave >1 file")
+    IncrementalDedup.compactIndex(spark, s"$dir/exact", s"$dir/bands",
+      s"$dir/sigs")
+    assert(partFiles(dir, "bands") == 1 && partFiles(dir, "exact") == 1 &&
+      partFiles(dir, "sigs") == 1)
+    assert(!spark.read.parquet(s"$dir/bands").columns.contains("rk"),
+      "default compaction keeps the ingest lake unranked")
+    assert(admitFromDir(dir) === before)
+    // ranked rebuild: same verdicts through the pre-ranked probe path
+    IncrementalDedup.compactIndex(spark, s"$dir/exact", s"$dir/bands",
+      s"$dir/sigs", ranked = true)
+    val rankedCols = spark.read.parquet(s"$dir/bands").columns.toSet
+    assert(rankedCols.contains("rk") && rankedCols.contains("c"))
+    assert(admitFromDir(dir) === before)
+  }
+
+  test("ingestBatch refuses a ranked bands dir") {
+    val dir = ingestedIndexDir()
+    IncrementalDedup.compactIndex(spark, s"$dir/exact", s"$dir/bands",
+      s"$dir/sigs", ranked = true)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.ingestBatch(probeDocs, s"$dir/exact", s"$dir/bands",
+        s"$dir/sigs")
+    }
+    assert(e.getMessage.contains("RANKED"))
+    // the refusal happened before any write: the index is uncorrupted
+    assert(admitFromDir(dir) === Map(301L -> "near_dup", 302L -> "admitted",
+      303L -> "exact_dup"))
+  }
+
+  test("admissions raises LOUDLY on a ranked index with appended null-rk rows") {
+    val dir = ingestedIndexDir()
+    IncrementalDedup.compactIndex(spark, s"$dir/exact", s"$dir/bands",
+      s"$dir/sigs", ranked = true)
+    // the corruption ingestBatch refuses to create, done manually: rows
+    // appended AFTER the ranked rebuild read back with null rk/c
+    spark.read.parquet(s"$dir/bands").limit(1)
+      .withColumn("rk", lit(null).cast("int"))
+      .withColumn("c", lit(null).cast("long"))
+      .write.mode("append").parquet(s"$dir/bands")
+    val e = intercept[Throwable] { admitFromDir(dir) }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("unranked rows"), s"unexpected failure: $msgs")
+  }
+
+  test("swapInPlace crash window: recoverRetention repairs, compaction proceeds") {
+    val dir = ingestedIndexDir()
+    val before = admitFromDir(dir)
+    // simulate a crash between "old moved aside" and "new moved in" on
+    // the bands table: live dir absent, old lake parked at .expired, a
+    // half-written stage left at .retaining
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bands = new org.apache.hadoop.fs.Path(s"$dir/bands")
+    val fs = bands.getFileSystem(conf)
+    assert(fs.rename(bands, new org.apache.hadoop.fs.Path(s"$dir/bands.expired")))
+    val staged = new org.apache.hadoop.fs.Path(s"$dir/bands.retaining")
+    fs.mkdirs(staged)
+    // compactIndex's swapInPlace runs recoverRetention first: the old
+    // lake is restored, the stale stage discarded, then compaction folds
+    IncrementalDedup.compactIndex(spark, s"$dir/exact", s"$dir/bands",
+      s"$dir/sigs")
+    assert(fs.exists(bands))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/bands.expired")))
+    assert(!fs.exists(staged))
+    assert(admitFromDir(dir) === before)
+  }
+
   test("pinned divergence: a later doc cannot retro-drop an admitted one") {
     // A (201) and B (202) are unrelated texts; C (203) is a half-A,
     // half-B concatenation that bridges both. Offline CC merges

@@ -35,7 +35,12 @@ class PqSpec extends AnyFunSuite {
     assert(rng.getAs[Long]("slots") == n * Pq.NumSub)
   }
 
-  test("ADC scores in the query output are bitwise reproducible driver-side") {
+  /** Recompute every pooled-ADC output score independently driver-side
+    * from (codes, codebook, query norms) and require bit equality —
+    * shared by the full-codebook and short-codebook cases (the latter
+    * is the r7 regression pin: positional LUT tabulation read past a
+    * short codebook's end). */
+  private def assertPooledAdcReproducible(cb: Seq[(Int, Array[Double])]): Unit = {
     val out = Pq.knnPqWith(emb, cb).collect()
     assert(out.nonEmpty)
     val codes = Pq.encode(emb, cb).collect()
@@ -74,8 +79,24 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("ADC scores in the query output are bitwise reproducible driver-side") {
+    assertPooledAdcReproducible(cb)
+  }
+
+  test("short pooled codebook (training < CodebookK subvectors) scores exactly") {
+    // one vector -> NumSub subvectors -> a codebook SHORTER than
+    // CodebookK, codes still contiguous from 0. Pre-r7, the LUT/cn2
+    // tabulation was positional over CodebookK slots and indexed past
+    // this codebook's end.
+    val shortCb = Pq.trainCodebook(emb.filter(col("vec_id") === 0))
+    assert(shortCb.size == Pq.NumSub && shortCb.size < Pq.CodebookK)
+    assert(shortCb.map(_._1).sorted == (0 until shortCb.size))
+    assertPooledAdcReproducible(shortCb)
+  }
+
+  private lazy val cbs = Pq.trainCodebooks(emb)
+
   test("per-subspace config: geometry + bitwise ADC reproduction") {
-    val cbs = Pq.trainCodebooks(emb)
     assert(cbs.size == Pq.NumSub)
     cbs.foreach { cb =>
       assert(cb.size == Pq.CodebookK)
@@ -86,6 +107,40 @@ class PqSpec extends AnyFunSuite {
     // track per-block distributions; identical books would mean the
     // per-s training silently collapsed to the pooled fit)
     assert(cbs.map(_.map(_._2.toSeq)).distinct.size > 1)
+    assertSubAdcReproducible(cbs)
+  }
+
+  test("short per-subspace codebooks (training < CodebookK vectors) score exactly") {
+    // 8 training vectors -> one subvector per (vector, s) -> every
+    // per-subspace codebook has 8 < CodebookK codewords; the flattened
+    // s*CodebookK+code LUT layout must not shift (r7 regression pin)
+    val shortCbs = Pq.trainCodebooks(emb.filter(col("vec_id") < 8))
+    assert(shortCbs.size == Pq.NumSub)
+    shortCbs.foreach { scb =>
+      assert(scb.size == 8 && scb.size < Pq.CodebookK)
+      assert(scb.map(_._1).sorted == (0 until scb.size))
+    }
+    assertSubAdcReproducible(shortCbs)
+  }
+
+  test("annRecall: explicit empty sub-codebooks -> NULL pq_sub columns, not 0.0") {
+    val rows = Similarity.annRecall(emb, cb, Seq.empty).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("pq_sub_hits")), "unmeasured must be NULL")
+      assert(r.isNullAt(r.fieldIndex("pq_sub_recall")), "unmeasured must be NULL")
+      assert(!r.isNullAt(r.fieldIndex("pq_recall")))
+    }
+    // and a measured config yields non-null columns on every row
+    val measured = Similarity.annRecall(emb, cb, cbs).collect()
+    assert(measured.nonEmpty)
+    assert(measured.forall(r => !r.isNullAt(r.fieldIndex("pq_sub_recall"))))
+  }
+
+  /** Recompute every per-subspace-ADC output score independently
+    * driver-side (own code assignment + LUT fold) and require bit
+    * equality. */
+  private def assertSubAdcReproducible(cbs: Seq[Seq[(Int, Array[Double])]]): Unit = {
     val out = Pq.knnPqSubWith(emb, cbs).collect()
     assert(out.nonEmpty)
     val vecs = emb.select(col("vec_id"),
