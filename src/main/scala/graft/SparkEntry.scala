@@ -380,6 +380,23 @@ object SparkEntry {
           docs(s, dir).filter(col("doc_id") > split), ex, bi, si)
         .orderBy(col("doc_id"))
     }),
+    // weekly offline reconciliation of the incremental admissions: the
+    // window (80%, 90%] was admitted online against the 80% index
+    // (probe path, memoized like a lake table); the offline side is the
+    // independent from-scratch union CC over ALL ids — rows with
+    // retro_dropped are admitted docs a later crawl bridged into a
+    // smaller keeper's component, which online ingest provably cannot
+    // un-admit (IncrementalDedupSpec pins both halves)
+    "q_dedup_reconcile" -> ((s, dir) => {
+      val (split1, ex, bi, si) = incrementalStateOf(s, dir)
+      val d = docs(s, dir)
+      val split2 = d.agg(max(col("doc_id"))).first().getLong(0) * 9 / 10
+      val online = IncrementalDedup.admissions(
+        d.filter(col("doc_id") > split1 && col("doc_id") <= split2),
+        ex, bi, si)
+      IncrementalDedup.reconcile(d, split1, split2, online = Some(online))
+        .orderBy(col("doc_id"))
+    }),
     // estimator calibration: minhash est vs the TRUE full-shingle
     // jaccard per estimate bucket — truth comes from row-local distinct
     // shingle-hash arrays intersected per candidate pair (NOT the
@@ -414,8 +431,13 @@ object SparkEntry {
     "q_hybrid_dedup" -> ((s, dir) =>
       Similarity.hybridVerify(minhashCandidates(s, dir), emb(s, dir))
         .orderBy(col("doc_a"), col("doc_b"))),
+    // length-routed (minTokens): short docs' tie-biased fingerprints
+    // made the matched-row mass quadratic in the short-doc population
+    // (the r6 ladder exception); they stay covered by the exact/minhash
+    // families. The oracle mirrors the same token floor.
     "q_simhash_pairs" -> ((s, dir) =>
-      Sketches.simHashPairs(docs(s, dir), maxHamming = 4)
+      Sketches.simHashPairs(docs(s, dir), maxHamming = 4,
+          minTokens = Sketches.SimHashMinTokens)
         .orderBy(col("doc_a"), col("doc_b"))),
     "q_knn_exact" -> ((s, dir) =>
       Similarity.knnExact(emb(s, dir)).orderBy(col("query_id"), col("rank"))),

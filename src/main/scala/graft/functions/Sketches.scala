@@ -30,6 +30,20 @@ object Sketches {
     * halved and the growth law becomes provably linear. */
   val BandAnchors = 32
 
+  /** Production token-count floor for simhash banding (the length
+    * routing in [[simHashPairs]]). This is a SEMANTIC policy, not the
+    * scale fix: the round-8 probes showed sub-floor docs carry only a
+    * minority of the matched mass at sf0.1 lengths (x40: -21% of rows
+    * for -15% of docs; growth exponent unchanged — the quadratic corner
+    * was the tie bias + dead band bits, fixed in the kernel/banding).
+    * The floor stays because radius-4 "near-dups" between <24-token
+    * docs are fingerprint artifacts, not textual neighbors (a one-token
+    * edit at T=15 flips many majority bits), and those docs remain
+    * covered by the exact-hash and minhash families whose shingle sets
+    * stay informative at small T. 24 keeps ~85% of the sf0.1 corpus
+    * banded. */
+  val SimHashMinTokens = 24
+
   /** Carter-Wegman universal permutation family h_i(x) = (a_i*x + b_i)
     * mod p over the Mersenne prime p = 2^31-1 — the textbook minhash
     * family. With x < 2^30 (polyhash) and a_i < p the product stays below
@@ -165,8 +179,9 @@ object Sketches {
     * xxhash64: every intermediate stays below 2^63 WITHOUT wrapping
     * multiplication, so an external engine (the DuckDB oracle) reproduces
     * the exact fingerprints and the pair query gets a full hash-match
-    * oracle instead of a rows-only check. Bits 60-63 are constant zero;
-    * banding over the 64-bit value is unaffected. */
+    * oracle instead of a rows-only check. Bits 60-63 are constant zero:
+    * fingerprint bits 60-63 are likewise dead, and simHashBands bands
+    * only the 60 live bits. */
   def tokenHash(token: Column): Column =
     graft.expressions.PolyHash.polyhashWith(token,
       graft.expressions.PolyHash.Base2, graft.expressions.PolyHash.Mod2) *
@@ -198,23 +213,27 @@ object Sketches {
     * composite key has ~13 + ~10 matching bits, cutting that term
     * ~2^10 for (r+1)^2 = 25 keys/doc instead of r+1, and measures 25%
     * faster at 40x sf0.1 (13.5 s vs 18.1 s warm, tools.SimhashProbe).
-    * What remains is corpus-INTRINSIC: the probe counts ~310M matched
-    * rows for 2.4M true pairs, dominated by correlated mid-hamming
-    * (5-15) near-miss pairs that share a clean key with probability
-    * ~25 * ((64-23)/64)^h — linear in the pair population, which is
-    * itself linear at fixed dup density, but with a large constant
-    * that no key-bit budget removes (more keys per doc raises the
-    * true-pair multiplicity as fast as it cuts near-miss matches).
-    * The measured mechanism behind the correlation (SketchScaleSpec):
-    * SHORT documents carry tie-biased bits — sign(0) resolves to a
-    * fixed value, and E[tied bits] ~ 64 * C(T, T/2) / 2^T for T token
-    * occurrences — so short docs cluster in a shared fingerprint
-    * corner regardless of vocabulary (58% of the matched stream at
-    * 20x sf0.001, whose synthetic docs are short; ~4x the uniform
-    * rate at sf0.1 lengths). The per-doc-pair collision rate is a
-    * property of the LENGTH DISTRIBUTION, not corpus size, so the
-    * at-scale remedy is upstream length/quality routing (the curation
-    * funnel already drops degenerate docs), not more key bits.
+    * What remains after the composite keys is the correlated near-miss
+    * stream, and the round-8 probes ATTRIBUTED it (measure, don't
+    * guess): at x40 the uncentered vote left 310M matched rows for
+    * 2.4M true pairs with a x40->x128 growth exponent of 2.0, and the
+    * hot-bucket report placed 67% of the mass in LONG-long pairs
+    * concentrated at near-zero band keys shared across 35 of 40
+    * alphabet-permuted replicas — a HASH-structural corner, not a
+    * content one: the raw polyhash's magnitude is ~Base^len before the
+    * first mod wrap, so short tokens zero the top bits of each 30-bit
+    * half for every document in every corpus, and the moduli
+    * (~1e9 < 2^30) bias the surviving top bits besides. Short-doc
+    * length routing was REJECTED as the growth fix by the same probes
+    * (-21% mass, exponent unchanged at ~1.97). The fix is at the
+    * fingerprint level — the XOR-rotate bit mixing in SimHashSig
+    * spreads each token's entropy across all 60 positions — plus
+    * banding only the 60 live bits (the top band's key had carried the
+    * hash's 4 dead bits: 9 effective bits = 16x the intended collision
+    * rate). Measured together at x40: matched mass 310M -> 18.5M,
+    * survivors 2.39M -> 213k (the excess was corner artifacts, not
+    * text neighbors: cross-replica survivors 278 -> 0), every hot
+    * bucket a single-replica content cluster (NOTES round 8).
     * Two variants were REJECTED by measurement at 40x: canonical-key
     * emission (filter each pair to its first clean (band, sub) key via
     * 25 precomputed xor masks — kills the dedup shuffle but evaluates
@@ -231,13 +250,29 @@ object Sketches {
     * keys). Radii <= 7 keep composites >= 14 bits; beyond that prefer
     * the MinHash path, whose bucket selectivity does not shrink with
     * radius. */
-  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   minTokens: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, s"maxHamming out of range: $maxHamming")
+    // LENGTH ROUTING: minTokens > 0 routes docs below the floor OUT of
+    // simhash banding entirely — a SEMANTIC policy (see
+    // [[SimHashMinTokens]]): radius-4 "near-dups" between short docs
+    // are fingerprint artifacts, not textual neighbors (a one-token
+    // edit at small T flips many majority bits), and those docs remain
+    // covered by the exact-hash and minhash families whose shingle
+    // sets stay informative at small T. The token count is spaces+1 —
+    // one row-local length diff, identical to the oracle's mirror, no
+    // array allocation. Default 0 = unrouted (the kernel contract:
+    // recall 1.0 within the radius over ALL input docs).
+    val routed =
+      if (minTokens > 0)
+        docs.filter(length(col("text"))
+          - length(translate(col("text"), " ", "")) + 1 >= minTokens)
+      else docs
     // Verify hamming BEFORE deduplicating: bit_count is a codegen'd
     // scalar while dropDuplicates shuffles its input, so the exchange
     // carries only the (id, id, hamming) true-radius survivors, never
     // the near-miss bulk of the matched stream.
-    simHashBandMatches(simHashes(docs), maxHamming)
+    simHashBandMatches(simHashes(routed), maxHamming)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -262,21 +297,31 @@ object Sketches {
     * stream-static detector ([[graft.streaming.NearDupStream]]). */
   private[graft] def simHashBands(sh: DataFrame, maxHamming: Int): DataFrame = {
     val numBands = maxHamming + 1
+    // Band over the 60 LIVE bits only: the token hash is 60-bit, so
+    // fingerprint bits 60-63 are constant zero for every document.
+    // Banding 64 positions handed those 4 dead bits to the top band's
+    // key — measured at x40 as the hottest bucket family in the whole
+    // join (band 22, a 9-effective-bit key: 16x the intended collision
+    // rate; NOTES round 8). The pigeonhole guarantee is unchanged:
+    // every differing bit lives below 60, so <= maxHamming diffs across
+    // numBands live-bit bands still leave one band clean, and the
+    // complement (the other 60-width live bits) pigeonholes again.
+    val LiveBits = 60
 
     val bandCols = (0 until numBands).flatMap { i =>
-      val start = i * 64 / numBands
-      val end = (i + 1) * 64 / numBands
+      val start = i * LiveBits / numBands
+      val end = (i + 1) * LiveBits / numBands
       val width = end - start
       val mask = if (width >= 64) -1L else (1L << width) - 1L
       val bandKey = shiftrightunsigned(col("simhash"), start).bitwiseAND(lit(mask))
-      // complement = the other 64-width bits, packed contiguously
-      // (low [0,start) stays, high [end,64) shifts down next to it);
-      // Java shifts are mod 64, so the end==64 empty-high case needs the
-      // explicit zero
-      val cw = 64 - width
+      // complement = the other LiveBits-width live bits, packed
+      // contiguously (low [0,start) stays, high [end,LiveBits) shifts
+      // down next to it; anything at/above LiveBits is zero for every
+      // doc, so the shifted-down high part self-truncates)
+      val cw = LiveBits - width
       val lowMask = (1L << start) - 1L // start < 64 always
       val high =
-        if (end >= 64) lit(0L)
+        if (end >= LiveBits) lit(0L)
         else shiftleft(shiftrightunsigned(col("simhash"), end), start)
       val compl = col("simhash").bitwiseAND(lit(lowMask)).bitwiseOR(high)
       (0 until numBands).map { j =>

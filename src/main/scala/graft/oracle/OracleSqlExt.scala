@@ -29,10 +29,23 @@ object OracleSqlExt {
 
   private val tokenHashSql = tokenHashSqlOf("token")
 
-  /** Per-bit majority vote -> fingerprint, as one generated 60-term sum. */
+  /** Per-bit majority vote over the MIXED token hash -> fingerprint, as
+    * one generated 60-term sum (the mixing lives in [[simhashMixSql]]). */
   private val simhashBitsSql = (0 until 60).map(i =>
     s"CASE WHEN sum(CASE WHEN (ch >> $i) & 1 = 1 THEN 1 ELSE -1 END) > 0" +
       s" THEN CAST(${1L << i} AS BIGINT) ELSE 0 END").mkString(" + ")
+
+  /** Two XOR-rotate mixing levels over the 60-bit token hash — mirror
+    * of SimHashSig.compute's mx (same offsets 23/41 then 13/29). The
+    * 60-bit rotation is the wrap-free (x % 2^(60-r)) * 2^r + x //
+    * 2^(60-r) form: every intermediate stays below 2^60, so no 64-bit
+    * wrapping arithmetic is needed. */
+  private def rot60Sql(x: String, r: Int): String =
+    s"((($x) % ${1L << (60 - r)}) * ${1L << r} + (($x) // ${1L << (60 - r)}))"
+  private def mix60Sql(x: String): String =
+    s"xor(xor($x, ${rot60Sql(x, 23)}), ${rot60Sql(x, 41)})"
+  private def mix60Sql2(x: String): String =
+    s"xor(xor($x, ${rot60Sql(x, 13)}), ${rot60Sql(x, 29)})"
 
   /** MinHash mirror: signature position i = min over shingle hashes x of
     * (a_i * x + b_i) mod p — constants shared with Sketches.univ. */
@@ -49,23 +62,65 @@ object OracleSqlExt {
     * Spark's slice(arr, start, len)), per-bucket row_number by doc_id,
     * and anchored emission (only the BandAnchors smallest doc_ids of a
     * bucket pair against the rest — the hot-bucket fan-out bound). */
-  private val minhashCandCtes = {
+  private def minhashCandCtesSfx(x: String) = {
     import graft.functions.Sketches.{BandAnchors, MinHashBands, RowsPerBand}
-    s"""bk AS (
+    s"""bk$x AS (
   SELECT doc_id, sig, g.band AS band,
          sig[g.band * $RowsPerBand + 1 : g.band * $RowsPerBand + $RowsPerBand] AS bkey
-  FROM f, (SELECT unnest(range($MinHashBands)) AS band) g),
-rk AS (
+  FROM f$x, (SELECT unnest(range($MinHashBands)) AS band) g),
+rk$x AS (
   SELECT doc_id, sig, band, bkey,
          row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rk
-  FROM bk),
-cand AS (
+  FROM bk$x),
+cand$x AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          CAST(len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 64
            AS est_jaccard
-  FROM rk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+  FROM rk$x a JOIN bk$x b ON a.band = b.band AND a.bkey = b.bkey
     AND a.doc_id < b.doc_id AND a.rk <= $BandAnchors)"""
   }
+
+  private val minhashCandCtes = minhashCandCtesSfx("")
+
+  /** The whole from-scratch two-stage union-dedup verdict pipeline as a
+    * CTE chain (every name suffixed with `x`) ending in
+    * v$x(doc_id, source, outcome) over the documents rows satisfying
+    * `pred` — used twice by q_dedup_reconcile, once per corpus horizon.
+    * Identical decomposition to q_incremental_dedup's oracle. */
+  private def unionVerdictCtes(x: String, pred: String) = s"""
+h$x AS (SELECT doc_id, source, text, md5(text) AS ch FROM documents WHERE $pred),
+km$x AS (SELECT ch, min(doc_id) AS keep_id FROM h$x GROUP BY 1),
+surv$x AS (SELECT h$x.doc_id, h$x.text FROM h$x
+         JOIN km$x ON h$x.ch = km$x.ch AND h$x.doc_id = km$x.keep_id),
+sh$x AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(text) - 4, 0) + 1),
+           i -> text[i:i+4])) AS shingles
+  FROM surv$x WHERE length(text) >= 5),
+xs$x AS (
+  SELECT doc_id,
+         list_transform(shingles, sgl -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(sgl) + 1), i -> CAST(ascii(sgl[i:i]) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 1000000007)) AS xs
+  FROM sh$x),
+f$x AS (SELECT doc_id, $minhashSigSql AS sig FROM xs$x),
+${minhashCandCtesSfx(x)},
+prs$x AS (SELECT doc_a, doc_b FROM cand$x WHERE est_jaccard >= 0.3),
+edges$x AS (SELECT doc_a AS src, doc_b AS dst FROM prs$x
+          UNION SELECT doc_b, doc_a FROM prs$x),
+nodes$x AS (SELECT DISTINCT src AS node FROM edges$x),
+reach$x(node, label) AS (
+  SELECT node, node FROM nodes$x
+  UNION
+  SELECT e.src, r.label FROM edges$x e JOIN reach$x r ON e.dst = r.node),
+cl$x AS (SELECT node AS doc_id, min(label) <> node AS dropped
+       FROM reach$x GROUP BY node),
+v$x AS (SELECT h$x.doc_id, h$x.source,
+       CASE WHEN km$x.keep_id <> h$x.doc_id THEN 'exact_dup'
+            WHEN coalesce(cl$x.dropped, false) THEN 'near_dup'
+            ELSE 'admitted' END AS outcome
+FROM h$x JOIN km$x ON h$x.ch = km$x.ch
+LEFT JOIN cl$x ON cl$x.doc_id = h$x.doc_id)"""
 
   /** CMS mirrors (graft.functions.CountSketch): one UNION ALL branch per
     * sketch row, bucket = (a_i*h + b_i) mod p mod Width — constants
@@ -982,6 +1037,25 @@ LEFT JOIN cl ON cl.doc_id = h.doc_id
 CROSS JOIN bnd WHERE h.doc_id > bnd.t
 ORDER BY h.doc_id""",
 
+    // mirror of IncrementalDedup.reconcile: online verdicts for the
+    // window (split1, split2] equal the from-scratch union verdicts of
+    // docs <= split2 (the admissions equivalence contract the
+    // q_incremental_dedup gate proves), so the reconciliation is two
+    // from-scratch runs diffed — horizon t2 ("what online admission
+    // saw") vs the full corpus ("what the weekly CC knows now").
+    "q_dedup_reconcile" -> s"""
+WITH RECURSIVE
+bnd AS (SELECT (max(doc_id) * 4) // 5 AS t1, (max(doc_id) * 9) // 10 AS t2
+        FROM documents),
+${unionVerdictCtes("_w", "doc_id <= (SELECT t2 FROM bnd)")},
+${unionVerdictCtes("_u", "true")}
+SELECT w.doc_id, w.source, w.outcome AS online_outcome,
+       u.outcome AS offline_outcome,
+       (w.outcome = 'admitted' AND u.outcome = 'near_dup') AS retro_dropped
+FROM v_w w JOIN v_u u ON w.doc_id = u.doc_id
+CROSS JOIN bnd WHERE w.doc_id > bnd.t1 AND w.doc_id <= bnd.t2
+ORDER BY w.doc_id""",
+
     // mirror of Similarity.hybridVerify: the banded MinHash candidate
     // set (text signal) joined to exact embedding cosine (semantic
     // signal) on the shared doc_id == vec_id key
@@ -1183,9 +1257,16 @@ SELECT lang, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
          ELSE NULL END AS ks_stat
 FROM agg ORDER BY lang""",
 
+    // length routing mirrored: the same spaces+1 token floor as
+    // Sketches.simHashPairs(minTokens = SimHashMinTokens)
     "q_simhash_pairs" -> s"""
-WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-h AS (SELECT doc_id, $tokenHashSql AS ch FROM t),
+WITH d AS (SELECT doc_id, text FROM documents
+           WHERE length(text) - length(translate(text, ' ', '')) + 1
+                 >= ${graft.functions.Sketches.SimHashMinTokens}),
+t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM d),
+h0 AS (SELECT doc_id, $tokenHashSql AS ch FROM t),
+h1 AS (SELECT doc_id, ${mix60Sql("ch")} AS ch FROM h0),
+h AS (SELECT doc_id, ${mix60Sql2("ch")} AS ch FROM h1),
 f AS (SELECT doc_id, $simhashBitsSql AS simhash FROM h GROUP BY doc_id)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming

@@ -278,27 +278,29 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(admitFromDir(dir) === before)
   }
 
+  /** A (201) and B (202) are unrelated texts; C (203) is a half-A,
+    * half-B concatenation that bridges both. Banding at J ~ 0.5 is a
+    * deterministic coin-flip per text choice, so search a small grid of
+    * concat fractions for a bridge that collides with BOTH sides and
+    * neither side with the other (all engine-side, so whatever the grid
+    * finds is pinned forever). */
+  private lazy val bridgeC: String = (for {
+    fa <- Seq(150, 160, 170, 180, 140)
+    fb <- Seq(150, 160, 170, 180, 140)
+  } yield base.take(fa) + unrelated.take(fb)).find { cand =>
+    Sketches.minHashPairs(
+      Seq((201L, base), (202L, unrelated), (203L, cand)).toDF("doc_id", "text"),
+      threshold = 0.3)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet ===
+      Set((201L, 203L), (202L, 203L))
+  }.getOrElse(fail("no concat fraction bridges both sides — rebuild fixture"))
+
   test("pinned divergence: a later doc cannot retro-drop an admitted one") {
-    // A (201) and B (202) are unrelated texts; C (203) is a half-A,
-    // half-B concatenation that bridges both. Offline CC merges
-    // {A, B, C} -> B dropped (A is the min); online ingest admitted B
-    // before C existed and cannot un-admit it.
+    // Offline CC merges {A, B, C} -> B dropped (A is the min); online
+    // ingest admitted B before C existed and cannot un-admit it.
     val a = base
     val b = unrelated
-    // banding at J ~ 0.5 is a deterministic coin-flip per text choice:
-    // search a small grid of concat fractions for a bridge that collides
-    // with BOTH sides and neither side with the other (all engine-side,
-    // so whatever the grid finds is pinned forever)
-    val c = (for {
-      fa <- Seq(150, 160, 170, 180, 140)
-      fb <- Seq(150, 160, 170, 180, 140)
-    } yield a.take(fa) + b.take(fb)).find { cand =>
-      Sketches.minHashPairs(
-        Seq((201L, a), (202L, b), (203L, cand)).toDF("doc_id", "text"),
-        threshold = 0.3)
-        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet ===
-        Set((201L, 203L), (202L, 203L))
-    }.getOrElse(fail("no concat fraction bridges both sides — rebuild fixture"))
+    val c = bridgeC
     val cDocs = Seq((201L, a, "s"), (202L, b, "s"), (203L, c, "s"))
     // a one-doc corpus unrelated to A/B/C (an empty corpus would write
     // zero-file parquet dirs the lake reader cannot infer a schema from)
@@ -322,5 +324,38 @@ class IncrementalDedupSpec extends AnyFunSuite {
       "offline must collapse the A-C-B chain")
     assert(streamed(202L) === "admitted",
       "online ingest must NOT retro-drop an already-admitted doc")
+  }
+
+  test("reconcile: the weekly pass flags the retro-dropped admission") {
+    // Same topology as the pinned divergence: seed corpus (id 1 <=
+    // split1 200), window (200, 202] = {A, B} admitted online, bridge C
+    // (203) arrives after. reconcile must report B as online-admitted /
+    // offline-near_dup with retro_dropped = true — completing the
+    // contract the pinned-divergence test proves online ingest cannot.
+    val seed = Seq((1L,
+      "entirely separate seed material nine yaks juggle violet umbrellas " +
+        "beneath monsoon clouds while marble statues hum forgotten anthems",
+      "seed")).toDF("doc_id", "text", "source")
+    val all = seed.unionByName(Seq((201L, base, "s"), (202L, unrelated, "s"),
+      (203L, bridgeC, "s")).toDF("doc_id", "text", "source"))
+    val out = IncrementalDedup.reconcile(all, 200L, 202L)
+      .select($"doc_id", $"online_outcome", $"offline_outcome", $"retro_dropped")
+      .as[(Long, String, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.keySet === Set(201L, 202L), "window docs only")
+    assert(out(201L) === (("admitted", "admitted", false)))
+    assert(out(202L) === (("admitted", "near_dup", true)),
+      "the bridge must retro-drop B in the offline verdict")
+    // the explicit-online path (the probe-path form SparkEntry runs)
+    // agrees with the recomputed default
+    val (eEx, eBi, eSi) = corpusIndex(seed)
+    val online = IncrementalDedup.admissions(
+      all.filter($"doc_id" > 200L && $"doc_id" <= 202L), eEx, eBi, eSi)
+    val out2 = IncrementalDedup.reconcile(all, 200L, 202L,
+        online = Some(online))
+      .select($"doc_id", $"online_outcome", $"offline_outcome", $"retro_dropped")
+      .as[(Long, String, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out2 === out)
   }
 }

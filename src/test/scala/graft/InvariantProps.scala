@@ -59,7 +59,15 @@ object InvariantProps extends Properties("graft.pure") {
         PolyHash.hash(b, PolyHash.Base2, PolyHash.Mod2) * (1L << 30) +
           PolyHash.hash(b)
       }
-      val hs = tokens.map(tokenHash)
+      // XOR-rotate mixing re-derived in the %/*/+ wrap-free form (the
+      // kernel uses shift-mask; the two must agree bit for bit)
+      def rot60(x: Long, r: Int): Long =
+        (x % (1L << (60 - r))) * (1L << r) + x / (1L << (60 - r))
+      def mix60(ch: Long): Long = {
+        val m1 = ch ^ rot60(ch, 23) ^ rot60(ch, 41)
+        m1 ^ rot60(m1, 13) ^ rot60(m1, 29)
+      }
+      val hs = tokens.map(t => mix60(tokenHash(t)))
       val expected = (0 until 64).map { i =>
         val votes = hs.map(h => if (((h >>> i) & 1L) == 1L) 1 else -1).sum
         if (votes > 0) 1L << i else 0L

@@ -113,19 +113,19 @@ class SketchScaleSpec extends AnyFunSuite {
     assert(crossPairs <= out2.count() / 1000 + 5,
       s"simhash OUTPUT crossed replica boundaries in bulk ($crossPairs pairs)")
 
-    // The matched STREAM does cross replicas — measured 58% at 20x
-    // sf0.001 — because SHORT documents carry tie-biased fingerprint
-    // bits (sign(0) resolves to a fixed value; E[tied bits] ~
-    // 64*C(T,T/2)/2^T for T token occurrences), so short docs from ANY
-    // replica cluster in a shared fingerprint corner. That mass is
-    // quadratic with a CONSTANT per-doc-pair rate (it is a property of
-    // the length distribution, not of corpus size); the guard pins the
-    // rate flat so a selectivity regression (weaker keys, broken
-    // sub-band extraction) cannot hide inside it. sf0.001's synthetic
-    // docs are far shorter than sf0.1's, which is why the share is so
-    // large here (the x40 sf0.1 probe measured ~4x the uniform-chance
-    // rate); the at-scale answer is upstream length/quality routing
-    // (the curation funnel), not more key bits.
+    // The matched STREAM may still cross replicas through residual
+    // fingerprint-corner correlation. Under the unit-weight vote this
+    // was the engine's dominant scale defect (sign(0) ties resolved to
+    // a fixed 0 and correlated unrelated docs of every length: the x40
+    // hot-bucket probe placed 67% of a 310M-row stream in long-long
+    // pairs at all-zero band keys, growth exponent 2.0); the
+    // odd-weight vote (SimHashSig) suppresses ties and the live-bit
+    // banding removed the dead-bit key deficit, collapsing the corner
+    // (NOTES round 8). The per-doc-pair rate guard stays: it pins
+    // whatever residual correlation remains flat across corpus growth,
+    // so a selectivity regression (weaker keys, broken sub-band
+    // extraction, a future vote change that reintroduces ties) cannot
+    // hide inside the quadratic term.
     val rate1 = total1.toDouble / (n1.toDouble * n1)
     val rate2 = total2.toDouble / (n2.toDouble * n2)
     assert(rate2 <= rate1 * 1.3,
