@@ -304,46 +304,40 @@ object IncrementalDedup {
     * verdict still agrees. `retro_dropped` rows are the un-admissions
     * the weekly job feeds back as training-corpus tombstones.
     *
-    * `online` is the window's admission verdicts — pass the actual
-    * probe-path result (admissions against the persisted split1 index)
-    * to make the run measure the production pair; omitted, it is
-    * recomputed via [[incrementalRun]] over docs <= split2.
+    * `online` is the window's admission verdicts and `offline` the
+    * verdicts of the ENTIRE crawl-to-date (every id > split1) against
+    * the same split1 index — pass the actual probe-path results to
+    * make the run measure (and share) the production frames; omitted,
+    * both are recomputed via [[incrementalRun]].
     *
-    * The offline side is deliberately the INDEPENDENT from-scratch
-    * two-stage pipeline (exact keep-min window, minHashPairs, CC
-    * keep-min) — the same decomposition the DuckDB oracle runs twice
-    * and diffs — so the oracle gate proves both the probe path AND this
-    * reconciliation against a shared external truth. Only verdict flips
-    * toward near_dup are possible: later docs only ADD union edges, so
-    * components only grow (exact verdicts are append-stable by keep-min
-    * on ids). Shape at 100 TB: one full-corpus signature pass + the
-    * banded self-join — the cost of a weekly from-scratch dedup, which
-    * is exactly what a reconciliation IS; everything downstream of the
-    * band join is candidate-mass-sized. */
+    * Why the offline side is an index PROBE and not a corpus re-scan:
+    * by the admissions equivalence contract (the object scaladoc proof,
+    * externally re-proven by the q_incremental_dedup oracle at three
+    * sfs), admissions of all ids > split1 against the split1 index
+    * produce EXACTLY the from-scratch union verdicts restricted to
+    * those ids — including the retro effect on window docs, since a
+    * window doc's component holding ANY smaller id (corpus or later
+    * crawl, reachable through crawl-incident edges) flips it to
+    * near_dup. A first cut re-ran the literal from-scratch pipeline
+    * (hash window + signatures over every survivor) and was the most
+    * expensive query on the x10 rung (19 s) for the same answer; the
+    * probe form never re-reads corpus text. The DuckDB oracle still
+    * runs two literal from-scratch pipelines at the two horizons and
+    * diffs them, so the gate proves this composition end to end. Only
+    * verdict flips toward near_dup are possible: later docs only ADD
+    * union edges, so components only grow (exact verdicts are
+    * append-stable by keep-min on ids). */
   def reconcile(docs: DataFrame, split1: Long, split2: Long,
                 threshold: Double = 0.3, n: Int = 5,
-                online: Option[DataFrame] = None): DataFrame = {
+                online: Option[DataFrame] = None,
+                offline: Option[DataFrame] = None): DataFrame = {
     val onlineV = online.getOrElse(
       incrementalRun(docs.filter(col("doc_id") <= split2), split1, threshold, n))
-    val hashed = docs.select(col("doc_id"), col("text"), md5(col("text")).as("h"))
-    val keepers = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
-    val surv = hashed.as("d").join(keepers.as("k"),
-        col("d.h") === col("k.h") && col("d.doc_id") === col("k.keep_id"))
-      .select(col("d.doc_id"), col("d.text"))
-    val dropped = Dedup.dedupClusters(
-        Sketches.minHashPairs(surv, threshold, n).select(col("doc_a"), col("doc_b")))
-      .filter(!col("keep")).select(col("doc_id"))
-      .withColumn("near_hit", lit(true))
-    val offline = hashed.join(keepers, Seq("h"))
-      .select(col("doc_id"), (col("doc_id") =!= col("keep_id")).as("exact_dup"))
-      .join(dropped, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("exact_dup"), lit("exact_dup"))
-          .when(coalesce(col("near_hit"), lit(false)), lit("near_dup"))
-          .otherwise(lit("admitted")).as("offline_outcome"))
+    val offlineV = offline.getOrElse(incrementalRun(docs, split1, threshold, n))
     onlineV.select(col("doc_id"), col("source"),
         col("outcome").as("online_outcome"))
-      .join(offline, Seq("doc_id"))
+      .join(offlineV.select(col("doc_id"),
+        col("outcome").as("offline_outcome")), Seq("doc_id"))
       .withColumn("retro_dropped",
         col("online_outcome") === "admitted" && col("offline_outcome") === "near_dup")
   }

@@ -346,13 +346,16 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(out(201L) === (("admitted", "admitted", false)))
     assert(out(202L) === (("admitted", "near_dup", true)),
       "the bridge must retro-drop B in the offline verdict")
-    // the explicit-online path (the probe-path form SparkEntry runs)
-    // agrees with the recomputed default
+    // the explicit-frames path (the probe-path form SparkEntry runs,
+    // offline = full-crawl admissions) agrees with the recomputed
+    // default
     val (eEx, eBi, eSi) = corpusIndex(seed)
     val online = IncrementalDedup.admissions(
       all.filter($"doc_id" > 200L && $"doc_id" <= 202L), eEx, eBi, eSi)
+    val offline = IncrementalDedup.admissions(
+      all.filter($"doc_id" > 200L), eEx, eBi, eSi)
     val out2 = IncrementalDedup.reconcile(all, 200L, 202L,
-        online = Some(online))
+        online = Some(online), offline = Some(offline))
       .select($"doc_id", $"online_outcome", $"offline_outcome", $"retro_dropped")
       .as[(Long, String, String, Boolean)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
