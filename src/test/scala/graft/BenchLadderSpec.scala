@@ -20,9 +20,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * Exceptions, adjudicated with probe measurements (NOTES round 6):
   * q_editdist_pairs and q_minhash_calibration are output-superlinear in
   * the fixture's densifying integer key space (runtime stays linear in
-  * OUTPUT); q_simhash_pairs' matched-row mass is quadratic in the
-  * short-doc fingerprint corner (true survivors measured linear:
-  * 3.88M -> 6.75M for 2x docs; remedy is upstream length routing).
+  * OUTPUT). q_simhash_pairs LEFT this set in round 8: its quadratic
+  * matched-row mass was hash-structural (dead top-band bits + polyhash
+  * short-token bias), fixed by XOR-rotate bit mixing + live-bit banding
+  * (NOTES round 8 item 3; candidate-stream exponent 2.01 -> 1.07,
+  * measured by tools.SimhashProbe), so it is now held to the same
+  * 1.35 bound as every other query.
   */
 class BenchLadderSpec extends AnyFunSuite {
 
@@ -41,7 +44,7 @@ class BenchLadderSpec extends AnyFunSuite {
   }
 
   private val OutputBound =
-    Set("q_editdist_pairs", "q_minhash_calibration", "q_simhash_pairs")
+    Set("q_editdist_pairs", "q_minhash_calibration")
 
   test("per-query growth exponent <= 1.35 across the committed ladder") {
     val present = Rungs.flatMap(k => rung(k).map(k -> _))
