@@ -193,6 +193,24 @@ object SparkEntry {
                                dir: String): Seq[Seq[(Int, Array[Double])]] =
     pqSubMemo.getOrElseUpdate((s, dir), functions.Pq.trainCodebooks(emb(s, dir)))
 
+  /** The OPQ config (q_ann_recall): the variance-balanced dimension
+    * permutation plus per-subspace codebooks trained in the permuted
+    * basis — 64 ints + 128 x 8 doubles of driver state. */
+  private val opqPermMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[Int]]
+
+  private def opqPermOf(s: SparkSession, dir: String): Seq[Int] =
+    opqPermMemo.getOrElseUpdate((s, dir),
+      functions.Pq.trainPermutation(emb(s, dir)))
+
+  private val opqSubMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[Seq[(Int, Array[Double])]]]
+
+  private def opqSubCodebooksOf(s: SparkSession,
+                                dir: String): Seq[Seq[(Int, Array[Double])]] =
+    opqSubMemo.getOrElseUpdate((s, dir), functions.Pq.trainCodebooks(
+      functions.Pq.permute(emb(s, dir), opqPermOf(s, dir))))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topics_stats" -> ((s, dir) =>
       topicsDf(s, dir).orderBy(col("name"))),
@@ -467,7 +485,8 @@ object SparkEntry {
     // codebook config decision)
     "q_ann_recall" -> ((s, dir) =>
       Similarity.annRecall(emb(s, dir), pqCodebookOf(s, dir),
-          pqSubCodebooksOf(s, dir))
+          pqSubCodebooksOf(s, dir),
+          opqSubCodebooksOf(s, dir), opqPermOf(s, dir))
         .orderBy(col("query_id"))),
     // iterative float pipeline made oracle-checkable via the integer-
     // grid trick (see functions/Pca.scala)
@@ -893,6 +912,7 @@ object SparkEntry {
     timed("bpeMerges")(bpeMergesOf(s, dir))
     timed("pqCodebook")(pqCodebookOf(s, dir))
     timed("pqSubCodebooks")(pqSubCodebooksOf(s, dir))
+    timed("opqCodebooks")(opqSubCodebooksOf(s, dir))
   }
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =

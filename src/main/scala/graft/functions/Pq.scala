@@ -385,6 +385,63 @@ object Pq {
         col("rank").cast("long").as("rank"), col("score"))
   }
 
+  /** OPQ-style dimension permutation (Ge et al. 2013, "Optimized
+    * Product Quantization" — the eigenvalue-allocation idea of §4
+    * applied coordinate-wise): instead of a dense learned rotation,
+    * reorder the DIMENSIONS so each subspace receives a balanced mix of
+    * high- and low-energy coordinates. ADC quantization error
+    * concentrates in whichever subspace carries the most signal
+    * variance; balancing per-subspace energy is the rotation family's
+    * cheapest member — and the only one whose transform a SQL oracle
+    * can re-derive exactly (a permutation is integer metadata; a dense
+    * rotation is a 64x64 float matmul whose training is an SVD).
+    *
+    * Per-dimension energy is the 2^-20 grid-floored sum of x^2 — an
+    * exact BIGINT, so the energy ranking is order-free on any
+    * partitioning. Assignment is a snake draft over the energy ranking
+    * (rank r: round r/NumSub, subspace r%NumSub forward on even rounds,
+    * reversed on odd), the standard balanced-allocation shape: every
+    * subspace gets one dimension per round, alternating pick order so
+    * early rounds' high-energy picks don't always land in subspace 0.
+    *
+    * Returns perm where perm(newPos) = oldPos (0-based): permuted
+    * vector p has p(newPos) = v(perm(newPos)). Empty input -> Nil
+    * (callers treat an empty permutation as "not measured").
+    *
+    * Shape at 100 TB: one posexplode aggregation to dim-count rows,
+    * a 64-row collect, pure driver arithmetic. */
+  def trainPermutation(emb: DataFrame): Seq[Int] = {
+    val energies = emb
+      .select(posexplode(col("embedding").cast("array<double>")))
+      .groupBy(col("pos"))
+      .agg(sum(floor(col("col") * col("col") * lit(Grid20))).as("s2"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    if (energies.isEmpty) return Seq.empty
+    val dims = energies.length
+    require(dims % NumSub == 0,
+      s"dimension count $dims not divisible into $NumSub subspaces")
+    val subDim = dims / NumSub
+    val ranked = energies.sortBy { case (pos, s2) => (-s2, pos) }
+    val perm = new Array[Int](dims)
+    ranked.zipWithIndex.foreach { case ((pos, _), r0) =>
+      val round = r0 / NumSub
+      val pr = r0 % NumSub
+      val s = if (round % 2 == 0) pr else NumSub - 1 - pr
+      perm(s * subDim + round) = pos
+    }
+    perm.toIndexedSeq
+  }
+
+  /** Apply a trainPermutation reordering to the embedding column (a
+    * row-local array-of-element_at projection, scan-fused). Identity on
+    * an empty permutation. */
+  def permute(emb: DataFrame, perm: Seq[Int]): DataFrame =
+    if (perm.isEmpty) emb
+    else emb.withColumn("embedding",
+      array(perm.map(i =>
+        element_at(col("embedding").cast("array<double>"), i + 1)): _*))
+
   /** PQ + exact re-rank — the standard deployment pattern: the cheap
     * codes-scan ADC pass nominates `candidates` per query, and ONLY
     * those rows pick up their raw vectors for an exact cosine re-rank.

@@ -373,13 +373,21 @@ object Similarity {
     * are k-bounded per query (10 rows/side). */
   def annRecall(emb: DataFrame, pqCodebook: Seq[(Int, Array[Double])],
                 pqSubCodebooks: Seq[Seq[(Int, Array[Double])]],
+                opqSubCodebooks: Seq[Seq[(Int, Array[Double])]] = Seq.empty,
+                opqPerm: Seq[Int] = Seq.empty,
                 k: Int = 10): DataFrame = {
     // No default for pqSubCodebooks (r6 ADVICE): a silent Seq.empty
     // produced pq_sub_recall=0.0 rows that read as "per-subspace PQ has
     // zero recall" rather than "not measured". Callers that don't train
     // per-subspace codebooks pass Seq.empty EXPLICITLY and get NULL
-    // pq_sub columns — unmeasured, not zero.
+    // pq_sub columns — unmeasured, not zero. The OPQ config (variance-
+    // balanced dimension permutation + per-subspace codebooks trained
+    // in the permuted basis — Pq.trainPermutation) keeps defaults only
+    // because it needs BOTH pieces: measured only when the permutation
+    // and its codebooks are both supplied, NULL otherwise.
     val measureSub = pqSubCodebooks.nonEmpty && !pqSubCodebooks.exists(_.isEmpty)
+    val measureOpq = opqPerm.nonEmpty && opqSubCodebooks.nonEmpty &&
+      !opqSubCodebooks.exists(_.isEmpty)
     // the ANN sets tagged and unioned so the exact truth side is
     // derived ONCE and joined once (per-method counts split back out in
     // the aggregate; a neighbor several methods find matches one tagged
@@ -395,12 +403,17 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"), lit("pq").as("m")))
       .unionByName(Pq.knnPqSubWith(emb, pqSubCodebooks, k = k)
         .select(col("query_id"), col("neighbor_id"), lit("pqs").as("m")))
+      .unionByName(Pq.knnPqSubWith(
+          if (measureOpq) Pq.permute(emb, opqPerm) else emb.limit(0),
+          opqSubCodebooks, k = k)
+        .select(col("query_id"), col("neighbor_id"), lit("opq").as("m")))
     ex.join(ann, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(count(when(col("m") === "lsh", 1)).as("lsh_hits"),
         count(when(col("m") === "mp", 1)).as("multiprobe_hits"),
         count(when(col("m") === "pq", 1)).as("pq_hits"),
-        count(when(col("m") === "pqs", 1)).as("pq_sub_hits"))
+        count(when(col("m") === "pqs", 1)).as("pq_sub_hits"),
+        count(when(col("m") === "opq", 1)).as("opq_hits"))
       .select(col("query_id"), col("lsh_hits"),
         (col("lsh_hits").cast("double") / lit(k.toDouble)).as("lsh_recall"),
         col("multiprobe_hits"),
@@ -412,7 +425,12 @@ object Similarity {
          else lit(null).cast("long")).as("pq_sub_hits"),
         (if (measureSub)
            (col("pq_sub_hits").cast("double") / lit(k.toDouble))
-         else lit(null).cast("double")).as("pq_sub_recall"))
+         else lit(null).cast("double")).as("pq_sub_recall"),
+        (if (measureOpq) col("opq_hits")
+         else lit(null).cast("long")).as("opq_hits"),
+        (if (measureOpq)
+           (col("opq_hits").cast("double") / lit(k.toDouble))
+         else lit(null).cast("double")).as("opq_recall"))
   }
 
   /** Hybrid dedup verification: TEXT-side MinHash/LSH candidate pairs

@@ -366,12 +366,16 @@ pqscored AS (SELECT a.query_id, a.vec_id,
   }
 
   /** The PER-SUBSPACE codebook chain (Pq.trainCodebooks /
-    * knnPqSubWith) — the config q_ann_recall measures next to the
-    * pooled default. Assumes the pooled chain's sv/scc/tsv/qsub/qn CTEs
-    * are already declared (both chains share the subvector views, like
-    * the engine shares one subvectors() scan); everything trained is
-    * keyed by (s, code) instead of code. */
-  private val pqSubChainCtes: String = {
+    * knnPqSubWith), parameterized so q_ann_recall can instantiate it
+    * twice — once over the raw subvector views ("z", the pqs config)
+    * and once over the OPQ-permuted ones ("o"). `px` prefixes every
+    * generated CTE name; `svRel`/`tsvRel`/`qsubRel`/`qnRel` name the
+    * full-corpus subvectors, training-sample subvectors, query
+    * subvectors, and query-norm relations the chain reads. Everything
+    * trained is keyed by (s, code); the final scored relation is
+    * `${px}pqscored`. */
+  private def pqSubChain(px: String, svRel: String, tsvRel: String,
+                         qsubRel: String, qnRel: String): String = {
     import graft.functions.Pq.{CodebookK, PqIters, Grid20, Grid30}
     def argCodeS(src: String, cbRel: String, out: String) =
       s"""$out AS (SELECT vec_id, s, sub, subq, code FROM (
@@ -381,38 +385,81 @@ pqscored AS (SELECT a.query_id, a.vec_id,
                       - list_dot_product(c.cv, c.cv) DESC, c.code DESC) AS rn
     FROM $src t JOIN $cbRel c ON c.s = t.s) WHERE rn = 1)"""
     val iterCtes = (1 to PqIters).map { t =>
-      s"""${argCodeS("tsv", s"zc${t - 1}", s"za$t")},
-zm$t AS (SELECT s, code, list(m ORDER BY pos) AS mv FROM (
+      s"""${argCodeS(tsvRel, s"${px}c${t - 1}", s"${px}a$t")},
+${px}m$t AS (SELECT s, code, list(m ORDER BY pos) AS mv FROM (
     SELECT s, code, pos,
            CAST(sum(qc) AS DOUBLE) / ($Grid20 * CAST(count(*) AS DOUBLE)) AS m
     FROM (SELECT s, code, unnest(subq) AS qc, generate_subscripts(subq, 1) AS pos
-          FROM za$t)
+          FROM ${px}a$t)
     GROUP BY 1, 2, 3) GROUP BY 1, 2),
-zc$t AS (SELECT p.s, p.code, COALESCE(m.mv, p.cv) AS cv
-         FROM zc${t - 1} p LEFT JOIN zm$t m ON m.s = p.s AND m.code = p.code)"""
+${px}c$t AS (SELECT p.s, p.code, COALESCE(m.mv, p.cv) AS cv
+         FROM ${px}c${t - 1} p LEFT JOIN ${px}m$t m ON m.s = p.s AND m.code = p.code)"""
     }.mkString(",\n")
-    s"""zc0 AS (SELECT s, code, cv FROM (
+    s"""${px}c0 AS (SELECT s, code, cv FROM (
           SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS code,
                  sub AS cv
-          FROM tsv)
+          FROM $tsvRel)
         WHERE code < $CodebookK),
 $iterCtes,
-${argCodeS("sv", s"zc$PqIters", "zcodes")},
-zcn AS (SELECT s, code, cv,
+${argCodeS(svRel, s"${px}c$PqIters", s"${px}codes")},
+${px}cn AS (SELECT s, code, cv,
                CAST(floor(list_dot_product(cv, cv) * $Grid30) AS BIGINT) AS cn2q
-        FROM zc$PqIters),
-zrn AS (SELECT c.vec_id, CAST(sum(k.cn2q) AS BIGINT) AS rq
-        FROM zcodes c JOIN zcn k ON k.s = c.s AND k.code = c.code GROUP BY 1),
-zlut AS (SELECT q.query_id, q.s, c.code,
+        FROM ${px}c$PqIters),
+${px}rn AS (SELECT c.vec_id, CAST(sum(k.cn2q) AS BIGINT) AS rq
+        FROM ${px}codes c JOIN ${px}cn k ON k.s = c.s AND k.code = c.code GROUP BY 1),
+${px}lut AS (SELECT q.query_id, q.s, c.code,
                 CAST(floor(list_dot_product(q.sub, c.cv) * $Grid30) AS BIGINT) AS pq
-         FROM qsub q JOIN zcn c ON c.s = q.s),
-zadc AS (SELECT l.query_id, c.vec_id, CAST(sum(l.pq) AS BIGINT) AS aq
-         FROM zcodes c JOIN zlut l ON l.s = c.s AND l.code = c.code
+         FROM $qsubRel q JOIN ${px}cn c ON c.s = q.s),
+${px}adc AS (SELECT l.query_id, c.vec_id, CAST(sum(l.pq) AS BIGINT) AS aq
+         FROM ${px}codes c JOIN ${px}lut l ON l.s = c.s AND l.code = c.code
          WHERE c.vec_id <> l.query_id GROUP BY 1, 2),
-zpqscored AS (SELECT a.query_id, a.vec_id,
+${px}pqscored AS (SELECT a.query_id, a.vec_id,
         round((CAST(a.aq AS DOUBLE) / $Grid30)
           / (q.nrm * sqrt(CAST(r.rq AS DOUBLE) / $Grid30)), 9) AS score
-      FROM zadc a JOIN zrn r ON r.vec_id = a.vec_id JOIN qn q USING (query_id))"""
+      FROM ${px}adc a JOIN ${px}rn r ON r.vec_id = a.vec_id
+      JOIN $qnRel q USING (query_id))"""
+  }
+
+  private val pqSubChainCtes: String = pqSubChain("z", "sv", "tsv", "qsub", "qn")
+
+  /** Mirror of Pq.trainPermutation + the OPQ measurement basis: per-dim
+    * energy as the exact BIGINT sum of 2^-20-grid-floored x^2 (order-
+    * free), snake-draft assignment of the energy ranking over the 8
+    * subspaces, vectors re-listed in permuted order. Spark's posexplode
+    * is 0-based and generate_subscripts 1-based, but the ranking only
+    * orders (s2 DESC, pos ASC) — a monotone shift, same permutation.
+    * Assumes e (vec_id, v) and scc are declared; emits osv/otsv/oqsub/
+    * oqn for the "o"-prefixed per-subspace chain. oqn recomputes the
+    * query norm from the PERMUTED list because the engine collects
+    * queries from the permuted frame — a float sum is order-sensitive,
+    * so mirroring the permuted summation order is part of the parity
+    * contract. */
+  private val opqPermCtes: String = {
+    import graft.functions.Pq.{NumSub, SubDim, Grid20}
+    val nq = 10
+    s"""de AS (SELECT pos, sum(CAST(floor(x * x * $Grid20) AS BIGINT)) AS s2
+       FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e)
+       GROUP BY 1),
+dr AS (SELECT pos, row_number() OVER (ORDER BY s2 DESC, pos) - 1 AS r0 FROM de),
+dp AS (SELECT pos AS old_pos,
+              (CASE WHEN (r0 // $NumSub) % 2 = 0 THEN r0 % $NumSub
+                    ELSE ${NumSub - 1} - (r0 % $NumSub) END) * $SubDim
+                + (r0 // $NumSub) AS new_pos
+       FROM dr),
+pe AS (SELECT vec_id, list(x ORDER BY new_pos) AS v
+       FROM (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+             FROM e) t
+       JOIN dp ON dp.old_pos = t.pos GROUP BY 1),
+osv AS (SELECT vec_id, ss.s AS s,
+              v[(ss.s*$SubDim+1):(ss.s*$SubDim+$SubDim)] AS sub,
+              list_transform(v[(ss.s*$SubDim+1):(ss.s*$SubDim+$SubDim)],
+                x -> CAST(floor(x * $Grid20) AS BIGINT)) AS subq
+       FROM pe CROSS JOIN (SELECT unnest(generate_series(0, ${NumSub - 1})) AS s) ss),
+otsv AS (SELECT vec_id, s, sub, subq FROM osv
+        WHERE vec_id % (SELECT sc FROM scc) = 0),
+oqsub AS (SELECT vec_id AS query_id, s, sub FROM osv WHERE vec_id < $nq),
+oqn AS (SELECT vec_id AS query_id, sqrt(list_dot_product(v, v)) AS nrm
+        FROM pe WHERE vec_id < $nq)"""
   }
 
   private val pqOracle: String = {
@@ -874,6 +921,12 @@ l4 AS (SELECT query_id, vec_id AS neighbor_id FROM (
          SELECT query_id, vec_id,
                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
          FROM zpqscored) WHERE rnk <= 10),
+$opqPermCtes,
+${pqSubChain("o", "osv", "otsv", "oqsub", "oqn")},
+l5 AS (SELECT query_id, vec_id AS neighbor_id FROM (
+         SELECT query_id, vec_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+         FROM opqscored) WHERE rnk <= 10),
 h1 AS (SELECT ex.query_id, CAST(count(l1.neighbor_id) AS BIGINT) AS lsh_hits
        FROM ex LEFT JOIN l1 USING (query_id, neighbor_id) GROUP BY 1),
 h2 AS (SELECT ex.query_id, CAST(count(l2.neighbor_id) AS BIGINT) AS multiprobe_hits
@@ -881,13 +934,16 @@ h2 AS (SELECT ex.query_id, CAST(count(l2.neighbor_id) AS BIGINT) AS multiprobe_h
 h3 AS (SELECT ex.query_id, CAST(count(l3.neighbor_id) AS BIGINT) AS pq_hits
        FROM ex LEFT JOIN l3 USING (query_id, neighbor_id) GROUP BY 1),
 h4 AS (SELECT ex.query_id, CAST(count(l4.neighbor_id) AS BIGINT) AS pq_sub_hits
-       FROM ex LEFT JOIN l4 USING (query_id, neighbor_id) GROUP BY 1)
+       FROM ex LEFT JOIN l4 USING (query_id, neighbor_id) GROUP BY 1),
+h5 AS (SELECT ex.query_id, CAST(count(l5.neighbor_id) AS BIGINT) AS opq_hits
+       FROM ex LEFT JOIN l5 USING (query_id, neighbor_id) GROUP BY 1)
 SELECT h1.query_id, lsh_hits, CAST(lsh_hits AS DOUBLE) / 10.0 AS lsh_recall,
        multiprobe_hits, CAST(multiprobe_hits AS DOUBLE) / 10.0 AS multiprobe_recall,
        pq_hits, CAST(pq_hits AS DOUBLE) / 10.0 AS pq_recall,
-       pq_sub_hits, CAST(pq_sub_hits AS DOUBLE) / 10.0 AS pq_sub_recall
+       pq_sub_hits, CAST(pq_sub_hits AS DOUBLE) / 10.0 AS pq_sub_recall,
+       opq_hits, CAST(opq_hits AS DOUBLE) / 10.0 AS opq_recall
 FROM h1 JOIN h2 USING (query_id) JOIN h3 USING (query_id)
-JOIN h4 USING (query_id) ORDER BY query_id""",
+JOIN h4 USING (query_id) JOIN h5 USING (query_id) ORDER BY query_id""",
 
     "q_knn_lsh_multiprobe" -> s"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -140,10 +140,11 @@ class PqSpec extends AnyFunSuite {
   /** Recompute every per-subspace-ADC output score independently
     * driver-side (own code assignment + LUT fold) and require bit
     * equality. */
-  private def assertSubAdcReproducible(cbs: Seq[Seq[(Int, Array[Double])]]): Unit = {
-    val out = Pq.knnPqSubWith(emb, cbs).collect()
+  private def assertSubAdcReproducible(cbs: Seq[Seq[(Int, Array[Double])]],
+      frame: org.apache.spark.sql.DataFrame = emb): Unit = {
+    val out = Pq.knnPqSubWith(frame, cbs).collect()
     assert(out.nonEmpty)
-    val vecs = emb.select(col("vec_id"),
+    val vecs = frame.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"),
         Similarity.l2Norm(col("embedding")).as("nrm"))
       .collect()
@@ -179,6 +180,80 @@ class PqSpec extends AnyFunSuite {
         / (qn * math.sqrt(rq.toDouble / Pq.Grid30)))
         .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(got == want, s"query $q neighbor $x: got $got want $want")
+    }
+  }
+
+  private lazy val opqPerm = Pq.trainPermutation(emb)
+
+  test("OPQ permutation: bijection, top-energy spread, balanced subspaces") {
+    val dims = Pq.NumSub * Pq.SubDim
+    assert(opqPerm.length == dims)
+    assert(opqPerm.sorted == (0 until dims), "must be a bijection over dims")
+    // independent driver-side energy ranking with the same grid formula
+    val energies = emb.collect().map(_.getSeq[Float](
+        emb.schema.fieldIndex("embedding")).map(_.toDouble).toArray)
+      .foldLeft(Array.fill(dims)(0L)) { (acc, v) =>
+        (0 until dims).foreach(i =>
+          acc(i) += math.floor(v(i) * v(i) * Pq.Grid20).toLong)
+        acc
+      }
+    val rankOf = energies.zipWithIndex.sortBy { case (s2, pos) => (-s2, pos) }
+      .map(_._2).zipWithIndex.toMap
+    // snake round 0: the NumSub highest-energy dims land in NumSub
+    // DISTINCT subspaces (the balancing property the permutation exists
+    // to provide — identity layout can put all of them in one block)
+    val topSubspaces = opqPerm.zipWithIndex
+      .filter { case (oldPos, _) => rankOf(oldPos) < Pq.NumSub }
+      .map { case (_, newPos) => newPos / Pq.SubDim }
+    assert(topSubspaces.distinct.length == Pq.NumSub,
+      s"top-${Pq.NumSub} dims must spread across all subspaces: $topSubspaces")
+    // balanced allocation: the permuted per-subspace energy spread must
+    // not exceed the identity layout's spread
+    def spread(assign: Int => Int): Long = {
+      val per = Array.fill(Pq.NumSub)(0L)
+      (0 until dims).foreach(i => per(assign(i)) += energies(i))
+      per.max - per.min
+    }
+    val inv = opqPerm.zipWithIndex.map { case (o, n) => (o, n) }.toMap
+    assert(spread(old => inv(old) / Pq.SubDim) <= spread(_ / Pq.SubDim))
+  }
+
+  test("OPQ permute is an exact element reorder") {
+    val perm = opqPerm
+    val raw = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    Pq.permute(emb, perm)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().foreach { r =>
+        val v = raw(r.getLong(0))
+        val got = r.getSeq[Double](1)
+        perm.indices.foreach(i => assert(got(i) == v(perm(i))))
+      }
+  }
+
+  test("OPQ config: bitwise ADC reproduction in the permuted basis") {
+    val pe = Pq.permute(emb, opqPerm)
+    assertSubAdcReproducible(Pq.trainCodebooks(pe), pe)
+  }
+
+  test("annRecall: OPQ measured -> non-null; unsupplied -> NULL opq columns") {
+    val pe = Pq.permute(emb, opqPerm)
+    val measured = Similarity.annRecall(emb, cb, cbs,
+      Pq.trainCodebooks(pe), opqPerm).collect()
+    assert(measured.nonEmpty)
+    measured.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("opq_hits")))
+      val rec = r.getDouble(r.fieldIndex("opq_recall"))
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // default (unsupplied) OPQ config -> NULL, not fake zero recall —
+    // the same not-measured contract as pq_sub (r6 ADVICE)
+    val unmeasured = Similarity.annRecall(emb, cb, cbs).collect()
+    assert(unmeasured.nonEmpty)
+    unmeasured.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("opq_hits")))
+      assert(r.isNullAt(r.fieldIndex("opq_recall")))
     }
   }
 
