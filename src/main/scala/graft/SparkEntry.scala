@@ -669,6 +669,10 @@ object SparkEntry {
       TextAnalytics.dupSpans(docs(s, dir)).orderBy(col("doc_id"))),
     "q_tfidf_terms" -> ((s, dir) =>
       TextAnalytics.tfidfTerms(docs(s, dir)).orderBy(col("lang"), col("rnk"))),
+    // lexical ranked retrieval next to the embedding ANN family:
+    // rational-idf BM25 over the fixed low-doc_id query slice
+    "q_bm25_topk" -> ((s, dir) =>
+      TextAnalytics.bm25TopK(docs(s, dir)).orderBy(col("query_id"), col("rank"))),
     // which feeds are near-copies of each other: union-minhash per
     // source (elementwise min of per-doc signatures), S^2/2 comparison
     // over source-cardinality rows only

@@ -1394,4 +1394,113 @@ object TextAnalytics {
       .withColumn("pass_rate",
         col("pass_all").cast("double") / col("docs").cast("double"))
   }
+
+  /** Contribution grid for order-free BM25 sums: 2^-24 absolute
+    * precision on per-term contributions whose magnitude is O(idf) =
+    * O(corpus size) — headroom to ~2^33 documents before the summed
+    * BIGINT saturates, far past any single corpus. */
+  val Bm25Grid: Long = 1L << 24
+
+  /** BM25 top-k retrieval (Robertson/Sparck Jones' Okapi BM25) — the
+    * LEXICAL retrieval arm next to the embedding ANN family: ranked
+    * term-match retrieval for hybrid search, query-driven corpus audit,
+    * and eval-set decontamination sweeps where the probe is a text
+    * query, not a vector.
+    *
+    * Benchmark query set: the nQueries lowest doc_ids (the knnExact
+    * fixed-slice contract); each query is its document's first qTerms
+    * DISTINCT tokens in first-occurrence order (derived by min(pos) per
+    * token, NOT array_distinct — DuckDB's list_distinct does not
+    * preserve order, so first-occurrence rank is the cross-engine form).
+    *
+    * Parity-safe numerics, both deliberate deviations documented:
+    *  - idf is the RATIONAL core of the Robertson-Sparck-Jones weight,
+    *    (N - df + 0.5) / (df + 0.5), without the ln wrap — the
+    *    tfidfTerms/rarityScores precedent (ln's last-ulp shape is
+    *    libm-specific; the rational form is monotone in df, so RANKED
+    *    retrieval — the product — is unaffected, and it never goes
+    *    negative where textbook BM25 does for df > N/2).
+    *  - per-term contributions are floored onto the 2^-24 integer grid
+    *    and summed as exact BIGINTs, so the per-(query, doc) score is
+    *    order-free on any partitioning; the double conversion happens
+    *    once at the end.
+    *
+    * Shape at 100 TB: the query-term set is nQueries x qTerms strings —
+    * bounded DRIVER state (the knnPq lookup-table contract), so idf and
+    * the query expansion become literal map expressions and nothing
+    * joins. Three scans: the query docs alone (doc_id predicate pushed),
+    * a row-local stats/df pass (size + array_contains — text never
+    * explodes), and ONE exploded pass filtered by the literal token
+    * in-list BEFORE the tf shuffle, so the only corpus-mass exchange
+    * carries matching-token rows. A first cut staged qterms/df/stats as
+    * broadcast joins; Catalyst cannot reuse the divergently-pruned tf
+    * subtree, so the corpus text exploded TWICE — the literal form
+    * scans it once. The top-k window plans as map-side
+    * WindowGroupLimit. */
+  def bm25TopK(docs: DataFrame, k: Int = 10, nQueries: Int = 5,
+               qTerms: Int = 6, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val ts = tokens(col("text"))
+    def emptyOut = docs.limit(0).select(
+      col("doc_id").as("query_id"), col("doc_id"),
+      lit(0L).as("rank"), lit(0.0).as("score"))
+    // query terms: first-occurrence rank over the query docs only (the
+    // doc_id predicate pushes to the scan); bounded rows -> driver
+    val qw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("fp"))
+    val qtermRows = docs.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), posexplode(ts))
+      .groupBy(col("query_id"), col("col").as("token"))
+      .agg(min(col("pos")).as("fp"))
+      .withColumn("rn", row_number().over(qw))
+      .filter(col("rn") <= qTerms)
+      .select(col("query_id"), col("token"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    if (qtermRows.isEmpty) return emptyOut
+    val qtokens = qtermRows.map(_._2).distinct.sorted
+    // corpus stats + per-term df in one ROW-LOCAL pass (array_contains,
+    // no explode): df(t) = docs containing t, exactly "tf > 0" docs
+    val statAggs = Seq(count(lit(1)).as("n_docs"),
+      sum(size(ts).cast("long")).as("total_len")) ++
+      qtokens.map(t => sum(array_contains(ts, t).cast("long")).as(s"df_$t"))
+    val statsRow = docs.agg(statAggs.head, statAggs.tail: _*).collect()(0)
+    val nDocs = statsRow.getLong(0)
+    val avgdl = statsRow.getLong(1).toDouble / nDocs.toDouble
+    // per-token idf, driver-computed with the same IEEE expression
+    // shape the oracle's SQL uses on the same exact integers
+    val idfOf = qtokens.map { t =>
+      val df = statsRow.getAs[Long](s"df_$t").toDouble
+      t -> (nDocs.toDouble - df + 0.5) / (df + 0.5)
+    }.toMap
+    val q4t = qtermRows.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val tokLits = array(qtokens.map(lit): _*)
+    val idfMap = map_from_arrays(tokLits,
+      array(qtokens.map(t => lit(idfOf(t))): _*))
+    val qMap = map_from_arrays(tokLits,
+      array(qtokens.map(t => array(q4t(t).map(lit): _*)): _*))
+    // the one exploded corpus pass: literal in-list filter before the
+    // (doc, token) tf shuffle
+    val tf = docs
+      .select(col("doc_id"), size(ts).cast("long").as("dl"),
+        explode(ts).as("token"))
+      .filter(col("token").isin(qtokens: _*))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val contrib = tf
+      .withColumn("query_id", explode(element_at(qMap, col("token"))))
+      .withColumn("cg", floor(element_at(idfMap, col("token"))
+          * (col("tf").cast("double") * lit(k1 + 1.0))
+          / (col("tf").cast("double")
+             + lit(k1) * (lit(1.0 - b)
+               + lit(b) * col("dl").cast("double") / lit(avgdl)))
+          * lit(Bm25Grid.toDouble)).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sg").desc, col("doc_id"))
+    contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("cg")).as("sg"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as("rank"),
+        (col("sg").cast("double") / lit(Bm25Grid.toDouble)).as("score"))
+  }
 }

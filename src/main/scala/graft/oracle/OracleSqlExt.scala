@@ -1933,6 +1933,52 @@ SELECT doc_id, n_ngrams,
        CAST(coalesce(max_dup_span, 0) AS BIGINT) AS max_dup_span
 FROM base LEFT JOIN per USING (doc_id) ORDER BY doc_id""",
 
+    // mirror of TextAnalytics.bm25TopK: first-occurrence query terms
+    // (min(pos) rank, NOT list_distinct — order is the contract),
+    // rational RSJ idf, per-term contributions floored onto the 2^-24
+    // grid and summed as exact integers (HUGEINT cast back to BIGINT),
+    // the one double conversion at the end. Constants interpolated from
+    // the same Scala doubles the engine uses (toString round-trips).
+    "q_bm25_topk" -> {
+      import graft.functions.TextAnalytics.Bm25Grid
+      val k1 = 1.2; val b = 0.75
+      s"""
+WITH dt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+qf AS (SELECT query_id, token, min(pos) AS fp FROM (
+         SELECT doc_id AS query_id, unnest(ts) AS token,
+                generate_subscripts(ts, 1) AS pos
+         FROM dt WHERE doc_id < 5) GROUP BY 1, 2),
+qterms AS (SELECT query_id, token FROM (
+             SELECT query_id, token,
+                    row_number() OVER (PARTITION BY query_id ORDER BY fp) AS rn
+             FROM qf) WHERE rn <= 6),
+qtok AS (SELECT DISTINCT token FROM qterms),
+toks AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS token FROM dt),
+tf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+       FROM toks JOIN qtok USING (token) GROUP BY 1, 2, 3),
+dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(len(ts)) AS BIGINT) AS total_len FROM dt),
+c AS (SELECT q.query_id, t.doc_id,
+        CAST(floor(
+          ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+             / (CAST(df AS DOUBLE) + 0.5))
+          * (CAST(tf AS DOUBLE) * ${k1 + 1.0})
+          / (CAST(tf AS DOUBLE) + $k1 * (${1.0 - b}
+              + $b * CAST(dl AS DOUBLE)
+                / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+          * ${Bm25Grid.toDouble}) AS BIGINT) AS cg
+      FROM tf t JOIN qterms q USING (token) JOIN dfq USING (token) CROSS JOIN st),
+s AS (SELECT query_id, doc_id, CAST(sum(cg) AS BIGINT) AS sg FROM c GROUP BY 1, 2)
+SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS "rank",
+       CAST(sg AS DOUBLE) / ${Bm25Grid.toDouble} AS score
+FROM (SELECT query_id, doc_id, sg,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sg DESC, doc_id) AS rnk
+      FROM s)
+WHERE rnk <= 10 ORDER BY query_id, "rank""""
+    },
+
     "q_tfidf_terms" -> """
 WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
 tf AS (SELECT lang, token, count(*) AS tf FROM t GROUP BY 1, 2),

@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe: dump ONE named SparkEntry query (plus its oracle SQL as a
+  * single-entry oracle_sql.json) so tools/parity.py can check it in
+  * isolation without a full Verify pass. Usage:
+  *   runMain graft.tools.DumpQuery <sfDir> <outDir> <name> [name...] */
+object DumpQuery {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, names @ _*) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    names.foreach { n =>
+      graft.SparkEntry.queries(n)(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$n")
+      System.err.println(s"[dump] $n written")
+    }
+    val json = names.filter(graft.SparkEntry.oracleSql.contains).map { n =>
+      val sql = graft.SparkEntry.oracleSql(n)
+        .replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+      s""""$n": "$sql""""
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalytics
+
+/** Contracts for BM25 top-k retrieval (cross-engine value parity is the
+  * oracle gate; these pin the kernel semantics):
+  *  - output geometry: k contiguous ranks per query, scores
+  *    non-increasing along the rank order, positive (rational RSJ idf
+  *    never goes negative),
+  *  - the grid score is BITWISE reproducible driver-side from raw
+  *    texts — query-term selection (first-occurrence distinct), df/tf,
+  *    the length-normalized term fold, the 2^-24 floor-sum,
+  *  - query-term selection ignores later duplicate occurrences (the
+  *    min(pos) contract the oracle mirrors).
+  *
+  * The fixture corpus has a small, near-uniform vocabulary (every token
+  * in ~77% of docs), so relevance-shaped assertions like self-retrieval
+  * are unattainable by construction — geometry and bitwise parity are
+  * the testable surface.
+  */
+class Bm25Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+
+  private val K1 = 1.2
+  private val B = 0.75
+
+  test("geometry: contiguous ranks, non-increasing positive scores") {
+    val out = TextAnalytics.bm25TopK(docs).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq == (1L to sorted.length),
+        s"query $q ranks not contiguous")
+      val scores = sorted.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $q scores not non-increasing")
+      assert(scores.forall(_ > 0.0), s"query $q non-positive score")
+    }
+  }
+
+  test("grid scores are bitwise reproducible driver-side from raw text") {
+    val out = TextAnalytics.bm25TopK(docs).collect()
+    assert(out.nonEmpty)
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    // query terms: first qTerms distinct tokens in first-occurrence order
+    def qTermsOf(qid: Long): Seq[String] =
+      texts(qid).distinct.take(6)
+    val nDocs = texts.size.toLong
+    val totalLen = texts.values.map(_.length.toLong).sum
+    val avgdl = totalLen.toDouble / nDocs.toDouble
+    out.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val terms = qTermsOf(q)
+      // df per query term over the whole corpus
+      val dfOf = terms.map(t => t -> texts.values.count(_.contains(t)).toLong).toMap
+      rs.foreach { r =>
+        val d = r.getLong(1); val got = r.getDouble(3)
+        val dl = texts(d).length.toLong
+        val sg = terms.map { t =>
+          val tf = texts(d).count(_ == t).toLong
+          if (tf == 0L) 0L
+          else {
+            val df = dfOf(t)
+            val idf = (nDocs.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5)
+            math.floor(idf * (tf.toDouble * (K1 + 1.0))
+              / (tf.toDouble + K1 * ((1.0 - B) + B * dl.toDouble / avgdl))
+              * TextAnalytics.Bm25Grid.toDouble).toLong
+          }
+        }.sum
+        val want = sg.toDouble / TextAnalytics.Bm25Grid.toDouble
+        assert(got == want, s"query $q doc $d: got $got want $want")
+      }
+    }
+  }
+
+  test("query terms are first-occurrence distinct (duplicates ignored)") {
+    import spark.implicits._
+    val toy = Seq(
+      (0L, "b b a c a d e f g h"), // distinct order: b a c d e f g h
+      (1L, "zzz yyy"),
+      (2L, "b a q r s t u v")
+    ).toDF("doc_id", "text")
+    val out = TextAnalytics.bm25TopK(toy, k = 3, nQueries = 1, qTerms = 6)
+    // query 0's terms are b,a,c,d,e,f — doc 2 shares exactly b,a of them;
+    // doc 1 shares none and must be absent from the result entirely
+    val rows = out.collect()
+    assert(rows.map(_.getLong(0)).distinct.toSeq == Seq(0L))
+    assert(!rows.map(_.getLong(1)).contains(1L), "no-term-overlap doc must not score")
+    assert(rows.map(_.getLong(1)).toSet.contains(2L))
+  }
+}
