@@ -673,6 +673,12 @@ object SparkEntry {
     // rational-idf BM25 over the fixed low-doc_id query slice
     "q_bm25_topk" -> ((s, dir) =>
       TextAnalytics.bm25TopK(docs(s, dir)).orderBy(col("query_id"), col("rank"))),
+    // hybrid retrieval: reciprocal-rank fusion of the lexical (BM25)
+    // and vector (multi-probe LSH) arms over the shared doc/vec ids
+    "q_rrf_fusion" -> ((s, dir) =>
+      Similarity.rrfFuse(TextAnalytics.bm25TopK(docs(s, dir)),
+          Similarity.knnLshMultiProbe(emb(s, dir)))
+        .orderBy(col("query_id"), col("rank"))),
     // which feeds are near-copies of each other: union-minhash per
     // source (elementwise min of per-doc signatures), S^2/2 comparison
     // over source-cardinality rows only

@@ -433,6 +433,46 @@ object Similarity {
          else lit(null).cast("double")).as("opq_recall"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of a
+    * LEXICAL ranking (BM25: query_id, doc_id, rank) and a VECTOR
+    * ranking (the knn family: query_id, neighbor_id, rank) — the
+    * standard score-free hybrid-retrieval combiner: each list
+    * contributes 1/(kRrf + rank), so scale-incompatible scores (a
+    * rational-idf BM25 sum vs a cosine) never meet, only ranks do.
+    *
+    * Parity-safe numerics: with exactly two lists the fused score is
+    * ONE fixed-shape expression (coalesce(lex, 0) + coalesce(vec, 0) in
+    * that operand order), not an aggregation — no summation-order seam
+    * to grid away. Queries fuse over the UNION of the two query
+    * slices: a query present in one arm only keeps that arm's
+    * contributions (the full-outer-join semantics a production fusion
+    * layer wants — vector-only queries still rank).
+    *
+    * Shape at 100 TB: both inputs are already top-k-bounded (k rows per
+    * query), so the full outer join and the re-rank window move
+    * queries x k rows — nothing corpus-sized. */
+  def rrfFuse(lex: DataFrame, vec: DataFrame,
+              k: Int = 10, kRrf: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = lex.select(col("query_id"), col("doc_id"),
+      col("rank").as("rank_lex"))
+    val b = vec.select(col("query_id"), col("neighbor_id").as("doc_id"),
+      col("rank").as("rank_vec"))
+    val fused = a.join(b, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("score",
+        coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("rank_lex").cast("double")),
+          lit(0.0))
+        + coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("rank_vec").cast("double")),
+          lit(0.0)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as("rank"), col("score"),
+        col("rank_lex"), col("rank_vec"))
+  }
+
   /** Hybrid dedup verification: TEXT-side MinHash/LSH candidate pairs
     * cross-checked against the documents' EMBEDDINGS — the two
     * independent near-dup signals a curation pipeline wants to agree

@@ -422,6 +422,51 @@ ${px}pqscored AS (SELECT a.query_id, a.vec_id,
 
   private val pqSubChainCtes: String = pqSubChain("z", "sv", "tsv", "qsub", "qn")
 
+  /** Mirror of TextAnalytics.bm25TopK as composable CTEs (bm-prefixed
+    * to stay disjoint from the lsh/pq chains): first-occurrence query
+    * terms, rational RSJ idf, 2^-24-grid exact contribution sums.
+    * Constants interpolated from the same Scala doubles the engine
+    * uses (Double.toString round-trips). The final relation is
+    * `bmr(query_id, doc_id, sg, rnk)` — unfiltered ranks so consumers
+    * pick their own k. */
+  private val bm25ChainCtes: String = {
+    import graft.functions.TextAnalytics.Bm25Grid
+    val k1 = 1.2; val b = 0.75
+    s"""bmdt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+bmqf AS (SELECT query_id, token, min(pos) AS fp FROM (
+         SELECT doc_id AS query_id, unnest(ts) AS token,
+                generate_subscripts(ts, 1) AS pos
+         FROM bmdt WHERE doc_id < 5) GROUP BY 1, 2),
+bmqt AS (SELECT query_id, token FROM (
+             SELECT query_id, token,
+                    row_number() OVER (PARTITION BY query_id ORDER BY fp) AS rn
+             FROM bmqf) WHERE rn <= 6),
+bmvoc AS (SELECT DISTINCT token FROM bmqt),
+bmtf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf FROM (
+           SELECT doc_id, len(ts) AS dl, unnest(ts) AS token FROM bmdt)
+         JOIN bmvoc USING (token) GROUP BY 1, 2, 3),
+bmdf AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM bmtf GROUP BY 1),
+bmst AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(len(ts)) AS BIGINT) AS total_len FROM bmdt),
+bmc AS (SELECT q.query_id, t.doc_id,
+        CAST(floor(
+          ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+             / (CAST(df AS DOUBLE) + 0.5))
+          * (CAST(tf AS DOUBLE) * ${k1 + 1.0})
+          / (CAST(tf AS DOUBLE) + $k1 * (${1.0 - b}
+              + $b * CAST(dl AS DOUBLE)
+                / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+          * ${Bm25Grid.toDouble}) AS BIGINT) AS cg
+      FROM bmtf t JOIN bmqt q USING (token) JOIN bmdf USING (token)
+      CROSS JOIN bmst),
+bms AS (SELECT query_id, doc_id, CAST(sum(cg) AS BIGINT) AS sg
+        FROM bmc GROUP BY 1, 2),
+bmr AS (SELECT query_id, doc_id, sg,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sg DESC, doc_id) AS rnk
+      FROM bms)"""
+  }
+
   /** Mirror of Pq.trainPermutation + the OPQ measurement basis: per-dim
     * energy as the exact BIGINT sum of 2^-20-grid-floored x^2 (order-
     * free), snake-draft assignment of the energy ranking over the 8
@@ -1937,45 +1982,49 @@ FROM base LEFT JOIN per USING (doc_id) ORDER BY doc_id""",
     // (min(pos) rank, NOT list_distinct — order is the contract),
     // rational RSJ idf, per-term contributions floored onto the 2^-24
     // grid and summed as exact integers (HUGEINT cast back to BIGINT),
-    // the one double conversion at the end. Constants interpolated from
-    // the same Scala doubles the engine uses (toString round-trips).
-    "q_bm25_topk" -> {
-      import graft.functions.TextAnalytics.Bm25Grid
-      val k1 = 1.2; val b = 0.75
-      s"""
-WITH dt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-qf AS (SELECT query_id, token, min(pos) AS fp FROM (
-         SELECT doc_id AS query_id, unnest(ts) AS token,
-                generate_subscripts(ts, 1) AS pos
-         FROM dt WHERE doc_id < 5) GROUP BY 1, 2),
-qterms AS (SELECT query_id, token FROM (
-             SELECT query_id, token,
-                    row_number() OVER (PARTITION BY query_id ORDER BY fp) AS rn
-             FROM qf) WHERE rn <= 6),
-qtok AS (SELECT DISTINCT token FROM qterms),
-toks AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS token FROM dt),
-tf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
-       FROM toks JOIN qtok USING (token) GROUP BY 1, 2, 3),
-dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-              CAST(sum(len(ts)) AS BIGINT) AS total_len FROM dt),
-c AS (SELECT q.query_id, t.doc_id,
-        CAST(floor(
-          ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-             / (CAST(df AS DOUBLE) + 0.5))
-          * (CAST(tf AS DOUBLE) * ${k1 + 1.0})
-          / (CAST(tf AS DOUBLE) + $k1 * (${1.0 - b}
-              + $b * CAST(dl AS DOUBLE)
-                / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
-          * ${Bm25Grid.toDouble}) AS BIGINT) AS cg
-      FROM tf t JOIN qterms q USING (token) JOIN dfq USING (token) CROSS JOIN st),
-s AS (SELECT query_id, doc_id, CAST(sum(cg) AS BIGINT) AS sg FROM c GROUP BY 1, 2)
+    // the one double conversion at the end.
+    "q_bm25_topk" -> s"""
+WITH $bm25ChainCtes
 SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS "rank",
-       CAST(sg AS DOUBLE) / ${Bm25Grid.toDouble} AS score
-FROM (SELECT query_id, doc_id, sg,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY sg DESC, doc_id) AS rnk
-      FROM s)
+       CAST(sg AS DOUBLE) / ${graft.functions.TextAnalytics.Bm25Grid.toDouble}
+         AS score
+FROM bmr WHERE rnk <= 10 ORDER BY query_id, "rank"""",
+
+    // mirror of Similarity.rrfFuse(bm25TopK, knnLshMultiProbe): the
+    // committed bm25 and multi-probe chains composed, fused by the
+    // fixed-shape coalesce(lex, 0) + coalesce(vec, 0) expression —
+    // constants interpolated from the engine's doubles
+    "q_rrf_fusion" -> {
+      val kRrf = 60.0
+      s"""
+WITH $bm25ChainCtes,
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+$lshBucketsCte,
+vqb AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, tbl,
+               xor(CAST(key AS BIGINT), f.flip) AS key
+        FROM b, (VALUES (CAST(0 AS BIGINT)), (1), (2), (4), (8)) f(flip)
+        WHERE vec_id < 10),
+vcand AS (SELECT DISTINCT query_id, vec_id,
+            round(list_dot_product(qv, b.v) / (qnrm * b.nrm), 9) AS score
+          FROM b JOIN vqb USING (tbl, key) WHERE vec_id <> query_id),
+vr AS (SELECT query_id, vec_id AS neighbor_id, rnk FROM (
+         SELECT query_id, vec_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, vec_id) AS rnk
+         FROM vcand) WHERE rnk <= 10),
+lx AS (SELECT query_id, doc_id, rnk FROM bmr WHERE rnk <= 10),
+f AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+             coalesce(l.doc_id, v.neighbor_id) AS doc_id,
+             coalesce(1.0 / ($kRrf + CAST(l.rnk AS DOUBLE)), 0.0)
+               + coalesce(1.0 / ($kRrf + CAST(v.rnk AS DOUBLE)), 0.0) AS score,
+             CAST(l.rnk AS BIGINT) AS rank_lex, CAST(v.rnk AS BIGINT) AS rank_vec
+      FROM lx l FULL OUTER JOIN vr v
+        ON v.query_id = l.query_id AND v.neighbor_id = l.doc_id)
+SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS "rank", score,
+       rank_lex, rank_vec
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, doc_id) AS rnk FROM f)
 WHERE rnk <= 10 ORDER BY query_id, "rank""""
     },
 

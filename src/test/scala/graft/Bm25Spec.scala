@@ -77,6 +77,33 @@ class Bm25Spec extends AnyFunSuite {
     }
   }
 
+  test("rrfFuse: exact fused scores, outer-union queries, rank contract") {
+    import spark.implicits._
+    val lex = Seq((0L, 100L, 1L), (0L, 101L, 2L), (7L, 300L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val vec = Seq((0L, 101L, 1L), (0L, 102L, 2L), (9L, 400L, 1L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val out = graft.functions.Similarity.rrfFuse(lex, vec).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3),
+          Option(r.get(r.fieldIndex("rank_lex"))),
+          Option(r.get(r.fieldIndex("rank_vec"))))).toMap
+    // doc in BOTH lists: 1/(60+2) + 1/(60+1), fixed lex-then-vec order
+    val both = out((0L, 101L))
+    assert(both._2 == 1.0 / 62.0 + 1.0 / 61.0)
+    assert(both._1 == 1L, "dual-arm doc must outrank single-arm docs")
+    // single-arm docs keep one contribution and a NULL other-arm rank
+    assert(out((0L, 100L))._2 == 1.0 / 61.0 + 0.0)
+    assert(out((0L, 100L))._4.isEmpty)
+    assert(out((9L, 400L))._3.isEmpty, "vector-only query has NULL rank_lex")
+    // queries fuse over the UNION of both arms' query slices
+    assert(out.keySet.map(_._1) == Set(0L, 7L, 9L))
+    // per-query ranks contiguous from 1
+    out.groupBy(_._1._1).foreach { case (q, rs) =>
+      assert(rs.values.map(_._1).toSeq.sorted == (1L to rs.size), s"query $q")
+    }
+  }
+
   test("query terms are first-occurrence distinct (duplicates ignored)") {
     import spark.implicits._
     val toy = Seq(
