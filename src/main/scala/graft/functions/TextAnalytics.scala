@@ -1152,8 +1152,10 @@ object TextAnalytics {
       .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
       .filter(col("df") === 1)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("uniq"))
+    // uniquePerDoc is corpus-proportional (one row per owning doc) —
+    // same never-broadcast contract as dupSpans' hinted joins
     withSet.select(col("doc_id"), size(col("hs")).cast("long").as("n_ngrams"))
-      .join(uniquePerDoc, Seq("doc_id"), "left")
+      .join(uniquePerDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_ngrams"),
         (col("n_ngrams") - coalesce(col("uniq"), lit(0L))).as("dup_ngrams"))
       .withColumn("dup_ngram_frac",
@@ -1192,9 +1194,15 @@ object TextAnalytics {
       .groupBy(col("ngh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > 1)
       .select(col("ngh"))
+    // SHUFFLE_HASH pins the scaladoc's hash-key exchange: dupSet is
+    // corpus-dup-rate-proportional, and at the x40 rung AQE measured it
+    // just under the broadcast threshold and promoted it — which blew
+    // the default-heap driver ("Not enough memory to build and
+    // broadcast", bench r8). A corpus-proportional build side must
+    // never be a broadcast candidate, whatever its momentary size.
     val dupPos = withArr
       .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "ngh")))
-      .join(dupSet, Seq("ngh"))
+      .join(dupSet.hint("shuffle_hash"), Seq("ngh"))
     // islands: consecutive positions share (pos - rank); run length in
     // n-grams + (n-1) = span length in tokens
     val runs = dupPos
@@ -1205,7 +1213,7 @@ object TextAnalytics {
       .agg(sum(col("run")).as("dup_positions"),
         (max(col("run")) + lit(n - 1).cast("long")).as("max_dup_span"))
     withArr.select(col("doc_id"), size(col("hs")).cast("long").as("n_ngrams"))
-      .join(perDoc, Seq("doc_id"), "left")
+      .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_ngrams"),
         coalesce(col("dup_positions"), lit(0L)).as("dup_positions"),
         coalesce(col("max_dup_span"), lit(0L)).as("max_dup_span"))
