@@ -77,6 +77,27 @@ class Bm25Spec extends AnyFunSuite {
     }
   }
 
+  test("empty query slice -> empty result with the output schema") {
+    import spark.implicits._
+    val toy = Seq((10L, "a b c")).toDF("doc_id", "text") // no doc_id < nQueries
+    val out = TextAnalytics.bm25TopK(toy, nQueries = 5)
+    assert(out.columns.toSeq == Seq("query_id", "doc_id", "rank", "score"))
+    assert(out.count() == 0)
+  }
+
+  test("rrfFuse: equal fused scores tie-break on doc_id") {
+    import spark.implicits._
+    // two docs each appearing in exactly one arm at the same rank ->
+    // identical scores; the window must order them by doc_id
+    val lex = Seq((0L, 200L, 1L)).toDF("query_id", "doc_id", "rank")
+    val vec = Seq((0L, 100L, 1L)).toDF("query_id", "neighbor_id", "rank")
+    val rows = graft.functions.Similarity.rrfFuse(lex, vec).collect()
+      .sortBy(_.getLong(2))
+    assert(rows.map(_.getDouble(3)).distinct.length == 1, "scores tie")
+    assert(rows.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((100L, 1L), (200L, 2L)))
+  }
+
   test("rrfFuse: exact fused scores, outer-union queries, rank contract") {
     import spark.implicits._
     val lex = Seq((0L, 100L, 1L), (0L, 101L, 2L), (7L, 300L, 1L))
