@@ -222,6 +222,51 @@ object SparkEntry {
     bm25Memo.getOrElseUpdate((s, dir),
       TextAnalytics.bm25TopK(docs(s, dir)).persist())
 
+  /** Release every (session, dir)-memoized shared derivation: unpersist
+    * the cached frames and drop the keys, so a LONG-LIVED service
+    * looping over snapshot dirs (the GraftApp cadence) does not
+    * accumulate dead cached blocks per (session, dir) forever (r8
+    * verdict item 2 — the memos had no eviction path; fine for the
+    * one-shot Verify/Bench drivers whose JVM exits, a leak for the
+    * product's query entry point). Driver-state memos (centroids,
+    * codebooks, BPE merges — tiny Seqs) just drop their keys.
+    *
+    * The cluster memo's frame is localCheckpoint-materialized, not
+    * cacheManager-persisted: its blocks are released asynchronously by
+    * the ContextCleaner once the dropped reference is GC'd (bounded:
+    * one labels-sized table per build). Everything persist()-ed is
+    * released synchronously here — CacheLifecycleSpec asserts the
+    * storage levels. Safe to call concurrently with query building
+    * (TrieMap.remove is atomic); a re-query after invalidate simply
+    * rebuilds and re-persists. */
+  def invalidate(s: SparkSession, dir: String): Unit = {
+    val key = (s, dir)
+    dfMemos.foreach(_.remove(key).foreach(_.unpersist()))
+    clustersMemo.remove(key) // localCheckpoint blocks: ContextCleaner
+    incIndexMemo.remove(key).foreach { case (_, ex, bi, si) =>
+      ex.unpersist(); bi.unpersist(); si.unpersist()
+    }
+    driverStateMemos.foreach(_.remove(key))
+    graft.sources.Snapshots.invalidate(s, dir)
+  }
+
+  /** Every persist()-backed frame currently memoized for (session, dir)
+    * — the invalidate spec's storage-level probe. */
+  private[graft] def cachedFrames(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val key = (s, dir)
+    dfMemos.flatMap(_.get(key)) ++
+      incIndexMemo.get(key).toSeq.flatMap(t => Seq(t._2, t._3, t._4)) ++
+      graft.sources.Snapshots.cachedFrames(s, dir)
+  }
+
+  private def dfMemos = Seq(topicsMemo, groupsMemo, scoredPairsMemo,
+    cosineMemo, minhashMemo, incAdmissionsMemo, bm25Memo)
+
+  private def driverStateMemos: Seq[scala.collection.concurrent.TrieMap[
+      (SparkSession, String), _]] =
+    Seq(pcaMemo, ivfMemo, dedupIvfMemo, bpeMemo, pqMemo, pqSubMemo,
+      opqPermMemo, opqSubMemo)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topics_stats" -> ((s, dir) =>
       topicsDf(s, dir).orderBy(col("name"))),
@@ -415,11 +460,19 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))),
     // cross-crawl incremental dedup: the last 20% of ids ("today's
     // crawl") admitted against the persisted-index view of the first
-    // 80% ("corpus to date") — the index is memoized like a lake table,
-    // so the measured cost is the probe path, and the oracle runs the
-    // FROM-SCRATCH union dedup (equivalence is the gate)
-    "q_incremental_dedup" -> ((s, dir) =>
-      incAdmissionsOf(s, dir).orderBy(col("doc_id"))),
+    // 80% ("corpus to date") — the INDEX is memoized like a lake table
+    // but the admissions probe runs fresh here, so the measured cost
+    // (bench + ladder exponent) IS the probe path, not a cached read
+    // (r8 ADVICE: the memoized frame warmup materializes for
+    // q_dedup_reconcile's offline side had silently turned this query
+    // into a cache scan). The oracle runs the FROM-SCRATCH union dedup
+    // (equivalence is the gate).
+    "q_incremental_dedup" -> ((s, dir) => {
+      val (split, ex, bi, si) = incrementalStateOf(s, dir)
+      IncrementalDedup.admissions(
+          docs(s, dir).filter(col("doc_id") > split), ex, bi, si)
+        .orderBy(col("doc_id"))
+    }),
     // weekly offline reconciliation of the incremental admissions: the
     // window (80%, 90%] was admitted online against the 80% index
     // (probe path, memoized like a lake table); the offline side reads
@@ -927,6 +980,7 @@ object SparkEntry {
       ex.count(); bi.count(); si.count()
     }
     timed("incAdmissions")(incAdmissionsOf(s, dir).count())
+    timed("bm25TopK")(bm25Of(s, dir).count())
     timed("pcaDirections")(pcaDirections(s, dir))
     timed("ivfCentroids")(ivfCentroids(s, dir))
     timed("dedupIvfCentroids")(dedupIvfCentroids(s, dir))

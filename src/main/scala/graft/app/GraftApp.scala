@@ -64,6 +64,10 @@ object GraftApp {
         val channels = c.reporting.notificationChannels.flatMap(channelDefs.get)
         runCluster(spark, c, sfDir, outDir, ticks, http, channels, lakeDir)
       }
+      // release this snapshot dir's memoized frames before moving on —
+      // a long-lived service looping over dirs must not accumulate dead
+      // cached blocks per (session, dir) (SparkEntry.invalidate scaladoc)
+      graft.SparkEntry.invalidate(spark, sfDir)
       if (args.contains("--streaming")) runStreaming(spark, sfDir, outDir)
     } finally { http.foreach(_.stop()); spark.stop() }
   }

@@ -151,6 +151,17 @@ object Snapshots {
   private def memoize(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
     memo.getOrElseUpdate((spark, key), build.persist())
 
+  /** Unpersist + drop every snapshot table memoized for (session, dir)
+    * — every memo key ends with "|dir". Called by SparkEntry.invalidate
+    * so the service loop releases a snapshot dir's cached blocks when it
+    * moves on (r8 verdict item 2). */
+  def invalidate(spark: SparkSession, dir: String): Unit =
+    memo.keys.filter(k => k._1 == spark && k._2.endsWith("|" + dir))
+      .foreach(k => memo.remove(k).foreach(_.unpersist()))
+
+  private[graft] def cachedFrames(spark: SparkSession, dir: String): Seq[DataFrame] =
+    memo.collect { case ((s, k), df) if s == spark && k.endsWith("|" + dir) => df }.toSeq
+
   /** partition_watermarks: (cluster, topic, partition_id, low, high, scan_ts, s).
     * Reference: Partition watermark fetch, kafka_overwatch/kafka_resources/topics.py:168-209. */
   def watermarks(spark: SparkSession, dir: String): DataFrame =

@@ -22,10 +22,19 @@ object DumpQuery {
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$n")
       System.err.println(s"[dump] $n written")
     }
+    // same escape loop as Verify: backslash, quote, and ALL control chars
+    // — a tab/CR in oracle SQL must not emit invalid JSON for parity.py
+    def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val json = names.filter(graft.SparkEntry.oracleSql.contains).map { n =>
-      val sql = graft.SparkEntry.oracleSql(n)
-        .replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
-      s""""$n": "$sql""""
+      s""""$n": "${esc(graft.SparkEntry.oracleSql(n))}""""
     }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
