@@ -37,9 +37,16 @@ class BenchLadderSpec extends AnyFunSuite {
     if (!f.exists()) None
     else {
       val src = scala.io.Source.fromFile(f)
-      try Some(Timing.findAllMatchIn(src.mkString)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap)
-      finally src.close()
+      // scope to the "queries" object: the sidecar also carries a
+      // "first_pass" map (raw pre-settle outlier timings) whose entries
+      // must not shadow the settled values
+      try {
+        val body = src.mkString
+        val qBody = "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(body)
+          .map(_.group(1)).getOrElse(body)
+        Some(Timing.findAllMatchIn(qBody)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+      } finally src.close()
     }
   }
 
