@@ -737,6 +737,16 @@ object SparkEntry {
     // rational-idf BM25 over the fixed low-doc_id query slice
     "q_bm25_topk" -> ((s, dir) =>
       bm25Of(s, dir).orderBy(col("query_id"), col("rank"))),
+    // the PARAMETERIZED slice (r8 verdict item 3): same operator, an
+    // explicit non-prefix query table (doc_id % 17 = 3 below 200 — a
+    // fixed-size benchmark set past sf0.01) passed as the argument
+    "q_bm25_queryset" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalytics.bm25TopKFor(d,
+          d.filter(col("doc_id") % 17 === 3 && col("doc_id") < 200)
+            .select(col("doc_id").as("query_id"), col("text")))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     // hybrid retrieval: reciprocal-rank fusion of the lexical (BM25)
     // and vector (multi-probe LSH) arms over the shared doc/vec ids
     "q_rrf_fusion" -> ((s, dir) =>

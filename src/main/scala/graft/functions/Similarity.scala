@@ -34,13 +34,20 @@ object Similarity {
     * Ranking is on the score rounded to 9 decimals (FP noise below 5e-10
     * cannot flip an order), with vec_id as the deterministic tiebreak. The
     * query side is broadcast: the scan of the big side streams once. */
-  def knnExact(emb: DataFrame, nQueries: Int = 10, k: Int = 10): DataFrame = {
+  def knnExact(emb: DataFrame, nQueries: Int = 10, k: Int = 10): DataFrame =
+    knnExactFor(emb, emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding")), k)
+
+  /** Exact top-k against an ARBITRARY query table (query_id, embedding)
+    * — the parameterized surface (r8 verdict item 3); the fixed
+    * low-vec_id slice above is one choice of `queries`. The query side
+    * stays the bounded broadcast arm; the corpus streams once. */
+  def knnExactFor(emb: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = emb.select(col("vec_id"), col("embedding"),
       l2Norm(col("embedding")).as("norm"))
-    val q = base.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
-        col("norm").as("qnorm"))
+    val q = queries.select(col("query_id"), col("embedding").as("qvec"),
+      l2Norm(col("embedding")).as("qnorm"))
     val scored = base.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("score",
@@ -159,6 +166,34 @@ object Similarity {
     val q = b.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         col("norm").as("qnorm"), col("table"), col("key"))
+    rerankBuckets(b, q, k)
+  }
+
+  /** Single-probe LSH top-k for an ARBITRARY query table (query_id,
+    * embedding): the queries are bucketed with the same hyperplanes as
+    * the corpus index, so a query needs no corpus membership. */
+  def knnLshFor(emb: DataFrame, queries: DataFrame, dim: Int = 64,
+                k: Int = 10): DataFrame = {
+    val b = bucketed(emb, dim)
+    val q = bucketed(queries.select(col("query_id").as("vec_id"),
+        col("embedding")), dim)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("norm").as("qnorm"), col("table"), col("key"))
+    rerankBuckets(b, q, k)
+  }
+
+  /** Multi-probe LSH top-k for an ARBITRARY query table — the Hamming-1
+    * probe expansion applied to externally supplied queries. */
+  def knnLshMultiProbeFor(emb: DataFrame, queries: DataFrame,
+                          dim: Int = 64, k: Int = 10): DataFrame = {
+    val b = bucketed(emb, dim)
+    val flips = lit(0L) +: (0 until BitsPerTable).map(i => lit(1L << i))
+    val q = bucketed(queries.select(col("query_id").as("vec_id"),
+        col("embedding")), dim)
+      .withColumn("flip", explode(array(flips: _*)))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("norm").as("qnorm"), col("table"),
+        col("key").bitwiseXOR(col("flip")).as("key"))
     rerankBuckets(b, q, k)
   }
 

@@ -1446,17 +1446,31 @@ object TextAnalytics {
     * scans it once. The top-k window plans as map-side
     * WindowGroupLimit. */
   def bm25TopK(docs: DataFrame, k: Int = 10, nQueries: Int = 5,
-               qTerms: Int = 6, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               qTerms: Int = 6, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKFor(docs,
+      docs.filter(col("doc_id") < nQueries)
+        .select(col("doc_id").as("query_id"), col("text")),
+      k, qTerms, k1, b)
+
+  /** The parameterized retrieval surface (r8 verdict item 3): top-k BM25
+    * against an ARBITRARY query table (query_id, text) — the fixed
+    * low-doc_id slice above is just one choice of `queryDocs`. The
+    * bounded-driver-literal compilation carries over unchanged: the
+    * query set must be bounded by contract (it is collected to drive
+    * the literal idf/expansion maps), which is the production shape —
+    * a retrieval layer serves a query batch, not a corpus-sized join. */
+  def bm25TopKFor(docs: DataFrame, queryDocs: DataFrame, k: Int = 10,
+                  qTerms: Int = 6, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val ts = tokens(col("text"))
     def emptyOut = docs.limit(0).select(
       col("doc_id").as("query_id"), col("doc_id"),
       lit(0L).as("rank"), lit(0.0).as("score"))
-    // query terms: first-occurrence rank over the query docs only (the
-    // doc_id predicate pushes to the scan); bounded rows -> driver
+    // query terms: first-occurrence rank over the query docs only
+    // (bounded rows by contract -> driver)
     val qw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("fp"))
-    val qtermRows = docs.filter(col("doc_id") < nQueries)
-      .select(col("doc_id").as("query_id"), posexplode(ts))
+    val qtermRows = queryDocs
+      .select(col("query_id"), posexplode(ts))
       .groupBy(col("query_id"), col("col").as("token"))
       .agg(min(col("pos")).as("fp"))
       .withColumn("rn", row_number().over(qw))

@@ -429,14 +429,17 @@ ${px}pqscored AS (SELECT a.query_id, a.vec_id,
     * uses (Double.toString round-trips). The final relation is
     * `bmr(query_id, doc_id, sg, rnk)` — unfiltered ranks so consumers
     * pick their own k. */
-  private val bm25ChainCtes: String = {
+  /** The bm25 chain parameterized by the query-slice predicate (r8
+    * verdict item 3: the slice is a parameter, not a convention) — the
+    * default instantiation keeps q_bm25_topk/q_rrf_fusion byte-stable. */
+  private def bm25Chain(querySlice: String): String = {
     import graft.functions.TextAnalytics.Bm25Grid
     val k1 = 1.2; val b = 0.75
     s"""bmdt AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
 bmqf AS (SELECT query_id, token, min(pos) AS fp FROM (
          SELECT doc_id AS query_id, unnest(ts) AS token,
                 generate_subscripts(ts, 1) AS pos
-         FROM bmdt WHERE doc_id < 5) GROUP BY 1, 2),
+         FROM bmdt WHERE $querySlice) GROUP BY 1, 2),
 bmqt AS (SELECT query_id, token FROM (
              SELECT query_id, token,
                     row_number() OVER (PARTITION BY query_id ORDER BY fp) AS rn
@@ -466,6 +469,8 @@ bmr AS (SELECT query_id, doc_id, sg,
                ORDER BY sg DESC, doc_id) AS rnk
       FROM bms)"""
   }
+
+  private val bm25ChainCtes: String = bm25Chain("doc_id < 5")
 
   /** Mirror of Pq.trainPermutation + the OPQ measurement basis: per-dim
     * energy as the exact BIGINT sum of 2^-20-grid-floored x^2 (order-
@@ -1985,6 +1990,18 @@ FROM base LEFT JOIN per USING (doc_id) ORDER BY doc_id""",
     // the one double conversion at the end.
     "q_bm25_topk" -> s"""
 WITH $bm25ChainCtes
+SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS "rank",
+       CAST(sg AS DOUBLE) / ${graft.functions.TextAnalytics.Bm25Grid.toDouble}
+         AS score
+FROM bmr WHERE rnk <= 10 ORDER BY query_id, "rank"""",
+
+    // the PARAMETERIZED retrieval surface under the gate: the same bm25
+    // chain instantiated over a non-prefix, bounded-by-construction
+    // query slice (doc_id % 17 = 3 below 200 — fixed-size past sf0.01,
+    // the benchmark-set contract), proving the query set is an argument
+    // of the operator, not a convention baked into it
+    "q_bm25_queryset" -> s"""
+WITH ${bm25Chain("doc_id % 17 = 3 AND doc_id < 200")}
 SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS "rank",
        CAST(sg AS DOUBLE) / ${graft.functions.TextAnalytics.Bm25Grid.toDouble}
          AS score
