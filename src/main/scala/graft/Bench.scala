@@ -89,6 +89,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_ANN_SAMPLE_MOD=m: run the recall report in sampled-
+    // truth mode (AtScale.AnnSampleModKey) — the big-rung affordability
+    // knob; unset = exact, the driver-contract mode
+    sys.env.get("SPARK_GRAFT_ANN_SAMPLE_MOD").foreach(m =>
+      spark.conf.set(graft.functions.AtScale.AnnSampleModKey, m))
     // SPARK_GRAFT_PROF=1: per-query GC/spill/shuffle attribution on
     // stderr — the scale-ladder diagnosis loop ("measure, don't guess")
     val prof = Option.when(sys.env.get("SPARK_GRAFT_PROF").contains("1")) {

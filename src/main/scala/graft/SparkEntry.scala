@@ -546,11 +546,14 @@ object SparkEntry {
     // the report that picks probe counts (and code budgets) before an
     // index ships; LSH, multi-probe, pooled PQ/ADC, and per-subspace
     // PQ/ADC side by side (the pooled-vs-per-subspace delta IS the
-    // codebook config decision)
+    // codebook config decision). At scale the AtScale sampleMod conf
+    // swaps the full-corpus exact-truth ground set for a deterministic
+    // sample (default 1 = exact, the oracle-parity mode).
     "q_ann_recall" -> ((s, dir) =>
       Similarity.annRecall(emb(s, dir), pqCodebookOf(s, dir),
           pqSubCodebooksOf(s, dir),
-          opqSubCodebooksOf(s, dir), opqPermOf(s, dir))
+          opqSubCodebooksOf(s, dir), opqPermOf(s, dir),
+          sampleMod = AtScale.annSampleMod(emb(s, dir)))
         .orderBy(col("query_id"))),
     // iterative float pipeline made oracle-checkable via the integer-
     // grid trick (see functions/Pca.scala)

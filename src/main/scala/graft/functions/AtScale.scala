@@ -29,6 +29,18 @@ object AtScale {
   val ApproxQuantilesKey = "spark.graft.quantiles.approx"
   val AccuracyKey = "spark.graft.quantiles.accuracy"
 
+  /** Sampled-truth ANN recall (r8 verdict item 4): with mod m > 1 the
+    * recall report measures every method against exact truth on the
+    * deterministic corpus sample vec_id % m == 0 instead of the full
+    * corpus — the exact-truth arm is the one corpus-proportional cost
+    * in the report, and at a real 100x a sampled ground set keeps it
+    * affordable. Default 1 = exact (the oracle-parity mode at sf<=0.1).
+    * Read when the query is BUILT, like the quantile toggle. */
+  val AnnSampleModKey = "spark.graft.annRecall.sampleMod"
+
+  def annSampleMod(ds: Dataset[_]): Int =
+    ds.sparkSession.conf.get(AnnSampleModKey, "1").toInt
+
   def approxEnabled(ds: Dataset[_]): Boolean =
     ds.sparkSession.conf.get(ApproxQuantilesKey, "false").toBoolean
 

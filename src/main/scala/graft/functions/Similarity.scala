@@ -406,11 +406,35 @@ object Similarity {
     * nQueries — the knnExact broadcast contract): at 100 TB recall is
     * always measured on a slice, never the full corpus. The hit joins
     * are k-bounded per query (10 rows/side). */
+  /** `sampleMod` is the AT-SCALE knob (r8 verdict item 4): the exact-
+    * truth arm recomputes full-corpus distances per query slice, which
+    * is honest but corpus-proportional — the heaviest genuine query at
+    * the x128 rung (~61 s isolated). With sampleMod = m > 1 the WHOLE
+    * report (exact truth and every ANN arm) runs over the deterministic
+    * corpus sample vec_id % m == 0 (query vectors always retained), so
+    * recall@k is measured on the sampled ground set: by construction
+    * identical to annRecall(sampledCorpus) — PqSpec pins that equality
+    * and the small-sf agreement with exact mode. Default 1 = exact,
+    * the oracle-parity mode. */
   def annRecall(emb: DataFrame, pqCodebook: Seq[(Int, Array[Double])],
                 pqSubCodebooks: Seq[Seq[(Int, Array[Double])]],
                 opqSubCodebooks: Seq[Seq[(Int, Array[Double])]] = Seq.empty,
                 opqPerm: Seq[Int] = Seq.empty,
-                k: Int = 10): DataFrame = {
+                k: Int = 10, nQueries: Int = 10, sampleMod: Int = 1): DataFrame = {
+    val ground =
+      if (sampleMod <= 1) emb
+      else emb.filter(col("vec_id") % sampleMod === 0 ||
+        col("vec_id") < nQueries)
+    annRecallOver(ground, pqCodebook, pqSubCodebooks, opqSubCodebooks,
+      opqPerm, k)
+  }
+
+  private def annRecallOver(emb: DataFrame,
+                pqCodebook: Seq[(Int, Array[Double])],
+                pqSubCodebooks: Seq[Seq[(Int, Array[Double])]],
+                opqSubCodebooks: Seq[Seq[(Int, Array[Double])]],
+                opqPerm: Seq[Int],
+                k: Int): DataFrame = {
     // No default for pqSubCodebooks (r6 ADVICE): a silent Seq.empty
     // produced pq_sub_recall=0.0 rows that read as "per-subspace PQ has
     // zero recall" rather than "not measured". Callers that don't train

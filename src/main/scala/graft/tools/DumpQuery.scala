@@ -16,6 +16,8 @@ object DumpQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("SPARK_GRAFT_ANN_SAMPLE_MOD").foreach(m =>
+      spark.conf.set(graft.functions.AtScale.AnnSampleModKey, m))
     new java.io.File(outDir).mkdirs()
     names.foreach { n =>
       graft.SparkEntry.queries(n)(spark, sfDir)

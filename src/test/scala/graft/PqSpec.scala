@@ -184,6 +184,7 @@ class PqSpec extends AnyFunSuite {
   }
 
   private lazy val opqPerm = Pq.trainPermutation(emb)
+  private lazy val opqCbs = Pq.trainCodebooks(Pq.permute(emb, opqPerm))
 
   test("OPQ permutation: bijection, top-energy spread, balanced subspaces") {
     val dims = Pq.NumSub * Pq.SubDim
@@ -277,6 +278,38 @@ class PqSpec extends AnyFunSuite {
     val reranked = recall(rr)
     assert(reranked >= adc, s"rerank $reranked vs adc $adc")
     assert(reranked > 0.5, s"rerank recall $reranked")
+  }
+
+  test("sampled-truth mode == annRecall over the literal corpus sample") {
+    // the sampleMod contract (r8 verdict item 4): sampled mode IS the
+    // report over the deterministic sample — no separate code path to
+    // drift. Equality of full rows, all five method columns.
+    val sampled = Similarity.annRecall(emb, cb, cbs, opqCbs, opqPerm,
+      sampleMod = 3).collect().map(_.toSeq).sortBy(_.head.toString)
+    val literal = Similarity.annRecall(
+      emb.filter(col("vec_id") % 3 === 0 || col("vec_id") < 10),
+      cb, cbs, opqCbs, opqPerm).collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(sampled.nonEmpty && sampled.toSeq == literal.toSeq)
+  }
+
+  test("sampled-truth recall agrees with exact mode at small sf") {
+    // agreement, measured: per-method MEAN recall over the benchmark
+    // queries moves less than 0.25 absolute when the ground set drops
+    // to the mod-2 sample — the sampled report ranks methods the same
+    // way the exact one does (the decision it exists to inform)
+    def meanBy(rows: Array[org.apache.spark.sql.Row], field: String): Double = {
+      val vs = rows.filterNot(r => r.isNullAt(r.fieldIndex(field)))
+        .map(r => r.getDouble(r.fieldIndex(field)))
+      vs.sum / vs.length
+    }
+    val exact = Similarity.annRecall(emb, cb, cbs, opqCbs, opqPerm).collect()
+    val sampled = Similarity.annRecall(emb, cb, cbs, opqCbs, opqPerm,
+      sampleMod = 2).collect()
+    for (f <- Seq("lsh_recall", "multiprobe_recall", "pq_recall",
+        "pq_sub_recall", "opq_recall")) {
+      val d = math.abs(meanBy(exact, f) - meanBy(sampled, f))
+      assert(d <= 0.25, f"$f sampled-vs-exact mean delta $d%.3f")
+    }
   }
 
   test("recall@10 vs exact top-10 is materially above chance") {
