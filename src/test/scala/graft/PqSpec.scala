@@ -312,6 +312,32 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("OPQ separates from pq_sub on an anisotropic fixture") {
+    // the isotropic random fixture can't reward any permutation (~0
+    // delta, measured and predicted); this DERIVED fixture concentrates
+    // all variance in the first subspace's dims, where the snake-draft
+    // permutation re-deals the hot dims one per subspace. Measured
+    // (tools.OpqFixtureProbe, hot=6): sf0.001 opq 0.69 vs pq_sub 0.32,
+    // sf0.01 0.83 vs 0.35 — pin a conservative +0.15 margin so a
+    // permutation regression (e.g. reverting to identity) fails loudly.
+    val aniso = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i < Pq.SubDim, x * lit(6.0))
+          .otherwise(x.cast("double")).cast("float")).as("embedding"),
+      col("label"))
+    val perm = Pq.trainPermutation(aniso)
+    val rows = Similarity.annRecall(aniso, Pq.trainCodebook(aniso),
+      Pq.trainCodebooks(aniso),
+      Pq.trainCodebooks(Pq.permute(aniso, perm)), perm).collect()
+    def mean(f: String): Double = {
+      val vs = rows.map(r => r.getDouble(r.fieldIndex(f)))
+      vs.sum / vs.length
+    }
+    val opq = mean("opq_recall"); val sub = mean("pq_sub_recall")
+    assert(opq >= sub + 0.15,
+      f"opq $opq%.3f must materially beat pq_sub $sub%.3f on the aniso fixture")
+  }
+
   test("recall@10 vs exact top-10 is materially above chance") {
     val pq = Pq.knnPqWith(emb, cb).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
