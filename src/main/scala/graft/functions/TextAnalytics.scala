@@ -1460,13 +1460,38 @@ object TextAnalytics {
     * the literal idf/expansion maps), which is the production shape —
     * a retrieval layer serves a query batch, not a corpus-sized join. */
   def bm25TopKFor(docs: DataFrame, queryDocs: DataFrame, k: Int = 10,
-                  qTerms: Int = 6, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                  qTerms: Int = 6, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    fitBm25For(docs, queryDocs, qTerms, k1, b) match {
+      case None => docs.limit(0).select(
+        col("doc_id").as("query_id"), col("doc_id"),
+        lit(0L).as("rank"), lit(0.0).as("score"))
+      case Some(m) => bm25TopKWith(docs, m, k)
+    }
+
+  /** The frozen BM25 serving state: query terms (first-occurrence
+    * order), per-term rational RSJ idf, and the corpus length prior —
+    * bounded driver state by contract (nQueries x qTerms strings + as
+    * many doubles). This is the index-then-serve seam: fit once against
+    * the OFFLINE corpus, then score any batch OR STREAM of documents
+    * against it (graft.streaming.RetrievalStream is the streaming
+    * consumer; the scores are bitwise the batch scores because both
+    * paths build the same bm25Contribution expression from the same
+    * literals). */
+  final case class Bm25Model(qterms: Seq[(Long, String)],
+                             idf: Map[String, Double], avgdl: Double,
+                             k1: Double, b: Double) {
+    def qtokens: Seq[String] = qterms.map(_._2).distinct.sorted
+    def queryIds: Seq[Long] = qterms.map(_._1).distinct.sorted
+    def termsOf(q: Long): Seq[String] = qterms.filter(_._1 == q).map(_._2)
+  }
+
+  /** Fit the serving model: query-term selection (first-occurrence rank
+    * over the bounded query table) + ONE row-local corpus stats/df pass
+    * (size + array_contains — corpus text never explodes here). None
+    * when the query table yields no terms. */
+  def fitBm25For(docs: DataFrame, queryDocs: DataFrame, qTerms: Int = 6,
+                 k1: Double = 1.2, b: Double = 0.75): Option[Bm25Model] = {
     val ts = tokens(col("text"))
-    def emptyOut = docs.limit(0).select(
-      col("doc_id").as("query_id"), col("doc_id"),
-      lit(0L).as("rank"), lit(0.0).as("score"))
-    // query terms: first-occurrence rank over the query docs only
-    // (bounded rows by contract -> driver)
     val qw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("fp"))
     val qtermRows = queryDocs
@@ -1476,8 +1501,8 @@ object TextAnalytics {
       .withColumn("rn", row_number().over(qw))
       .filter(col("rn") <= qTerms)
       .select(col("query_id"), col("token"))
-      .collect().map(r => (r.getLong(0), r.getString(1)))
-    if (qtermRows.isEmpty) return emptyOut
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    if (qtermRows.isEmpty) return None
     val qtokens = qtermRows.map(_._2).distinct.sorted
     // corpus stats + per-term df in one ROW-LOCAL pass (array_contains,
     // no explode): df(t) = docs containing t, exactly "tf > 0" docs
@@ -1493,10 +1518,30 @@ object TextAnalytics {
       val df = statsRow.getAs[Long](s"df_$t").toDouble
       t -> (nDocs.toDouble - df + 0.5) / (df + 0.5)
     }.toMap
-    val q4t = qtermRows.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    Some(Bm25Model(qtermRows, idfOf, avgdl, k1, b))
+  }
+
+  /** The per-(token, doc) grid contribution — ONE expression builder
+    * shared by the batch exploded plan and the streaming row-local
+    * scorer, so their scores are bitwise identical by construction. */
+  def bm25Contribution(idf: Column, tf: Column, dl: Column,
+                       m: Bm25Model): Column =
+    floor(idf
+        * (tf.cast("double") * lit(m.k1 + 1.0))
+        / (tf.cast("double")
+           + lit(m.k1) * (lit(1.0 - m.b)
+             + lit(m.b) * dl.cast("double") / lit(m.avgdl)))
+        * lit(Bm25Grid.toDouble)).cast("long")
+
+  /** Top-k ranking against a fitted model — the exploded batch plan
+    * (one corpus pass behind the literal in-list filter). */
+  def bm25TopKWith(docs: DataFrame, m: Bm25Model, k: Int = 10): DataFrame = {
+    val ts = tokens(col("text"))
+    val qtokens = m.qtokens
+    val q4t = m.qterms.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
     val tokLits = array(qtokens.map(lit): _*)
     val idfMap = map_from_arrays(tokLits,
-      array(qtokens.map(t => lit(idfOf(t))): _*))
+      array(qtokens.map(t => lit(m.idf(t))): _*))
     val qMap = map_from_arrays(tokLits,
       array(qtokens.map(t => array(q4t(t).map(lit): _*)): _*))
     // the one exploded corpus pass: literal in-list filter before the
@@ -1509,12 +1554,8 @@ object TextAnalytics {
       .agg(count(lit(1)).as("tf"))
     val contrib = tf
       .withColumn("query_id", explode(element_at(qMap, col("token"))))
-      .withColumn("cg", floor(element_at(idfMap, col("token"))
-          * (col("tf").cast("double") * lit(k1 + 1.0))
-          / (col("tf").cast("double")
-             + lit(k1) * (lit(1.0 - b)
-               + lit(b) * col("dl").cast("double") / lit(avgdl)))
-          * lit(Bm25Grid.toDouble)).cast("long"))
+      .withColumn("cg", bm25Contribution(
+        element_at(idfMap, col("token")), col("tf"), col("dl"), m))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("sg").desc, col("doc_id"))
     contrib.groupBy(col("query_id"), col("doc_id"))
