@@ -181,13 +181,20 @@ object Bench {
     // rounds of graded artifacts ran 1.5-16x hotter than committed
     // same-code sidecars, and every spot-checked delta was ambient
     // bench-JVM noise — so Bench now adjudicates its own outliers the
-    // way the humans did: any query whose first-pass time exceeds 2x
-    // its previous-sidecar value (or 1.5x with a >=5 s jump) gets ONE
-    // isolated warm re-run, and the settled value is the minimum.
-    // Caches are fully warm after the main pass, so the re-run measures
-    // the query alone. With no prior sidecar (a fresh rung), the
-    // trigger falls back to >=10x the run's own median (heavy honest
-    // queries settle best-of-2 exactly like the manual top-rung
+    // way the humans did: any query whose first-pass time exceeds 1.5x
+    // its previous-sidecar value (with a >= 0.3 s absolute floor so
+    // sub-second jitter never triggers) gets ONE isolated warm re-run,
+    // and the settled value is the minimum. Caches are fully warm
+    // after the main pass, so the re-run measures the query alone.
+    // The trigger is deliberately tighter than the 1.25x diff-report
+    // threshold's 2x obvious-outlier band: a concurrent 32-thread
+    // load experiment showed ~40 queries drifting 1.3-1.9x — below a
+    // 2x trigger, exactly the band that cost three rounds of manual
+    // adjudication. Settling recovers TRANSIENT noise (GC debt, bursty
+    // neighbors); sustained external load shows up instead in the
+    // sidecar's load_avg/gc markers. With no prior sidecar (a fresh
+    // rung), the trigger falls back to >=10x the run's own median
+    // (heavy honest queries settle best-of-2 like the manual top-rung
     // protocol). Both values are recorded: "queries" holds the settled
     // numbers, "first_pass" the raw ones for every re-run query.
     val med = {
@@ -196,8 +203,7 @@ object Bench {
     }
     def isOutlier(name: String, sec: Double): Boolean =
       !failed(name) && !prevFailed(name) && (prev.get(name) match {
-        case Some(p) if p > 0 =>
-          sec - p >= 0.3 && (sec >= 2 * p || (sec >= 1.5 * p && sec - p >= 5))
+        case Some(p) if p > 0 => sec - p >= 0.3 && sec >= 1.5 * p
         case _ => sec >= math.max(10 * med, 5.0)
       })
     val qmap = SparkEntry.queries

@@ -143,8 +143,8 @@ object Similarity {
     * 2^bits, so bits must grow ~log2(corpus) to keep bucket population
     * (and with it both candidate volume AND anchor-cap recall) flat —
     * see the BucketAnchors scaladoc for the measured interplay. */
-  private def bucketed(emb: DataFrame, dim: Int,
-                       bitsPerTable: Int = BitsPerTable): DataFrame = {
+  private[graft] def bucketed(emb: DataFrame, dim: Int,
+                              bitsPerTable: Int = BitsPerTable): DataFrame = {
     val keyed = (0 until NumTables).foldLeft(
       emb.select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("norm"))) {
       (df, t) => df.withColumn(s"k$t",
