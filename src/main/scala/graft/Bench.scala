@@ -94,6 +94,8 @@ object Bench {
     // knob; unset = exact, the driver-contract mode
     sys.env.get("SPARK_GRAFT_ANN_SAMPLE_MOD").foreach(m =>
       spark.conf.set(graft.functions.AtScale.AnnSampleModKey, m))
+    sys.env.get("SPARK_GRAFT_LSH_BITS").foreach(m =>
+      spark.conf.set(graft.functions.AtScale.LshBitsKey, m))
     // SPARK_GRAFT_PROF=1: per-query GC/spill/shuffle attribution on
     // stderr — the scale-ladder diagnosis loop ("measure, don't guess")
     val prof = Option.when(sys.env.get("SPARK_GRAFT_PROF").contains("1")) {

@@ -78,10 +78,15 @@ object SparkEntry {
     scoredBucketPairsOf(s, dir).filter(col("score") >= 0.4)
 
   /** The UNthresholded scored bucket-pair set additionally feeds
-    * q_knn_join — the L LSH self-joins run once per session. */
+    * q_knn_join — the L LSH self-joins run once per session. Bucket
+    * width comes from the AtScale switchboard (default 4 bits = the
+    * oracle-parity geometry; at scale bits must grow ~log2(corpus) to
+    * keep bucket population — and with it candidate PRECISION — flat,
+    * the r9 CosineProbe finding). */
   private def scoredBucketPairsOf(s: SparkSession, dir: String): DataFrame =
     cosineMemo.getOrElseUpdate((s, dir),
-      Similarity.scoredBucketPairs(emb(s, dir)).persist())
+      Similarity.scoredBucketPairs(emb(s, dir),
+        bitsPerTable = AtScale.lshBits(emb(s, dir))).persist())
 
   /** The unthresholded minhash candidate set (band candidates + est)
     * feeds q_minhash_pairs AND q_minhash_calibration — signatures and

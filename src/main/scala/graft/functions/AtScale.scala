@@ -41,6 +41,22 @@ object AtScale {
   def annSampleMod(ds: Dataset[_]): Int =
     ds.sparkSession.conf.get(AnnSampleModKey, "1").toInt
 
+  /** LSH bucket width for the embedding pair family (r9 CosineProbe
+    * finding): buckets per table are 2^bits, so at FIXED bits bucket
+    * population grows linearly with the corpus and the candidate set —
+    * anchor-capped to stay linear in VOLUME — degrades in PRECISION
+    * (x128 measured: 98% of candidates were cross-replica, i.e.
+    * content-independent collisions; survivors 0.1% of candidates).
+    * The documented operating rule is bits ~ log2(corpus / target
+    * bucket population); this conf applies it without forking the
+    * operator. Default = Similarity.BitsPerTable (4), the oracle-
+    * parity geometry at sf <= 0.1. */
+  val LshBitsKey = "spark.graft.lsh.bitsPerTable"
+
+  def lshBits(ds: Dataset[_]): Int =
+    ds.sparkSession.conf.get(LshBitsKey,
+      graft.functions.Similarity.BitsPerTable.toString).toInt
+
   def approxEnabled(ds: Dataset[_]): Boolean =
     ds.sparkSession.conf.get(ApproxQuantilesKey, "false").toBoolean
 

@@ -27,10 +27,12 @@ import graft.functions.Similarity
   *  - the deduped candidate count and the thresholded (>= 0.4)
   *    survivor count — output mass vs candidate mass.
   *
-  * Usage: SPARK_GRAFT_SF_DIR=/tmp/graft_sf_xK runMain graft.tools.CosineProbe
+  * Usage: SPARK_GRAFT_SF_DIR=/tmp/graft_sf_xK runMain graft.tools.CosineProbe [bits]
   */
 object CosineProbe {
   def main(args: Array[String]): Unit = {
+    val bits = args.headOption.map(_.toInt)
+      .getOrElse(Similarity.BitsPerTable)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
@@ -42,13 +44,15 @@ object CosineProbe {
     val nVecs = emb.count()
     val anchors = Similarity.BucketAnchors
 
-    val pops = Similarity.bucketed(emb, 64)
+    val pops = Similarity.bucketed(emb, 64, bits)
       .groupBy(col("table"), col("key")).agg(count(lit(1)).as("n"))
       .localCheckpoint()
+    // a*(a+1) is even so the halving is exact; `div` keeps it integral
+    // (long `/` is double division in Spark SQL)
     val emitted = pops.select(
       sum(least(col("n"), lit(anchors.toLong)) * col("n")
-        - least(col("n"), lit(anchors.toLong))
-          * (least(col("n"), lit(anchors.toLong)) + 1) / 2).as("pairs"))
+        - expr(s"least(n, $anchors) * (least(n, $anchors) + 1) div 2"))
+        .as("pairs"))
       .first().getLong(0)
     val top = pops.orderBy(col("n").desc).limit(8).collect()
       .map(r => s"t${r.getInt(0)}/k${r.getLong(1)}:n=${r.getLong(2)}")
@@ -56,16 +60,15 @@ object CosineProbe {
     val stats = pops.agg(max(col("n")).as("mx"),
       avg(col("n")).as("mean"), count(lit(1)).as("buckets")).first()
 
-    val cands = Similarity.scoredBucketPairs(emb).localCheckpoint()
+    val cands = Similarity.scoredBucketPairs(emb, bitsPerTable = bits).localCheckpoint()
     val nCands = cands.count()
     val survivors = cands.filter(col("score") >= 0.4).count()
     // replica attribution (BenchAtScale id stride = 1e8; plain fixtures
     // land everything in replica 0 and cross = 0 trivially)
     val cross = cands.filter(
-      col("vec_a") / lit(100000000L) =!= col("vec_b") / lit(100000000L))
-      .count()
+      expr("vec_a div 100000000 != vec_b div 100000000")).count()
 
-    println(s"[cosprobe] dir=$dir vecs=$nVecs buckets=${stats.getLong(2)} " +
+    println(s"[cosprobe] bits=$bits dir=$dir vecs=$nVecs buckets=${stats.getLong(2)} " +
       f"meanPop=${stats.getDouble(1)}%.1f maxPop=${stats.getLong(0)}")
     println(s"[cosprobe] topBuckets: $top")
     println(s"[cosprobe] emittedPairs=$emitted dedupedCands=$nCands " +

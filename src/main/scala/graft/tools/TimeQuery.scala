@@ -18,6 +18,8 @@ object TimeQuery {
     spark.sparkContext.setLogLevel("ERROR")
     sys.env.get("SPARK_GRAFT_ANN_SAMPLE_MOD").foreach(m =>
       spark.conf.set(graft.functions.AtScale.AnnSampleModKey, m))
+    sys.env.get("SPARK_GRAFT_LSH_BITS").foreach(m =>
+      spark.conf.set(graft.functions.AtScale.LshBitsKey, m))
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark.range(1000000L).selectExpr("sum(id * 2)").collect()
     args.foreach { n =>
