@@ -62,4 +62,34 @@ class CacheLifecycleSpec extends AnyFunSuite {
     SparkEntry.invalidate(other, dir) // must not throw
     assert(SparkEntry.cachedFrames(other, dir).isEmpty)
   }
+
+  test("the AtScale lshBits conf reaches the shared cosine pair set") {
+    import org.apache.spark.sql.functions.col
+    // invalidate -> set the conf -> rebuild: the memoized pair set must
+    // be built at the configured width (r9 CosineProbe knob), proven by
+    // equality with the direct wider-geometry call; then restore.
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    SparkEntry.invalidate(s, dir)
+    s.conf.set(graft.functions.AtScale.LshBitsKey, "6")
+    try {
+      val viaEntry = canon(SparkEntry.queries("q_cosine_neardups")(s, dir)
+        .select(col("vec_a"), col("vec_b")))
+      val direct = canon(graft.functions.Similarity
+        .scoredBucketPairs(emb, bitsPerTable = 6)
+        .filter(col("score") >= 0.4).select(col("vec_a"), col("vec_b")))
+      assert(viaEntry == direct, "conf-built pair set != direct bits=6 build")
+    } finally {
+      s.conf.unset(graft.functions.AtScale.LshBitsKey)
+      SparkEntry.invalidate(s, dir) // drop the bits=6 memo entry
+    }
+    // default geometry again after the reset
+    val back = canon(SparkEntry.queries("q_cosine_neardups")(s, dir)
+      .select(col("vec_a"), col("vec_b")))
+    val default4 = canon(graft.functions.Similarity.scoredBucketPairs(emb)
+      .filter(col("score") >= 0.4).select(col("vec_a"), col("vec_b")))
+    assert(back == default4)
+    SparkEntry.invalidate(s, dir)
+  }
 }
