@@ -857,6 +857,15 @@ object SparkEntry {
     // see TextAnalytics.bigramRarity)
     "q_bigram_rarity" -> ((s, dir) =>
       TextAnalytics.bigramRarity(docs(s, dir)).orderBy(col("doc_id"))),
+    // DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
+    // features, target(lang=en)/raw smoothed bucket-likelihood ratios as
+    // the parity-safe surrogate for the log importance weight,
+    // deterministic top-quartile selection — see TextAnalytics.dsirScored
+    "q_dsir_weights" -> ((s, dir) =>
+      TextAnalytics.dsirWeights(docs(s, dir)).orderBy(col("doc_id"))),
+    // the resampling effect on the corpus mixture, per source
+    "q_dsir_mixture" -> ((s, dir) =>
+      TextAnalytics.dsirMixture(docs(s, dir)).orderBy(col("source"))),
 
     // --- relational / event-time breadth ---
     // as-of join (union + running-last window, one shuffle — see

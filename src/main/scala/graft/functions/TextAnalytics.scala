@@ -1067,6 +1067,218 @@ object TextAnalytics {
           .as("bigram_rarity"))
   }
 
+  /** Hashed feature space for [[dsirWeights]]. The paper uses 2^13
+    * buckets; 2^10 keeps the weight table broadcast-trivial and every
+    * bucket well-populated on the fixture. The at-scale knob is the
+    * `buckets` argument — the per-bucket table stays tiny (rows =
+    * buckets, independent of corpus size) at any published setting. */
+  val DsirBuckets: Int = 1024
+
+  /** Grid for [[dsirWeights]]: bucket likelihood ratios are bounded by
+    * ~1/target-share (an all-target bucket), so even a 0.1% target
+    * corpus keeps scale * ratio below 2^40 and per-doc BIGINT sums
+    * wrap-free past 2^20 features per document. */
+  val DsirScale: Long = 1L << 30
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each raw
+    * document by how much its hashed n-gram feature profile looks like
+    * the TARGET distribution rather than the raw pool, then keep the
+    * top quartile. Features are the paper's unigrams + word bigrams
+    * hashed into `buckets` buckets; the target distribution here is the
+    * `lang = targetLang` slice of the same corpus (the "trusted
+    * high-quality set" role Wikipedia plays in the paper).
+    *
+    * The paper's weight is log p_target(doc) - log p_raw(doc) =
+    * sum over features of log(p_t(b)/p_r(b)); ln() forks from the
+    * oracle on libm, so — exactly like [[rarityScores]]' perplexity
+    * surrogate — the score stays RATIONAL: the mean over the document's
+    * features of the add-one-smoothed bucket likelihood ratio
+    *
+    *   w(b) = ((n_t(b) + 1) / (N_t + B)) / ((n_r(b) + 1) / (N_r + B)).
+    *
+    * Monotone per-feature with the paper's log term; the RANKING —
+    * which documents resemble the target — is the product. Selection
+    * is deterministic top-quartile by exact percentile (the Gumbel
+    * top-k of the paper needs randomness the oracle can't mirror);
+    * documents with no features (empty text never occurs post-split)
+    * emit no row, the [[bigramRarity]] contract.
+    *
+    * Order-free numerics: w(b) is a deterministic IEEE expression over
+    * integer-derived doubles, floor-quantized onto the `scale` grid,
+    * summed as exact BIGINT, divided once at the end — bit-identical
+    * on any partitioning and in the oracle.
+    *
+    * Shape at 100 TB: one feature-hash aggregation over the exploded
+    * corpus (map-side partial combine onto <= `buckets` keys), a
+    * `buckets`-row weight table explicitly broadcast back onto the
+    * feature stream, one per-doc aggregation, one exact-percentile
+    * reduce (swap in AtScale's approx toggle if the 1-row sort reduce
+    * ever matters). No corpus-proportional broadcast, no all-pairs. */
+  /** The DSIR feature array of a text column: unigrams + word bigrams
+    * (space-joined, so polyhash sees the same bytes in both engines). */
+  private[graft] def dsirFeatureArr(text: Column): Column = {
+    val toks = tokens(text)
+    concat(toks,
+      zip_with(slice(toks, lit(1), size(toks) - 1),
+               slice(toks, lit(2), size(toks) - 1),
+               (a, b) => concat_ws(" ", a, b)))
+  }
+
+  /** Bucket-weight table (bucket, g) for the fit corpus — <= `buckets`
+    * rows by construction (buckets no fit feature hashed into are
+    * absent; [[fitDsir]] fills them with the same smoothed formula at
+    * n = 0 for serve-time novel features). */
+  private def dsirWeightTable(feats: DataFrame, targetLang: String,
+                              buckets: Int, scale: Long): DataFrame = {
+    val bc = feats.groupBy(col("bucket")).agg(
+      count(lit(1)).as("n_r"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("n_t"))
+    val tot = bc.agg(sum(col("n_r")).as("nr_tot"), sum(col("n_t")).as("nt_tot"))
+    bc.crossJoin(broadcast(tot)) // one row — fixed-size by construction
+      .select(col("bucket"),
+        floor(lit(scale.toDouble)
+          * ((col("n_t") + lit(1)).cast("double")
+            / (col("nt_tot") + lit(buckets)).cast("double"))
+          / ((col("n_r") + lit(1)).cast("double")
+            / (col("nr_tot") + lit(buckets)).cast("double"))).as("g"))
+  }
+
+  private def dsirFeatures(docs: DataFrame, buckets: Int): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+        explode(dsirFeatureArr(col("text"))).as("feat"))
+      .select(col("doc_id"), col("lang"),
+        (graft.expressions.PolyHash.polyhash(col("feat")) % buckets).as("bucket"))
+
+  private def dsirScored(docs: DataFrame, targetLang: String,
+                         buckets: Int, scale: Long): DataFrame = {
+    val feats = dsirFeatures(docs, buckets)
+    val w = dsirWeightTable(feats, targetLang, buckets, scale)
+    val perDoc = feats.join(broadcast(w), "bucket") // <= `buckets` rows
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("g")).as("gsum"))
+      .select(col("doc_id"), col("n_feats"), col("gsum"),
+        (col("gsum").cast("double") / col("n_feats") / lit(scale.toDouble))
+          .as("dsir_weight"))
+    val thr = perDoc.agg(expr("percentile(dsir_weight, 0.75)").as("thr"))
+    perDoc.crossJoin(broadcast(thr)) // one row — fixed-size by construction
+      .select(col("doc_id"), col("n_feats"), col("gsum"), col("dsir_weight"),
+        (col("dsir_weight") >= col("thr")).as("selected"))
+  }
+
+  /** Per-document DSIR importance weight + top-quartile selection flag.
+    * See [[dsirScored]] for semantics and the 100 TB shape. */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en",
+                  buckets: Int = DsirBuckets,
+                  scale: Long = DsirScale): DataFrame =
+    dsirScored(docs, targetLang, buckets, scale)
+      .select(col("doc_id"), col("n_feats"), col("dsir_weight"),
+        col("selected"))
+
+  /** The resampling effect, per source: how DSIR selection shifts the
+    * corpus mixture toward sources that resemble the target. Mean
+    * weight stays order-free by aggregating the exact BIGINT grid sums
+    * (never summing doubles over rows) and dividing once. */
+  def dsirMixture(docs: DataFrame, targetLang: String = "en",
+                  buckets: Int = DsirBuckets,
+                  scale: Long = DsirScale): DataFrame =
+    dsirScored(docs, targetLang, buckets, scale)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("selected"), 1L).otherwise(0L)).as("selected_docs"),
+        sum(col("gsum")).as("gsum_tot"),
+        sum(col("n_feats")).as("feats_tot"))
+      .select(col("source"), col("docs"), col("selected_docs"),
+        (col("selected_docs").cast("double") / col("docs").cast("double"))
+          .as("keep_rate"),
+        (col("gsum_tot").cast("double") / col("feats_tot").cast("double")
+          / lit(scale.toDouble)).as("mean_weight"))
+
+  /** Weight-grid granularity for [[dsirBudget]]'s cutoff search: cells =
+    * floor(weight * 4096). The cell table is CORPUS-INDEPENDENT — at
+    * most 4096 * max-weight cells, and weights are bounded by the
+    * smoothed inverse target share (an all-target bucket), so the
+    * cumulative window below runs over a few thousand rows at any
+    * corpus size. */
+  val DsirBudgetGrid: Double = 4096.0
+
+  /** Token-budget-constrained DSIR selection — the operational end of
+    * importance resampling: fill a training-token budget with the most
+    * target-like documents. The 100 TB shape deliberately avoids a
+    * global per-document sort/cumsum (a prefix scan over 10^8 doc rows
+    * serializes): documents are quantized onto the bounded
+    * [[DsirBudgetGrid]] weight grid, per-CELL token sums get the
+    * cumulative window (cell-table-sized — see the grid bound), the
+    * budget cutoff cell is found there, and each document's verdict is
+    * a row-local flag joined back through the broadcast cell table.
+    * Whole cells are taken greedily highest-weight-first; the boundary
+    * cell (the one that would overflow the budget) is reported
+    * `chosen = false` with its utilization visible in the cum column —
+    * split it with a finer grid if the boundary mass matters.
+    *
+    * Budget is a token FRACTION of the corpus (exact integer div, both
+    * engines) so the query is scale-free; per-doc tokens are
+    * whitespace-token counts (the [[tokenBudget]] convention). */
+  def dsirBudget(docs: DataFrame, budgetDenom: Long = 4L,
+                 targetLang: String = "en", buckets: Int = DsirBuckets,
+                 scale: Long = DsirScale): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = dsirScored(docs, targetLang, buckets, scale)
+      .join(docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens")), "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("dsir_weight"),
+        floor(col("dsir_weight") * lit(DsirBudgetGrid)).as("cell"))
+    val cells = perDoc.groupBy(col("cell"))
+      .agg(sum(col("n_tokens")).as("cell_tokens"))
+    val tot = cells.agg(sum(col("cell_tokens")).as("tot_tokens"))
+    // the ONLY unpartitioned window — over the bounded cell table
+    val cum = cells.crossJoin(broadcast(tot))
+      .withColumn("cum_tokens",
+        sum(col("cell_tokens")).over(Window.orderBy(col("cell").desc)))
+      .select(col("cell"), col("cell_tokens"), col("cum_tokens"),
+        (col("cum_tokens") <= expr(s"tot_tokens div $budgetDenom"))
+          .as("cell_chosen"))
+    perDoc.join(broadcast(cum), "cell")
+      .select(col("doc_id"), col("n_tokens"), col("dsir_weight"),
+        col("cell"), col("cum_tokens"), col("cell_chosen").as("chosen"))
+  }
+
+  /** Frozen DSIR scorer: the full bucket weight grid (dense, length =
+    * `buckets` — absent fit buckets carry the smoothed n = 0 weight for
+    * serve-time novel features), the selection threshold measured on
+    * the fit corpus, and the grid constants. Bounded driver state:
+    * `buckets` longs + one double, the Bm25Model contract. */
+  case class DsirModel(g: Array[Long], thr: Double, buckets: Int, scale: Long)
+
+  /** Fit the DSIR model against an offline corpus — the index side of
+    * the index-then-serve split (see [[graft.streaming.DsirStream]]).
+    * Scores served with the frozen model are bitwise [[dsirWeights]]
+    * scores for any document whose features all existed at fit time
+    * (DsirStreamSpec proves it on the whole fixture). */
+  def fitDsir(docs: DataFrame, targetLang: String = "en",
+              buckets: Int = DsirBuckets,
+              scale: Long = DsirScale): DsirModel = {
+    val feats = dsirFeatures(docs, buckets)
+    val w = dsirWeightTable(feats, targetLang, buckets, scale)
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val tot = feats.agg(
+        count(lit(1)).as("nr_tot"),
+        sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("nt_tot"))
+      .collect()(0)
+    val (nrTot, ntTot) = (tot.getLong(0), tot.getLong(1))
+    // unseen-bucket default: the SAME IEEE shape as dsirWeightTable at
+    // n_t = n_r = 0 — a novel serve-time feature scores the smoothed
+    // prior ratio, not zero
+    val novel = math.floor(scale.toDouble
+      * (1.0 / (ntTot + buckets).toDouble)
+      / (1.0 / (nrTot + buckets).toDouble)).toLong
+    val dense = Array.tabulate(buckets)(b => w.getOrElse(b, novel))
+    val thr = dsirScored(docs, targetLang, buckets, scale)
+      .agg(expr("percentile(dsir_weight, 0.75)")).collect()(0).getDouble(0)
+    DsirModel(dense, thr, buckets, scale)
+  }
+
   /** Grid for the divergence terms: per-token chi-square contributions
     * are O(1/N) doubles; 2^40 keeps ~12 significant digits on them. */
   val DivergenceScale: Double = RarityScale.toDouble

@@ -2433,6 +2433,81 @@ SELECT doc_id, n_bigrams,
   CAST(gsum AS DOUBLE) / n_bigrams / 1073741824.0 AS bigram_rarity
 FROM d ORDER BY doc_id""",
 
+    // mirror of TextAnalytics.dsirWeights: hashed unigram+bigram buckets,
+    // add-one-smoothed target/raw likelihood ratio on the 2^30 grid,
+    // exact top-quartile selection (quantile_cont == Spark percentile)
+    "q_dsir_weights" -> s"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+f AS (SELECT doc_id, lang,
+        unnest(list_concat(toks,
+          list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))) AS feat
+      FROM t),
+fb AS (SELECT doc_id, lang,
+         ${polyFold(31, 1000000007L, "feat")} % 1024 AS bucket
+       FROM f),
+bc AS (SELECT bucket, count(*) AS n_r,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+       FROM fb GROUP BY 1),
+tot AS (SELECT CAST(sum(n_r) AS BIGINT) AS nr_tot,
+               CAST(sum(n_t) AS BIGINT) AS nt_tot FROM bc),
+w AS (SELECT bucket,
+        floor(1073741824.0
+          * (CAST(n_t + 1 AS DOUBLE) / CAST(nt_tot + 1024 AS DOUBLE))
+          / (CAST(n_r + 1 AS DOUBLE) / CAST(nr_tot + 1024 AS DOUBLE))) AS g
+      FROM bc CROSS JOIN tot),
+d AS (SELECT doc_id, count(*) AS n_feats,
+             CAST(sum(CAST(g AS BIGINT)) AS BIGINT) AS gsum
+      FROM fb JOIN w USING (bucket) GROUP BY 1),
+sc AS (SELECT doc_id, n_feats,
+              CAST(gsum AS DOUBLE) / n_feats / 1073741824.0 AS dsir_weight
+       FROM d),
+thr AS (SELECT quantile_cont(dsir_weight, 0.75) AS thr FROM sc)
+SELECT doc_id, n_feats, dsir_weight, dsir_weight >= thr AS selected
+FROM sc CROSS JOIN thr ORDER BY doc_id""",
+
+    // mirror of TextAnalytics.dsirMixture: the same chain carried through
+    // a per-source rollup of exact BIGINT grid sums (one division at the
+    // end — no double summed over rows)
+    "q_dsir_mixture" -> s"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+f AS (SELECT doc_id, lang,
+        unnest(list_concat(toks,
+          list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))) AS feat
+      FROM t),
+fb AS (SELECT doc_id, lang,
+         ${polyFold(31, 1000000007L, "feat")} % 1024 AS bucket
+       FROM f),
+bc AS (SELECT bucket, count(*) AS n_r,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+       FROM fb GROUP BY 1),
+tot AS (SELECT CAST(sum(n_r) AS BIGINT) AS nr_tot,
+               CAST(sum(n_t) AS BIGINT) AS nt_tot FROM bc),
+w AS (SELECT bucket,
+        floor(1073741824.0
+          * (CAST(n_t + 1 AS DOUBLE) / CAST(nt_tot + 1024 AS DOUBLE))
+          / (CAST(n_r + 1 AS DOUBLE) / CAST(nr_tot + 1024 AS DOUBLE))) AS g
+      FROM bc CROSS JOIN tot),
+d AS (SELECT doc_id, count(*) AS n_feats,
+             CAST(sum(CAST(g AS BIGINT)) AS BIGINT) AS gsum
+      FROM fb JOIN w USING (bucket) GROUP BY 1),
+sc AS (SELECT doc_id, n_feats, gsum,
+              CAST(gsum AS DOUBLE) / n_feats / 1073741824.0 AS dsir_weight
+       FROM d),
+thr AS (SELECT quantile_cont(dsir_weight, 0.75) AS thr FROM sc),
+sel AS (SELECT doc_id, n_feats, gsum, dsir_weight >= thr AS selected
+        FROM sc CROSS JOIN thr),
+j AS (SELECT doc.source, sel.n_feats, sel.gsum, sel.selected
+      FROM sel JOIN documents doc USING (doc_id)),
+g AS (SELECT source, count(*) AS docs,
+        CAST(sum(CASE WHEN selected THEN 1 ELSE 0 END) AS BIGINT) AS selected_docs,
+        CAST(sum(gsum) AS BIGINT) AS gsum_tot,
+        CAST(sum(n_feats) AS BIGINT) AS feats_tot
+      FROM j GROUP BY 1)
+SELECT source, docs, selected_docs,
+  CAST(selected_docs AS DOUBLE) / CAST(docs AS DOUBLE) AS keep_rate,
+  CAST(gsum_tot AS DOUBLE) / CAST(feats_tot AS DOUBLE) / 1073741824.0 AS mean_weight
+FROM g ORDER BY source""",
+
     // mirror of TextCleaning.cleaningReport over the dirtied corpus —
     // the same regex chain (RE2-safe subset) with DuckDB's 'g' flag
     "q_text_cleaning" -> """

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalytics
+
+/** DSIR importance resampling (Xie et al. 2023) on sf0.001.
+  * Cross-engine value parity is the oracle gate (q_dsir_weights,
+  * q_dsir_mixture); these tests pin the CONTRACTS: a bitwise driver-side
+  * reproduction of the hashed-feature likelihood-ratio arithmetic, the
+  * top-quartile selection rule, the target-language preference the
+  * operator exists to produce, and weights/mixture consistency. */
+class DsirSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+
+  private lazy val weights = TextAnalytics.dsirWeights(docs)
+    .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    .sortBy(_._1)
+
+  test("driver-side brute force reproduces weights bitwise") {
+    val B = TextAnalytics.DsirBuckets
+    val scale = TextAnalytics.DsirScale
+    val rows = docs.select($"doc_id", $"lang", $"text")
+      .as[(Long, String, String)].collect()
+    def feats(text: String): Seq[String] = {
+      val t = text.split(" ", -1).toSeq
+      t ++ t.zip(t.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    val perDocBuckets = rows.map { case (id, lang, text) =>
+      (id, lang, feats(text).map(f =>
+        graft.expressions.PolyHash.hash(f.getBytes("UTF-8")) % B))
+    }
+    val nR = new Array[Long](B); val nT = new Array[Long](B)
+    perDocBuckets.foreach { case (_, lang, bs) =>
+      bs.foreach { b =>
+        nR(b.toInt) += 1; if (lang == "en") nT(b.toInt) += 1
+      }
+    }
+    val nrTot = nR.sum; val ntTot = nT.sum
+    val g = Array.tabulate(B)(b => math.floor(
+      scale.toDouble
+        * ((nT(b) + 1).toDouble / (ntTot + B).toDouble)
+        / ((nR(b) + 1).toDouble / (nrTot + B).toDouble)).toLong)
+    val expect = perDocBuckets.map { case (id, _, bs) =>
+      val gsum = bs.map(b => g(b.toInt)).sum
+      (id, bs.size.toLong, gsum.toDouble / bs.size / scale.toDouble)
+    }.sortBy(_._1)
+    assert(weights.length == expect.length)
+    weights.zip(expect).foreach { case ((id, n, w, _), (eid, en, ew)) =>
+      assert(id == eid && n == en, s"doc $id feature count $n != $en")
+      assert(w == ew, s"doc $id weight $w != brute-force $ew (bitwise)")
+    }
+  }
+
+  test("selection is exactly the quantile_cont top quartile") {
+    val ws = weights.map(_._3).sorted
+    val pos = (ws.length - 1) * 0.75
+    val lo = ws(pos.toInt)
+    val hi = ws(math.ceil(pos).toInt)
+    val thr = lo + (hi - lo) * (pos - pos.toInt)
+    weights.foreach { case (id, _, w, sel) =>
+      assert(sel == (w >= thr), s"doc $id selected=$sel but w=$w vs thr=$thr")
+    }
+    val frac = weights.count(_._4).toDouble / weights.length
+    assert(frac >= 0.2 && frac <= 0.3, s"selected fraction $frac not ~25%")
+  }
+
+  test("the target language is preferentially selected (the DSIR point)") {
+    val byLang = docs.select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    val rate = weights.groupBy(r => byLang(r._1))
+      .map { case (l, rs) => l -> rs.count(_._4).toDouble / rs.size }
+    val others = rate.filter(_._1 != "en").values
+    assert(others.nonEmpty)
+    assert(rate("en") > 2 * others.max,
+      s"en keep-rate ${rate("en")} should dominate ${rate.toSeq.sortBy(_._1)}")
+  }
+
+  test("mixture rollup is consistent with the per-doc weights") {
+    val mix = TextAnalytics.dsirMixture(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val bySrc = docs.select($"doc_id", $"source").as[(Long, String)].collect().toMap
+    assert(mix.map(_._2).sum == weights.length)
+    assert(mix.map(_._3).sum == weights.count(_._4).toLong)
+    mix.foreach { case (src, n, sel, rate, mw) =>
+      val members = weights.filter(r => bySrc(r._1) == src)
+      assert(n == members.length && sel == members.count(_._4))
+      assert(rate == sel.toDouble / n.toDouble)
+      assert(mw > 0.0, s"source $src mean weight $mw must be positive")
+    }
+  }
+
+  test("the bucket weight table joins by broadcast (plan shape)") {
+    val plan = TextAnalytics.dsirWeights(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the <=1024-row weight table must broadcast onto the feature stream")
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
