@@ -129,7 +129,8 @@ object Bench {
     // baseline the driver rounds compare against.
     val sidecar = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
-    val (prev, prevFailed): (Map[String, Double], Set[String]) =
+    val (prev, prevFailed, prevWarmup): (Map[String, Double], Set[String],
+        Map[String, Double]) =
       if (sidecar.exists()) {
         val text = scala.io.Source.fromFile(sidecar)
         try {
@@ -143,9 +144,16 @@ object Bench {
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
           val pf = "\"failed\":\\[([^\\]]*)\\]".r.findFirstMatchIn(body)
             .map(_.group(1)).getOrElse("")
-          (timings, "q_[a-zA-Z0-9_]+".r.findAllIn(pf).toSet)
+          // warmup derivation names are not q_-prefixed: scope a
+          // generic name:number regex to the "warmup" object body
+          val wBody = "\"warmup\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(body)
+            .map(_.group(1)).getOrElse("")
+          val wTimings = "\"([a-zA-Z0-9_]+)\"\\s*:\\s*([0-9.]+)".r
+            .findAllMatchIn(wBody)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          (timings, "q_[a-zA-Z0-9_]+".r.findAllIn(pf).toSet, wTimings)
         } finally text.close()
-      } else (Map.empty, Set.empty)
+      } else (Map.empty, Set.empty, Map.empty)
 
     val loadStart = loadAvg()
     // JVM/codegen warmup outside the timed region (no input data touched)
@@ -156,7 +164,7 @@ object Bench {
     // cache first. Total still includes it — nothing hides.
     val w0 = System.nanoTime()
     val gcW0 = gcMs()
-    profiled("warmup")(SparkEntry.warmup(spark, sfDir))
+    val warmupParts = profiled("warmup")(SparkEntry.warmup(spark, sfDir))
     val warmupSec = (System.nanoTime() - w0) / 1e9
     val warmupGcMs = gcMs() - gcW0
     // noop sink: materializes every output row/column (count() would let
@@ -211,13 +219,30 @@ object Bench {
     val qmap = SparkEntry.queries
     val settled = scala.collection.mutable.LinkedHashMap[String, Double]()
     val gcS0 = gcMs()
+    // settle-local timing (r9 ADVICE): a FAILED re-run must not mark a
+    // query failed (its first pass succeeded) nor record the near-zero
+    // time-to-exception as the settled value — keep the first-pass time
+    // and report the flake on stderr.
+    def timeSettle(name: String, fn: QFn): Option[Double] = {
+      val t0 = System.nanoTime()
+      try {
+        profiled(name)(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench_settle] $name re-run FAILED " +
+            s"(keeping first-pass time): $e")
+          None
+      }
+    }
     val results = firstPass.map { case (name, first) =>
       if (isOutlier(name, first)) {
-        val second = timeQuery(name, qmap(name))
+        val second = timeSettle(name, qmap(name))
         System.err.println(f"[bench_settle] $name: first=${first}%.3f " +
-          f"second=${second}%.3f (prev=${prev.getOrElse(name, -1.0)}%.3f)")
+          f"second=${second.getOrElse(-1.0)}%.3f " +
+          f"(prev=${prev.getOrElse(name, -1.0)}%.3f)")
         settled += name -> first
-        name -> math.min(first, second)
+        name -> second.fold(first)(math.min(first, _))
       } else name -> first
     }
     val settleGcMs = gcMs() - gcS0
@@ -235,7 +260,13 @@ object Bench {
       s""""settle_gc_ms":$settleGcMs,""" +
       s""""heap_max_mb":${Runtime.getRuntime.maxMemory() / (1 << 20)},""" +
       s""""load_avg":[${fmt(loadStart)},${fmt(loadEnd)}]"""
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warmup_sec":${fmt(warmupSec)},"failed":$failedJson,"queries":$qs,"first_pass":$firstPassJson,$markers,"sf":"$sfDir"}"""
+    // per-derivation warmup attribution (r9 verdict item 2): warmup_sec
+    // was the last unattributed slice of the graded artifact — publish
+    // its composition so bench_diff.py can report warmup deltas the way
+    // it reports query deltas
+    val warmupJson = warmupParts.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warmup_sec":${fmt(warmupSec)},"warmup":$warmupJson,"failed":$failedJson,"queries":$qs,"first_pass":$firstPassJson,$markers,"sf":"$sfDir"}"""
 
     // a failed query's near-zero timing is noise, not a baseline: skip
     // diffs in BOTH directions for failed runs, but say so explicitly —
@@ -250,6 +281,10 @@ object Bench {
          if p > 0 && sec >= p * 1.25 && sec - p >= 0.15)
       System.err.println(f"[bench_diff] $name: ${p}%.3f -> ${sec}%.3f " +
         f"(${sec / p}%.2fx vs previous BENCH_LOCAL, settled)")
+    for ((name, sec) <- warmupParts; p <- prevWarmup.get(name)
+         if p > 0 && sec >= p * 1.25 && sec - p >= 0.15)
+      System.err.println(f"[bench_diff] warmup/$name: ${p}%.3f -> ${sec}%.3f " +
+        f"(${sec / p}%.2fx vs previous BENCH_LOCAL)")
     val out = new java.io.PrintWriter(sidecar, "UTF-8")
     try out.println(line) finally out.close()
 

@@ -70,9 +70,12 @@ object SparkEntry {
 
   /** The 0.4-threshold cosine pair set feeds q_cosine_neardups and
     * q_embedding_dedup — run the LSH-bucketed self-join once per
-    * (session, dir). */
-  private val cosineMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    * (session, dir, bits). The memo key carries the RESOLVED bucket
+    * width (r9 ADVICE: keying on (session, dir) alone served the
+    * stale-geometry pair set after a mid-session
+    * spark.graft.lsh.bitsPerTable change until invalidate). */
+  private val cosineMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), DataFrame]
 
   private def cosinePairs04(s: SparkSession, dir: String): DataFrame =
     scoredBucketPairsOf(s, dir).filter(col("score") >= 0.4)
@@ -83,10 +86,12 @@ object SparkEntry {
     * oracle-parity geometry; at scale bits must grow ~log2(corpus) to
     * keep bucket population — and with it candidate PRECISION — flat,
     * the r9 CosineProbe finding). */
-  private def scoredBucketPairsOf(s: SparkSession, dir: String): DataFrame =
-    cosineMemo.getOrElseUpdate((s, dir),
+  private def scoredBucketPairsOf(s: SparkSession, dir: String): DataFrame = {
+    val bits = AtScale.lshBits(emb(s, dir))
+    cosineMemo.getOrElseUpdate((s, dir, bits),
       Similarity.scoredBucketPairs(emb(s, dir),
-        bitsPerTable = AtScale.lshBits(emb(s, dir))).persist())
+        bitsPerTable = bits).persist())
+  }
 
   /** The unthresholded minhash candidate set (band candidates + est)
     * feeds q_minhash_pairs AND q_minhash_calibration — signatures and
@@ -247,6 +252,10 @@ object SparkEntry {
   def invalidate(s: SparkSession, dir: String): Unit = {
     val key = (s, dir)
     dfMemos.foreach(_.remove(key).foreach(_.unpersist()))
+    // the cosine memo keys on (session, dir, bits): evict EVERY
+    // geometry built for this (session, dir)
+    cosineMemo.keys.filter(k => k._1 == s && k._2 == dir)
+      .foreach(k => cosineMemo.remove(k).foreach(_.unpersist()))
     clustersMemo.remove(key) // localCheckpoint blocks: ContextCleaner
     incIndexMemo.remove(key).foreach { case (_, ex, bi, si) =>
       ex.unpersist(); bi.unpersist(); si.unpersist()
@@ -260,12 +269,25 @@ object SparkEntry {
   private[graft] def cachedFrames(s: SparkSession, dir: String): Seq[DataFrame] = {
     val key = (s, dir)
     dfMemos.flatMap(_.get(key)) ++
+      cosineMemo.collect { case ((`s`, `dir`, _), df) => df } ++
       incIndexMemo.get(key).toSeq.flatMap(t => Seq(t._2, t._3, t._4)) ++
       graft.sources.Snapshots.cachedFrames(s, dir)
   }
 
   private def dfMemos = Seq(topicsMemo, groupsMemo, scoredPairsMemo,
-    cosineMemo, minhashMemo, incAdmissionsMemo, bm25Memo)
+    minhashMemo, incAdmissionsMemo, bm25Memo)
+
+  /** All memo keys held for a session across every dir and memo family
+    * (incl. driver-state memos and the snapshot tables) — the soak
+    * spec's zero-net-growth probe for the service loop (r9 verdict
+    * item 4). */
+  private[graft] def memoKeyCount(s: SparkSession): Int =
+    dfMemos.map(_.keys.count(_._1 == s)).sum +
+      cosineMemo.keys.count(_._1 == s) +
+      clustersMemo.keys.count(_._1 == s) +
+      incIndexMemo.keys.count(_._1 == s) +
+      driverStateMemos.map(_.keys.count(_._1 == s)).sum +
+      graft.sources.Snapshots.memoKeyCount(s)
 
   private def driverStateMemos: Seq[scala.collection.concurrent.TrieMap[
       (SparkSession, String), _]] =
@@ -861,11 +883,17 @@ object SparkEntry {
     // features, target(lang=en)/raw smoothed bucket-likelihood ratios as
     // the parity-safe surrogate for the log importance weight,
     // deterministic top-quartile selection — see TextAnalytics.dsirScored
+    // bucket count behind the AtScale switchboard (r9 verdict item 5:
+    // default 1024 = the oracle-parity grid; spark.graft.dsir.buckets
+    // raises it toward the paper's 2^13 — collision sensitivity
+    // measured in NOTES.md)
     "q_dsir_weights" -> ((s, dir) =>
-      TextAnalytics.dsirWeights(docs(s, dir)).orderBy(col("doc_id"))),
+      TextAnalytics.dsirWeights(docs(s, dir),
+        buckets = AtScale.dsirBuckets(docs(s, dir))).orderBy(col("doc_id"))),
     // the resampling effect on the corpus mixture, per source
     "q_dsir_mixture" -> ((s, dir) =>
-      TextAnalytics.dsirMixture(docs(s, dir)).orderBy(col("source"))),
+      TextAnalytics.dsirMixture(docs(s, dir),
+        buckets = AtScale.dsirBuckets(docs(s, dir))).orderBy(col("source"))),
 
     // --- relational / event-time breadth ---
     // as-of join (union + running-last window, one shuffle — see
@@ -984,15 +1012,20 @@ object SparkEntry {
     * not whichever alphabetically-first query happened to touch a shared
     * cache cold. Production equivalent: the collector materializes the
     * snapshot lake before analysts query it. */
-  def warmup(s: SparkSession, dir: String): Unit = {
-    // per-derivation stderr timing: the warmup is the one aggregate cost
-    // in the bench line, so its composition must stay observable (the
-    // x10 scale run showed 306 s of warmup — this attributes it)
+  def warmup(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    // per-derivation timing, returned to the caller AND echoed to
+    // stderr: the warmup is the one aggregate cost in the bench line,
+    // so its composition must stay observable (the x10 scale run showed
+    // 306 s of warmup — this attributes it). Bench publishes the map in
+    // the sidecar's "warmup" object (r9 verdict item 2) so warmup
+    // regressions diff the same way query regressions do.
+    val timings = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     def timed(name: String)(body: => Any): Unit = {
       val t0 = System.nanoTime()
       body
-      System.err.println(
-        f"[warmup] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      val sec = (System.nanoTime() - t0) / 1e9
+      timings += name -> sec
+      System.err.println(f"[warmup] $name: $sec%.2fs")
     }
     timed("topicsDf")(topicsDf(s, dir).count())
     timed("groupsDf")(groupsDfOf(s, dir).count())
@@ -1015,6 +1048,7 @@ object SparkEntry {
     timed("pqCodebook")(pqCodebookOf(s, dir))
     timed("pqSubCodebooks")(pqSubCodebooksOf(s, dir))
     timed("opqCodebooks")(opqSubCodebooksOf(s, dir))
+    timings.toSeq
   }
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =

@@ -57,6 +57,21 @@ object AtScale {
     ds.sparkSession.conf.get(LshBitsKey,
       graft.functions.Similarity.BitsPerTable.toString).toInt
 
+  /** DSIR hashed-feature bucket count (r9 verdict item 5): the paper
+    * (Xie et al. 2023) runs 2^13 buckets; the engine defaults to 2^10 —
+    * broadcast-trivial and well-populated at fixture scale, and the
+    * oracle-parity grid. More buckets = fewer hash collisions between
+    * unrelated n-grams = sharper likelihood ratios; the weight table
+    * stays `buckets` rows (corpus-independent) at any published
+    * setting, so the conf is purely a quality/parity trade. Measured
+    * selection overlap vs the 1024 grid is in NOTES.md. Read when the
+    * query is BUILT, like the other toggles. */
+  val DsirBucketsKey = "spark.graft.dsir.buckets"
+
+  def dsirBuckets(ds: Dataset[_]): Int =
+    ds.sparkSession.conf.get(DsirBucketsKey,
+      graft.functions.TextAnalytics.DsirBuckets.toString).toInt
+
   def approxEnabled(ds: Dataset[_]): Boolean =
     ds.sparkSession.conf.get(ApproxQuantilesKey, "false").toBoolean
 

@@ -35,21 +35,34 @@ object Similarity {
     * cannot flip an order), with vec_id as the deterministic tiebreak. The
     * query side is broadcast: the scan of the big side streams once. */
   def knnExact(emb: DataFrame, nQueries: Int = 10, k: Int = 10): DataFrame =
-    knnExactFor(emb, emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding")), k)
+    knnExactImpl(emb, emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding")), k,
+      excludeSelf = true)
 
   /** Exact top-k against an ARBITRARY query table (query_id, embedding)
     * — the parameterized surface (r8 verdict item 3); the fixed
     * low-vec_id slice above is one choice of `queries`. The query side
-    * stays the bounded broadcast arm; the corpus streams once. */
-  def knnExactFor(emb: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    * stays the bounded broadcast arm; the corpus streams once.
+    *
+    * NO id-based self-exclusion here (r9 ADVICE): query_ids live in the
+    * CALLER's id space, so a query_id that coincides with a corpus
+    * vec_id is just a coincidence — dropping that corpus vector would
+    * silently return a wrong top-k. The corpus-slice wrappers (knnExact
+    * and friends), whose query ids ARE corpus vec_ids by construction,
+    * keep the exclusion; Bm25Spec pins both behaviors. */
+  def knnExactFor(emb: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
+    knnExactImpl(emb, queries, k, excludeSelf = false)
+
+  private def knnExactImpl(emb: DataFrame, queries: DataFrame, k: Int,
+                           excludeSelf: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = emb.select(col("vec_id"), col("embedding"),
       l2Norm(col("embedding")).as("norm"))
     val q = queries.select(col("query_id"), col("embedding").as("qvec"),
       l2Norm(col("embedding")).as("qnorm"))
-    val scored = base.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
+    val joined = base.crossJoin(broadcast(q))
+    val scored = (if (excludeSelf)
+        joined.filter(col("vec_id") =!= col("query_id")) else joined)
       .withColumn("score",
         round(dot(col("qvec"), col("embedding")) / (col("qnorm") * col("norm")), 9))
     val w = Window.partitionBy(col("query_id"))
@@ -166,12 +179,13 @@ object Similarity {
     val q = b.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         col("norm").as("qnorm"), col("table"), col("key"))
-    rerankBuckets(b, q, k)
+    rerankBuckets(b, q, k, excludeSelf = true)
   }
 
   /** Single-probe LSH top-k for an ARBITRARY query table (query_id,
     * embedding): the queries are bucketed with the same hyperplanes as
-    * the corpus index, so a query needs no corpus membership. */
+    * the corpus index, so a query needs no corpus membership — and no
+    * id-based self-exclusion either (see [[knnExactFor]]). */
   def knnLshFor(emb: DataFrame, queries: DataFrame, dim: Int = 64,
                 k: Int = 10): DataFrame = {
     val b = bucketed(emb, dim)
@@ -179,11 +193,12 @@ object Similarity {
         col("embedding")), dim)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         col("norm").as("qnorm"), col("table"), col("key"))
-    rerankBuckets(b, q, k)
+    rerankBuckets(b, q, k, excludeSelf = false)
   }
 
   /** Multi-probe LSH top-k for an ARBITRARY query table — the Hamming-1
-    * probe expansion applied to externally supplied queries. */
+    * probe expansion applied to externally supplied queries. No
+    * id-based self-exclusion (see [[knnExactFor]]). */
   def knnLshMultiProbeFor(emb: DataFrame, queries: DataFrame,
                           dim: Int = 64, k: Int = 10): DataFrame = {
     val b = bucketed(emb, dim)
@@ -194,7 +209,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         col("norm").as("qnorm"), col("table"),
         col("key").bitwiseXOR(col("flip")).as("key"))
-    rerankBuckets(b, q, k)
+    rerankBuckets(b, q, k, excludeSelf = false)
   }
 
   /** ANN top-k via MULTI-PROBE hyperplane LSH: each query probes its own
@@ -216,16 +231,20 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         col("norm").as("qnorm"), col("table"),
         col("key").bitwiseXOR(col("flip")).as("key"))
-    rerankBuckets(b, q, k)
+    rerankBuckets(b, q, k, excludeSelf = true)
   }
 
   /** Shared candidate-join + exact re-rank: score first (cheap codegen
     * loop), then dedup on the narrow (query_id, vec_id, score) rows —
-    * the shuffle never carries arrays. */
-  private def rerankBuckets(b: DataFrame, q: DataFrame, k: Int): DataFrame = {
+    * the shuffle never carries arrays. `excludeSelf` drops the
+    * query_id == vec_id candidate — set ONLY by the corpus-slice
+    * wrappers where the two id spaces coincide by construction. */
+  private def rerankBuckets(b: DataFrame, q: DataFrame, k: Int,
+                            excludeSelf: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = b.join(broadcast(q), Seq("table", "key"))
-      .filter(col("vec_id") =!= col("query_id"))
+    val joined = b.join(broadcast(q), Seq("table", "key"))
+    val scored = (if (excludeSelf)
+        joined.filter(col("vec_id") =!= col("query_id")) else joined)
       .select(col("query_id"), col("vec_id"),
         round(dot(col("qvec"), col("embedding")) / (col("qnorm") * col("norm")), 9)
           .as("score"))
@@ -426,7 +445,7 @@ object Similarity {
       else emb.filter(col("vec_id") % sampleMod === 0 ||
         col("vec_id") < nQueries)
     annRecallOver(ground, pqCodebook, pqSubCodebooks, opqSubCodebooks,
-      opqPerm, k)
+      opqPerm, k, nQueries)
   }
 
   private def annRecallOver(emb: DataFrame,
@@ -434,7 +453,7 @@ object Similarity {
                 pqSubCodebooks: Seq[Seq[(Int, Array[Double])]],
                 opqSubCodebooks: Seq[Seq[(Int, Array[Double])]],
                 opqPerm: Seq[Int],
-                k: Int): DataFrame = {
+                k: Int, nQueries: Int): DataFrame = {
     // No default for pqSubCodebooks (r6 ADVICE): a silent Seq.empty
     // produced pq_sub_recall=0.0 rows that read as "per-subspace PQ has
     // zero recall" rather than "not measured". Callers that don't train
@@ -453,18 +472,22 @@ object Similarity {
     // row per method — each lands in exactly one conditional count).
     // "pqs" is the per-subspace-codebook config next to the pooled
     // default — the recall delta the config decision reads.
-    val ex = knnExact(emb, k = k).select(col("query_id"), col("neighbor_id"))
-    val ann = knnLsh(emb, k = k)
+    // nQueries threads into EVERY arm (r9 ADVICE: the per-method calls
+    // hardcoded the 10-query default, so a non-default nQueries shaped
+    // the retained sample but not the query set)
+    val ex = knnExact(emb, nQueries = nQueries, k = k)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = knnLsh(emb, nQueries = nQueries, k = k)
         .select(col("query_id"), col("neighbor_id"), lit("lsh").as("m"))
-      .unionByName(knnLshMultiProbe(emb, k = k)
+      .unionByName(knnLshMultiProbe(emb, nQueries = nQueries, k = k)
         .select(col("query_id"), col("neighbor_id"), lit("mp").as("m")))
-      .unionByName(Pq.knnPqWith(emb, pqCodebook, k = k)
+      .unionByName(Pq.knnPqWith(emb, pqCodebook, k = k, nQueries = nQueries)
         .select(col("query_id"), col("neighbor_id"), lit("pq").as("m")))
-      .unionByName(Pq.knnPqSubWith(emb, pqSubCodebooks, k = k)
+      .unionByName(Pq.knnPqSubWith(emb, pqSubCodebooks, k = k, nQueries = nQueries)
         .select(col("query_id"), col("neighbor_id"), lit("pqs").as("m")))
       .unionByName(Pq.knnPqSubWith(
           if (measureOpq) Pq.permute(emb, opqPerm) else emb.limit(0),
-          opqSubCodebooks, k = k)
+          opqSubCodebooks, k = k, nQueries = nQueries)
         .select(col("query_id"), col("neighbor_id"), lit("opq").as("m")))
     ex.join(ann, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))

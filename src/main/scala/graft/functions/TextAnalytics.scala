@@ -1255,10 +1255,22 @@ object TextAnalytics {
     * the index-then-serve split (see [[graft.streaming.DsirStream]]).
     * Scores served with the frozen model are bitwise [[dsirWeights]]
     * scores for any document whose features all existed at fit time
-    * (DsirStreamSpec proves it on the whole fixture). */
+    * (DsirStreamSpec proves it on the whole fixture).
+    *
+    * The default bucket count reads the session's
+    * `spark.graft.dsir.buckets` (AtScale switchboard, r9 verdict
+    * item 5) so the knob reaches the STREAM path through the frozen
+    * model the same way it reaches the batch queries — DsirSpec pins
+    * both; pass `buckets` explicitly to override. */
   def fitDsir(docs: DataFrame, targetLang: String = "en",
-              buckets: Int = DsirBuckets,
+              buckets: Int = -1,
               scale: Long = DsirScale): DsirModel = {
+    val b = if (buckets > 0) buckets else AtScale.dsirBuckets(docs)
+    fitDsirAt(docs, targetLang, b, scale)
+  }
+
+  private def fitDsirAt(docs: DataFrame, targetLang: String,
+                        buckets: Int, scale: Long): DsirModel = {
     val feats = dsirFeatures(docs, buckets)
     val w = dsirWeightTable(feats, targetLang, buckets, scale)
       .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap

@@ -162,6 +162,11 @@ object Snapshots {
   private[graft] def cachedFrames(spark: SparkSession, dir: String): Seq[DataFrame] =
     memo.collect { case ((s, k), df) if s == spark && k.endsWith("|" + dir) => df }.toSeq
 
+  /** All memo keys held for a session, ANY dir — the soak spec's
+    * zero-net-growth probe. */
+  private[graft] def memoKeyCount(spark: SparkSession): Int =
+    memo.keys.count(_._1 == spark)
+
   /** partition_watermarks: (cluster, topic, partition_id, low, high, scan_ts, s).
     * Reference: Partition watermark fetch, kafka_overwatch/kafka_resources/topics.py:168-209. */
   def watermarks(spark: SparkSession, dir: String): DataFrame =

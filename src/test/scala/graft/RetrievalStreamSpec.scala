@@ -79,6 +79,44 @@ class RetrievalStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("re-delivered documents replace, not duplicate (at-least-once safe)") {
+    // r9 verdict item 3: an at-least-once transport re-delivers rows.
+    // Feed the full corpus, then RE-deliver a slice of documents that
+    // are in the current top-k (and some that are not): the snapshot
+    // must stay equal to batch over the DISTINCT docs, and state must
+    // stay <= nQueries x k entries (replace-on-doc_id, no duplicates).
+    implicit val sq = spark.sqlContext
+    val all = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    val batch = TextAnalytics.bm25TopKWith(docs, model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._3)).toSeq
+    // re-deliver every doc that appears in some batch top-k plus a
+    // fixed modulo slice — identical (doc_id, text), the common case
+    val topDocs = batch.map(_._2).toSet
+    val redelivered = all.filter(d => topDocs(d._1) || d._1 % 7 == 0)
+    assert(redelivered.nonEmpty)
+    val input = MemoryStream[(Long, String)]
+    val q = RetrievalStream.bm25TopKStream(
+        input.toDF().toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName("retr_redeliver")
+      .outputMode("update").start()
+    try {
+      input.addData(all.toSeq); q.processAllAvailable()
+      input.addData(redelivered.toSeq); q.processAllAvailable()
+      // and a third delivery of just the top docs, within one batch twice
+      val dup = all.filter(d => topDocs(d._1))
+      input.addData(dup.toSeq ++ dup.toSeq); q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= model.queryIds.size,
+        s"state rows $stateRows exceed the query count after re-delivery")
+    } finally q.stop()
+    val snap = RetrievalStream.latestSnapshot(spark.table("retr_redeliver"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._3)).toSeq
+    assert(snap.nonEmpty && snap == batch,
+      "re-delivery changed the snapshot vs batch-over-distinct-docs")
+  }
+
   test("snapshot fused with the static vector arm == batch q_rrf_fusion") {
     val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
     val streamed = streamedSnapshot("retr_fuse")

@@ -58,6 +58,29 @@ def main():
         print(f"  SLOWER  {name}: {oq[name]:.2f}s -> {nq[name]:.2f}s ({ratio:.2f}x)")
     if not regressions:
         print(f"  no per-query regression >= {thr}x")
+    # warmup attribution (r9 verdict item 2): the shared-derivation
+    # warmup is ~a quarter of the graded total — diff its composition
+    # the same way (older sidecars lack the map; report what exists)
+    ow, nw = old.get("warmup", {}), new.get("warmup", {})
+    if ow or nw:
+        ot = old.get("warmup_sec", sum(ow.values()))
+        nt = new.get("warmup_sec", sum(nw.values()))
+        print(f"warmup: {ot:.1f}s -> {nt:.1f}s"
+              + (f" ({nt / ot:.2f}x)" if ot else ""))
+        for name in sorted(set(nw) - set(ow)):
+            print(f"  NEW     warmup/{name}: {nw[name]:.2f}s")
+        for name in sorted(set(ow) - set(nw)):
+            print(f"  REMOVED warmup/{name} (was {ow[name]:.2f}s)")
+        wregs = []
+        for name in sorted(set(ow) & set(nw)):
+            ratio = nw[name] / ow[name] if ow[name] > 0 else float("inf")
+            if ratio >= thr and nw[name] - ow[name] > 0.25:
+                wregs.append((ratio, name))
+        for ratio, name in sorted(wregs, reverse=True):
+            print(f"  SLOWER  warmup/{name}: {ow[name]:.2f}s -> "
+                  f"{nw[name]:.2f}s ({ratio:.2f}x)")
+        if not wregs:
+            print(f"  no warmup regression >= {thr}x")
 
 
 if __name__ == "__main__":
