@@ -433,6 +433,24 @@ object SparkEntry {
     // BPE ENCODING with the fitted merges: per-source token counts and
     // compression — corpus work is one word-count pass; the merge
     // replaces run on the vocabulary-sized table
+    // tokenizer fertility audit per (lang, source) over the same fitted
+    // merges — subword splits per word vs the language baseline (r9
+    // verdict item 6b; see TextAnalytics.bpeFertility)
+    "q_bpe_fertility" -> ((s, dir) =>
+      TextAnalytics.bpeFertility(docs(s, dir), bpeMergesOf(s, dir))
+        .orderBy(col("lang"), col("source"))),
+    // URL-level dedup verdicts over the synthetic fixture URLs — the
+    // FineWeb-style metadata dedup stage (functions/WebCuration.scala)
+    "q_url_dedup" -> ((s, dir) =>
+      functions.WebCuration.urlDedup(
+          functions.WebCuration.withSyntheticUrls(docs(s, dir)))
+        .orderBy(col("doc_id"))),
+    // per-domain curation rollup: volume, dedup pressure, order-free
+    // quality statistics
+    "q_domain_rollup" -> ((s, dir) =>
+      functions.WebCuration.domainRollup(
+          functions.WebCuration.withSyntheticUrls(docs(s, dir)))
+        .orderBy(col("domain"))),
     "q_bpe_encode" -> ((s, dir) =>
       TextAnalytics.bpeEncode(docs(s, dir), bpeMergesOf(s, dir))
         .orderBy(col("source"))),

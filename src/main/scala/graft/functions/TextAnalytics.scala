@@ -785,11 +785,7 @@ object TextAnalytics {
                 merges: Seq[(Long, String, String, Long)]): DataFrame = {
     val vocab = docs.select(col("source"), explode(tokens(col("text"))).as("w"))
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("freq"))
-    val sym0 = concat(lit("  "), regexp_replace(col("w"), "(.)", "$1  "))
-    val enc = merges.sortBy(_._1).foldLeft(sym0) { case (acc, (_, l, r, _)) =>
-      expr_replace(acc, lit(s" $l  $r "), lit(s" $l$r "))
-    }
-    vocab.withColumn("nsym", (size(split(enc, "  ")) - lit(2)).cast("long"))
+    vocab.withColumn("nsym", bpeNsym(merges))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("words"),
         sum(col("freq")).as("wsp_tokens"),
@@ -797,6 +793,61 @@ object TextAnalytics {
         sum(col("freq") * length(col("w")).cast("long")).as("chars"))
       .withColumn("chars_per_token",
         col("chars").cast("double") / col("bpe_tokens"))
+  }
+
+  /** Encoded BPE token count of the `w` column under a fitted merge
+    * list — the row-local encode every occurrence of a word shares
+    * (fold the merges in rank order over the double-separator symbol
+    * string, count symbols). Shared by [[bpeEncode]] and
+    * [[bpeFertility]] so the encode expression never forks. */
+  private def bpeNsym(merges: Seq[(Long, String, String, Long)]): Column = {
+    val sym0 = concat(lit("  "), regexp_replace(col("w"), "(.)", "$1  "))
+    val enc = merges.sortBy(_._1).foldLeft(sym0) { case (acc, (_, l, r, _)) =>
+      expr_replace(acc, lit(s" $l  $r "), lit(s" $l$r "))
+    }
+    (size(split(enc, "  ")) - lit(2)).cast("long")
+  }
+
+  /** Tokenizer FERTILITY audit per (lang, source) — r9 verdict
+    * item 6b: fertility = encoded BPE tokens per whitespace word, the
+    * multilingual tokenizer-health metric (Rust et al. 2021 call a
+    * tokenizer "high-fertility" on a language it splits into many
+    * subwords — those corpora pay more sequence length per word, which
+    * skews both training cost and effective mixture weights). Reported
+    * per source WITH its language baseline and the ratio against it,
+    * so a feed whose fertility is an outlier inside its own language
+    * (encoding junk, mixed scripts, scraper damage) is visible even
+    * when the language itself is expensive.
+    *
+    * Same at-scale shape as [[bpeEncode]]: one corpus-sized word-count
+    * pass onto the (lang, source, word) vocabulary, row-local encode of
+    * vocabulary rows, exact BIGINT rollups; the per-language baseline
+    * is a languages-sized broadcast join. One division per reported
+    * column, at the very end (order-free numerics). */
+  def bpeFertility(docs: DataFrame,
+                   merges: Seq[(Long, String, String, Long)]): DataFrame = {
+    val vocab = docs.select(col("lang"), col("source"),
+        explode(tokens(col("text"))).as("w"))
+      .groupBy(col("lang"), col("source"), col("w"))
+      .agg(count(lit(1)).as("freq"))
+    val perSrc = vocab.withColumn("nsym", bpeNsym(merges))
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("freq")).as("wsp_tokens"),
+        sum(col("freq") * col("nsym")).as("bpe_tokens"),
+        sum(col("freq") * length(col("w")).cast("long")).as("chars"))
+    val perLang = perSrc.groupBy(col("lang"))
+      .agg(sum(col("wsp_tokens")).as("lang_wsp"),
+        sum(col("bpe_tokens")).as("lang_bpe"))
+    val fert = col("bpe_tokens").cast("double") / col("wsp_tokens").cast("double")
+    val langFert = col("lang_bpe").cast("double") / col("lang_wsp").cast("double")
+    perSrc.join(broadcast(perLang), Seq("lang"))
+      .select(col("lang"), col("source"), col("wsp_tokens"),
+        col("bpe_tokens"), col("chars"),
+        fert.as("fertility"),
+        (col("chars").cast("double") / col("bpe_tokens").cast("double"))
+          .as("bytes_per_token"),
+        langFert.as("lang_fertility"),
+        (fert / langFert).as("fertility_ratio"))
   }
 
   /** Non-regex left-to-right replace (SQL `replace`) — the exact

@@ -632,6 +632,80 @@ SELECT source, count(*) AS words, CAST(sum(freq) AS BIGINT) AS wsp_tokens,
 FROM enc GROUP BY source ORDER BY source"""
   }
 
+  /** Mirror of TextAnalytics.bpeFertility: the encode chain keyed by
+    * (lang, source, w) instead of (source, w), exact BIGINT rollups per
+    * (lang, source), the per-language baseline joined back, one double
+    * division per reported column at the very end (same IEEE shapes as
+    * the engine: each ratio is DOUBLE/DOUBLE of BIGINT casts, and
+    * fertility_ratio divides the two already-divided doubles). */
+  private val bpeFertilityOracle: String = {
+    val encIter = (1 to BpeRounds).map { t =>
+      s"""f$t AS (SELECT lang, source, w, freq,
+      CASE WHEN m.l IS NULL THEN sym
+           ELSE replace(sym, ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || m.r || ' ')
+      END AS sym
+    FROM f${t - 1} LEFT JOIN b$t m ON TRUE)"""
+    }.mkString(",\n")
+    s"""
+WITH $bpeFitCtes,
+fv AS (SELECT lang, source, w, count(*) AS freq
+       FROM (SELECT lang, source, unnest(string_split(text, ' ')) AS w
+             FROM documents)
+       GROUP BY 1, 2, 3),
+f0 AS (SELECT lang, source, w, freq,
+       '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS sym FROM fv),
+$encIter,
+fenc AS (SELECT lang, source, w, freq,
+         CAST(len(string_split(sym, '  ')) - 2 AS BIGINT) AS nsym FROM f$BpeRounds),
+ps AS (SELECT lang, source,
+         CAST(sum(freq) AS BIGINT) AS wsp_tokens,
+         CAST(sum(freq * nsym) AS BIGINT) AS bpe_tokens,
+         CAST(sum(freq * length(w)) AS BIGINT) AS chars
+       FROM fenc GROUP BY 1, 2),
+pl AS (SELECT lang,
+         CAST(sum(wsp_tokens) AS BIGINT) AS lang_wsp,
+         CAST(sum(bpe_tokens) AS BIGINT) AS lang_bpe
+       FROM ps GROUP BY 1)
+SELECT ps.lang, ps.source, wsp_tokens, bpe_tokens, chars,
+  CAST(bpe_tokens AS DOUBLE) / CAST(wsp_tokens AS DOUBLE) AS fertility,
+  CAST(chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE) AS bytes_per_token,
+  CAST(lang_bpe AS DOUBLE) / CAST(lang_wsp AS DOUBLE) AS lang_fertility,
+  (CAST(bpe_tokens AS DOUBLE) / CAST(wsp_tokens AS DOUBLE))
+    / (CAST(lang_bpe AS DOUBLE) / CAST(lang_wsp AS DOUBLE)) AS fertility_ratio
+FROM ps JOIN pl USING (lang) ORDER BY ps.lang, ps.source"""
+  }
+
+  /** The synthetic-URL derivation + normalization CTE chain shared by
+    * the WebCuration mirrors (g: host/path parts from the dup-cohort
+    * arithmetic, r: the messy doc_id%5 url variants, n: the normalized
+    * canonical key). Constants interpolate from WebCuration so the two
+    * engines can never fork. DuckDB's replace-FIRST regexp_replace
+    * equals Spark's replace-all here because every normalization
+    * pattern is anchored. */
+  private val urlCtes: String = {
+    import graft.functions.WebCuration.{UrlCohort, UrlHosts}
+    s"""g AS (SELECT doc_id, text,
+       'h' || CAST((doc_id // $UrlCohort) % $UrlHosts AS VARCHAR)
+           || '.example.com' AS host,
+       '/p/' || CAST(doc_id // $UrlCohort AS VARCHAR) AS path
+     FROM documents),
+r AS (SELECT doc_id, text,
+       CASE doc_id % 5
+         WHEN 0 THEN 'https://' || host || path
+         WHEN 1 THEN 'https://www.' || host || path
+         WHEN 2 THEN 'HTTPS://' || upper(host) || path
+         WHEN 3 THEN 'https://' || host || path
+                  || '?utm_source=rss&utm_id=' || CAST(doc_id AS VARCHAR)
+         ELSE 'https://' || host || path || '/'
+       END AS url
+     FROM g),
+n AS (SELECT doc_id, url,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(url),
+         '^https?://', ''), '^www\\.', ''), '[?#].*$$', ''), '/$$', '')
+         AS url_norm
+     FROM r)"""
+  }
+
   /** The adaptive-k CTE shared by the dedup/prune mirrors — the SQL
     * twin of Ivf.adaptiveK(n). */
   private val adaptiveKCte =
@@ -1460,6 +1534,50 @@ FROM s ORDER BY doc_id""",
     // same (cnt DESC, l, r) tie-break
     "q_bpe_merges" -> bpeMergesOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
+    "q_bpe_fertility" -> bpeFertilityOracle,
+
+    // mirror of WebCuration.urlDedup over the synthetic fixture URLs:
+    // the messy-url derivation, the anchored-regex normalization chain
+    // (replace-first == replace-all on anchored patterns), and the
+    // one-window verdict (group size + min-doc_id keep)
+    "q_url_dedup" -> s"""
+WITH $urlCtes
+SELECT doc_id, url, url_norm,
+  CAST(count(*) OVER (PARTITION BY url_norm) AS BIGINT) AS url_docs,
+  doc_id = min(doc_id) OVER (PARTITION BY url_norm) AS keep
+FROM n ORDER BY doc_id""",
+
+    // mirror of WebCuration.domainRollup: per-domain volume, URL-dedup
+    // pressure, exact-BIGINT token sums, quantile_cont median quality
+    // (the proven percentile parity), dup_rate as the same
+    // (docs - kept)::DOUBLE / docs::DOUBLE IEEE shape
+    "q_domain_rollup" -> s"""
+WITH $urlCtes,
+v AS (SELECT doc_id, url_norm,
+        CAST(count(*) OVER (PARTITION BY url_norm) AS BIGINT) AS url_docs,
+        doc_id = min(doc_id) OVER (PARTITION BY url_norm) AS keep
+      FROM n),
+q AS (SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        0.4 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN $stop)) AS DOUBLE)
+               / len(string_split(text, ' ')))
+          + 0.3 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)
+          + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' '))) AS quality_score
+      FROM documents),
+d AS (SELECT v.doc_id, regexp_replace(url_norm, '/.*$$', '') AS domain,
+        url_norm, keep, n_tokens, quality_score
+      FROM v JOIN q ON v.doc_id = q.doc_id)
+SELECT domain,
+  CAST(count(*) AS BIGINT) AS docs,
+  CAST(count(DISTINCT url_norm) AS BIGINT) AS distinct_urls,
+  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+  CAST(count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) AS dup_rate,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  quantile_cont(quality_score, 0.5) AS median_quality
+FROM d GROUP BY domain ORDER BY domain""",
 
     // mirror of TextAnalytics.qualityProbe: exact-integer ridge probe
     // trained on clean-vs-degraded (40 appended '#@' tokens) — same
