@@ -518,6 +518,18 @@ object SparkEntry {
           docs(s, dir).filter(col("doc_id") > split), ex, bi, si)
         .orderBy(col("doc_id"))
     }),
+    // the per-document ARRIVAL gate over the same frozen index — the
+    // online (corpus-vs-doc-only) admission shape whose streaming twin
+    // is streaming/AdmissionStream.gateStream; per-doc verdicts equal
+    // admissions(singleton crawl) (AdmissionStreamSpec), and the oracle
+    // runs the gate semantics from scratch
+    "q_admission_gate" -> ((s, dir) => {
+      val (split, ex, bi, si) = incrementalStateOf(s, dir)
+      val probe = graft.streaming.AdmissionStream.probeTable(bi, si)
+      graft.streaming.AdmissionStream.gateBatch(
+          docs(s, dir).filter(col("doc_id") > split), ex, probe)
+        .orderBy(col("doc_id"))
+    }),
     // weekly offline reconciliation of the incremental admissions: the
     // window (80%, 90%] was admitted online against the 80% index
     // (probe path, memoized like a lake table); the offline side reads

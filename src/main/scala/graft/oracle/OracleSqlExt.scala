@@ -1217,6 +1217,77 @@ LEFT JOIN cl ON cl.doc_id = h.doc_id
 CROSS JOIN bnd WHERE h.doc_id > bnd.t
 ORDER BY h.doc_id""",
 
+    // mirror of AdmissionStream.gateBatch: the per-document ARRIVAL
+    // gate — exact_dup on a corpus hash hit, near_dup on any verified
+    // (est >= 0.3) edge to an ANCHORED corpus band row, admitted
+    // otherwise. Corpus side = exact survivors of the 80% horizon with
+    // per-bucket anchor ranks (the rankedIndex mirror); crawl side =
+    // every doc above the horizon, signatures computed per doc (no
+    // crawl-internal effects of any kind — the gate contract).
+    "q_admission_gate" -> {
+      import graft.functions.Sketches.{BandAnchors, MinHashBands, RowsPerBand}
+      s"""
+WITH
+bnd AS (SELECT (max(doc_id) * 4) // 5 AS t FROM documents),
+hc AS (SELECT doc_id, text, md5(text) AS ch FROM documents
+       WHERE doc_id <= (SELECT t FROM bnd)),
+kmc AS (SELECT ch, min(doc_id) AS keep_id FROM hc GROUP BY 1),
+survc AS (SELECT hc.doc_id, hc.text FROM hc
+          JOIN kmc ON hc.ch = kmc.ch AND hc.doc_id = kmc.keep_id),
+shc AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(text) - 4, 0) + 1),
+           i -> text[i:i+4])) AS shingles
+  FROM survc WHERE length(text) >= 5),
+xsc AS (
+  SELECT doc_id,
+         list_transform(shingles, sgl -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(sgl) + 1), i -> CAST(ascii(sgl[i:i]) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 1000000007)) AS xs
+  FROM shc),
+fc AS (SELECT doc_id, $minhashSigSql AS sig FROM xsc),
+bkc AS (
+  SELECT doc_id, sig, g.band AS band,
+         sig[g.band * $RowsPerBand + 1 : g.band * $RowsPerBand + $RowsPerBand] AS bkey
+  FROM fc, (SELECT unnest(range($MinHashBands)) AS band) g),
+rkc AS (
+  SELECT doc_id, sig, band, bkey,
+         row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rk
+  FROM bkc),
+hx AS (SELECT doc_id, source, text, md5(text) AS ch FROM documents
+       WHERE doc_id > (SELECT t FROM bnd)),
+shx AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(text) - 4, 0) + 1),
+           i -> text[i:i+4])) AS shingles
+  FROM hx WHERE length(text) >= 5),
+xsx AS (
+  SELECT doc_id,
+         list_transform(shingles, sgl -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(sgl) + 1), i -> CAST(ascii(sgl[i:i]) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 1000000007)) AS xs
+  FROM shx),
+fx AS (SELECT doc_id, $minhashSigSql AS sig FROM xsx),
+bkx AS (
+  SELECT doc_id, sig, g.band AS band,
+         sig[g.band * $RowsPerBand + 1 : g.band * $RowsPerBand + $RowsPerBand] AS bkey
+  FROM fx, (SELECT unnest(range($MinHashBands)) AS band) g),
+hits AS (
+  SELECT DISTINCT b.doc_id
+  FROM rkc a JOIN bkx b ON a.band = b.band AND a.bkey = b.bkey
+    AND a.rk <= $BandAnchors
+  WHERE CAST(len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) AS DOUBLE)
+        / 64 >= 0.3),
+exh AS (SELECT DISTINCT ch FROM hc)
+SELECT hx.doc_id, hx.source,
+  CASE WHEN exh.ch IS NOT NULL THEN 'exact_dup'
+       WHEN hits.doc_id IS NOT NULL THEN 'near_dup'
+       ELSE 'admitted' END AS outcome
+FROM hx LEFT JOIN exh ON hx.ch = exh.ch
+LEFT JOIN hits ON hits.doc_id = hx.doc_id
+ORDER BY hx.doc_id"""
+    },
+
     // mirror of IncrementalDedup.reconcile: online verdicts for the
     // window (split1, split2] equal the from-scratch union verdicts of
     // docs <= split2 (the admissions equivalence contract the
