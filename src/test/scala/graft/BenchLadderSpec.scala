@@ -75,6 +75,45 @@ class BenchLadderSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"super-linear ladder growth:\n${bad.mkString("\n")}")
   }
 
+  test("the TUNED operating-point series stays within its own growth bound") {
+    // r9 verdict item 1: the x64/x128 rungs re-run at the documented
+    // operating point (SPARK_GRAFT_LSH_BITS ~ log2(corpus / target
+    // bucket population), SPARK_GRAFT_ANN_SAMPLE_MOD=4) are committed
+    // as BENCH_x{64,128}_tuned.json — a SECOND tracked series next to
+    // the parity-geometry ladder. Two points give a two-point exponent:
+    // bound it like the main ladder (1.35), with the same 5 s
+    // materiality floor at the top rung.
+    def tuned(k: Int): Option[Map[String, Double]] = {
+      val f = new java.io.File(s"BENCH_x${k}_tuned.json")
+      if (!f.exists()) None
+      else {
+        val src = scala.io.Source.fromFile(f)
+        try {
+          val body = src.mkString
+          val qBody = "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(body)
+            .map(_.group(1)).getOrElse(body)
+          Some(Timing.findAllMatchIn(qBody)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+        } finally src.close()
+      }
+    }
+    val pair = for (a <- tuned(64); b <- tuned(128)) yield (a, b)
+    assume(pair.isDefined, "tuned rungs not committed yet")
+    val (t64, t128) = pair.get
+    val shared = t64.keySet intersect t128.keySet
+    val bad = for {
+      q <- shared.toSeq.sorted
+      if t128(q) > 5.0
+      slope = math.log(t128(q) / math.max(t64(q), 0.01)) / math.log(2.0)
+      if slope > 1.35
+    } yield f"$q: tuned exponent $slope%.2f (x64=${t64(q)}%.1fs x128=${t128(q)}%.1fs)"
+    assert(bad.isEmpty, s"tuned-series super-linear growth:\n${bad.mkString("\n")}")
+    // totals: 2x the data must cost <= 2.2x the wall on the shared set
+    val (s64, s128) = (shared.toSeq.map(t64).sum, shared.toSeq.map(t128).sum)
+    assert(s128 / s64 <= 2.0 * 1.1,
+      f"tuned totals grew ${s128 / s64}%.2fx for 2x data")
+  }
+
   test("whole-surface totals stay sub-linear rung over rung") {
     // totals average out per-query noise: 2x the data must cost < 2x
     // the wall across the shared query set
