@@ -101,11 +101,38 @@ class BenchLadderSpec extends AnyFunSuite {
     assume(pair.isDefined, "tuned rungs not committed yet")
     val (t64, t128) = pair.get
     val shared = t64.keySet intersect t128.keySet
+    // Two points have zero redundancy, so a raw two-point exponent
+    // inherits the full +-seconds ambient tail of BOTH samples (the
+    // r10 refresh measured reproducible 1.4-1.9 "exponents" on queries
+    // the knobs cannot touch). The escape hatch is a STRONGER
+    // instrument: a query ducks the two-point bound only if the
+    // 5-point PARITY ladder certifies its growth (exponent <= 1.35)
+    // AND the tuned run left it within 1.5x of the parity value at the
+    // same top rung (same work, tail-noise margin) — a knob-CAUSED
+    // blowup fails the second condition, a code-path blowup fails the
+    // first, so nothing quadratic can hide.
+    val parity = Rungs.flatMap(k => rung(k).map(k -> _))
+    def parityExp(q: String): Option[Double] = {
+      val pts = parity.collect { case (k, m) if m.contains(q) =>
+        (math.log(k.toDouble), math.log(math.max(m(q), 0.01))) }
+      if (pts.size < 4) None
+      else {
+        val n = pts.size
+        val mx = pts.map(_._1).sum / n
+        val my = pts.map(_._2).sum / n
+        Some(pts.map { case (x, y) => (x - mx) * (y - my) }.sum /
+          pts.map { case (x, _) => (x - mx) * (x - mx) }.sum)
+      }
+    }
+    val parity128 = parity.lastOption.filter(_._1 == 128).map(_._2)
     val bad = for {
       q <- shared.toSeq.sorted
       if t128(q) > 5.0
       slope = math.log(t128(q) / math.max(t64(q), 0.01)) / math.log(2.0)
       if slope > 1.35
+      certified = parityExp(q).exists(_ <= 1.35) &&
+        parity128.exists(m => m.contains(q) && t128(q) <= 1.5 * m(q))
+      if !certified
     } yield f"$q: tuned exponent $slope%.2f (x64=${t64(q)}%.1fs x128=${t128(q)}%.1fs)"
     assert(bad.isEmpty, s"tuned-series super-linear growth:\n${bad.mkString("\n")}")
     // totals: 2x the data must cost <= 2.2x the wall on the shared set
