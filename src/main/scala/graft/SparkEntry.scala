@@ -500,6 +500,11 @@ object SparkEntry {
       Dedup.dropClusterDuplicates(docs(s, dir), dedupClusters03(s, dir))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))),
+    // SOFT dedup: per-doc 1/cluster_size training weight over the same
+    // shared cluster assignment — down-weight, don't drop
+    "q_dedup_weights" -> ((s, dir) =>
+      Dedup.softDedupWeights(docs(s, dir), dedupClusters03(s, dir))
+        .orderBy(col("doc_id"))),
     "q_minhash_pairs" -> ((s, dir) =>
       minhashCandidates(s, dir).filter(col("est_jaccard") >= 0.3)
         .orderBy(col("doc_a"), col("doc_b"))),

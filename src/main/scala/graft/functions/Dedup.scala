@@ -154,6 +154,34 @@ object Dedup {
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
+  /** SOFT dedup: count-based DOWN-WEIGHTING instead of dropping — every
+    * document stays in the corpus, but members of an n-document near-dup
+    * cluster train at sample_weight 1/n, so each distinct content
+    * contributes one unit of training mass regardless of how many times
+    * the crawl re-collected it (the down-weight alternative to
+    * dropClusterDuplicates when a pipeline wants the extra copies as
+    * shuffled augmentation rather than waste — cf. the duplication-count
+    * analyses in Lee et al. 2022 "Deduplicating Training Data Makes
+    * Language Models Better"). Documents in no cluster carry weight 1.0
+    * with themselves as cluster_id.
+    *
+    * Shape at 100 TB: the cluster table holds only pair-incident docs
+    * (far smaller than the corpus); one cluster_id-keyed count, two
+    * doc_id/cluster_id hash joins — all linear, nothing broadcast
+    * beyond what AQE picks for the genuinely small sides. */
+  def softDedupWeights(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val sized = clusters.select(col("doc_id"), col("cluster_id"))
+      .join(clusters.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size")), Seq("cluster_id"))
+    val size = coalesce(col("cluster_size"), lit(1L))
+    docs.select(col("doc_id"))
+      .join(sized, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        size.as("cluster_size"),
+        (lit(1.0) / size.cast("double")).as("sample_weight"))
+  }
+
   /** Exact record dedup on a key subset: keep the minimum id per key
     * group (the other columns are the payload being deduplicated). */
   def recordGroups(df: DataFrame, keys: Seq[String], id: Column): DataFrame =

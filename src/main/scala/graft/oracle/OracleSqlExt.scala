@@ -1955,6 +1955,41 @@ lbl AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1),
 cs AS (SELECT cluster_id, count(*) AS members FROM lbl GROUP BY 1)
 SELECT members, count(*) AS clusters FROM cs GROUP BY 1 ORDER BY members""",
 
+    // mirror of Dedup.softDedupWeights over the shared 0.3-threshold
+    // cluster assignment: per-doc cluster size and 1/n sample weight;
+    // unclustered docs are their own cluster at weight 1.0
+    "q_dedup_weights" -> """
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, text[i:i+4] AS shingle
+  FROM documents, unnest(range(1, greatest(length(text) - 3, 1))) t(i)),
+rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 100),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shr GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.3),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+lbl AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1),
+cs AS (SELECT cluster_id, count(*) AS members FROM lbl GROUP BY 1)
+SELECT d.doc_id,
+  CAST(coalesce(lbl.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+  CAST(coalesce(cs.members, 1) AS BIGINT) AS cluster_size,
+  1.0 / CAST(coalesce(cs.members, 1) AS DOUBLE) AS sample_weight
+FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.doc_id
+LEFT JOIN cs ON lbl.cluster_id = cs.cluster_id
+ORDER BY d.doc_id""",
+
     "q_dedup_corpus" -> """
 WITH RECURSIVE sh AS (
   SELECT DISTINCT doc_id, text[i:i+4] AS shingle

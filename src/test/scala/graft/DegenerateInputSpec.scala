@@ -53,6 +53,44 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(Sketches.minHashPairs(mixed).count() === 0)
   }
 
+  test("round-10 families handle empty and degenerate inputs") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.WebCuration
+    import graft.streaming.AdmissionStream
+    // URL curation on an empty corpus: empty verdicts + empty rollup
+    val eu = WebCuration.withSyntheticUrls(emptyDocs)
+    assert(WebCuration.urlDedup(eu).count() === 0)
+    assert(WebCuration.domainRollup(eu).count() === 0)
+    // fertility with an EMPTY merge list: every word encodes to its
+    // character count (no merges applied), ratios still well-defined
+    val two = Seq((1L, "ab cd", "en", "s1"), (2L, "ab", "de", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val fert = TextAnalytics.bpeFertility(two, Seq.empty).collect()
+    assert(fert.length === 2 && fert.forall(_.getDouble(5) > 0))
+    assert(TextAnalytics.bpeFertility(emptyDocs, Seq.empty).count() === 0)
+    // soft-dedup weights with an empty cluster assignment: every doc is
+    // its own cluster at weight 1.0
+    val emptyClusters = Dedup.dedupClusters(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_a", LongType), StructField("doc_b", LongType)))))
+    val w = Dedup.softDedupWeights(two, emptyClusters).collect()
+    assert(w.length === 2 &&
+      w.forall(r => r.getLong(2) == 1L && r.getDouble(3) == 1.0 &&
+        r.getLong(1) == r.getLong(0)))
+    // admission gate with an EMPTY crawl and with an empty index: no
+    // throw, and with no index every doc is admitted
+    val docsDf = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+    val corpus = docsDf.filter(col("doc_id") <= 10)
+    val ex = graft.operators.IncrementalDedup.exactIndex(corpus)
+    val sigs = graft.operators.IncrementalDedup.sigIndex(corpus)
+    val probe = AdmissionStream.probeTable(
+      graft.operators.IncrementalDedup.bandRows(sigs), sigs)
+    assert(AdmissionStream.gateBatch(emptyDocs, ex, probe).count() === 0)
+    val noIdx = AdmissionStream.gateBatch(two,
+      ex.limit(0), probe.limit(0)).collect()
+    assert(noIdx.length === 2 && noIdx.forall(_.getString(2) == "admitted"))
+  }
+
   test("dedup clustering of an empty pair set labels nothing") {
     val emptyPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.dedupClusters(emptyPairs).count() === 0)
