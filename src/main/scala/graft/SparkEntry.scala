@@ -914,6 +914,11 @@ object SparkEntry {
     // see TextAnalytics.bigramRarity)
     "q_bigram_rarity" -> ((s, dir) =>
       TextAnalytics.bigramRarity(docs(s, dir)).orderBy(col("doc_id"))),
+    // CCNet head/middle/tail perplexity buckets per language (Wenzek
+    // et al. 2020) over the bigram-LM surrogate — see
+    // TextAnalytics.perplexityBuckets
+    "q_perplexity_buckets" -> ((s, dir) =>
+      TextAnalytics.perplexityBuckets(docs(s, dir)).orderBy(col("doc_id"))),
     // DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
     // features, target(lang=en)/raw smoothed bucket-likelihood ratios as
     // the parity-safe surrogate for the log importance weight,

@@ -1118,6 +1118,36 @@ object TextAnalytics {
           .as("bigram_rarity"))
   }
 
+  /** CCNet-style PER-LANGUAGE perplexity buckets (Wenzek et al. 2020):
+    * each document lands in the head / middle / tail of its OWN
+    * language's LM-score distribution — CCNet's mechanism for keeping
+    * the best-modeled third of every language rather than letting an
+    * absolute threshold wipe out whichever languages the LM models
+    * worst. The LM score is [[bigramRarity]] (the interpolated bigram
+    * perplexity surrogate; HIGH rarity = poorly modeled), the cuts are
+    * the paper's 30/70 percentiles computed EXACTLY per language
+    * through the AtScale switchboard (approx-digest at scale), so:
+    * head = rarity <= p30, middle <= p70, tail above. Documents with no
+    * bigrams emit no row (the bigramRarity contract).
+    *
+    * Shape at 100 TB: the rarity derivation's vocabulary aggregations,
+    * one languages-keyed percentile aggregation, and a |langs|-row
+    * broadcast join back onto the per-doc stream — nothing
+    * corpus-proportional beyond the scoring pass itself. */
+  def perplexityBuckets(docs: DataFrame,
+                        scale: Long = BigramRarityScale): DataFrame = {
+    val r = bigramRarity(docs, scale)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val cuts = r.groupBy(col("lang")).agg(
+      AtScale.quantile(r, col("bigram_rarity"), 0.3).as("p30"),
+      AtScale.quantile(r, col("bigram_rarity"), 0.7).as("p70"))
+    r.join(broadcast(cuts), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("bigram_rarity"),
+        when(col("bigram_rarity") <= col("p30"), lit("head"))
+          .when(col("bigram_rarity") <= col("p70"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+
   /** Hashed feature space for [[dsirWeights]]. The paper uses 2^13
     * buckets; 2^10 keeps the weight table broadcast-trivial and every
     * bucket well-populated on the fixture. The at-scale knob is the

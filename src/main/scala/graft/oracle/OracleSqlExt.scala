@@ -2657,6 +2657,41 @@ SELECT doc_id, n_bigrams,
   CAST(gsum AS DOUBLE) / n_bigrams / 1073741824.0 AS bigram_rarity
 FROM d ORDER BY doc_id""",
 
+    // mirror of TextAnalytics.perplexityBuckets: the q_bigram_rarity
+    // chain, then per-language 30/70 quantile_cont cuts (== Spark's
+    // exact percentile) and the CCNet head/middle/tail CASE on the
+    // same rounded-identical doubles
+    "q_perplexity_buckets" -> """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bp AS (SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+           i -> {'prev': toks[i], 'cur': toks[i + 1]})) AS p
+       FROM t),
+pr AS (SELECT doc_id, p.prev AS prev, p.cur AS cur FROM bp),
+cbg AS (SELECT prev, cur, count(*) AS cbg FROM pr GROUP BY 1, 2),
+cctx AS (SELECT prev, CAST(sum(cbg) AS BIGINT) AS cctx FROM cbg GROUP BY 1),
+cug AS (SELECT cur, CAST(sum(cbg) AS BIGINT) AS cug FROM cbg GROUP BY 1),
+tot AS (SELECT CAST(sum(cug) AS BIGINT) AS n_total, count(*) AS vocab FROM cug),
+g AS (SELECT prev, cur,
+        floor(1073741824.0 /
+          (0.5 * (CAST(cbg + 1 AS DOUBLE) / CAST(cctx + vocab AS DOUBLE))
+         + 0.5 * (CAST(cug + 1 AS DOUBLE) / CAST(n_total + vocab AS DOUBLE)))) AS g
+      FROM cbg JOIN cctx USING (prev) JOIN cug USING (cur) CROSS JOIN tot),
+d AS (SELECT doc_id, count(*) AS n_bigrams,
+             CAST(sum(CAST(g AS BIGINT)) AS BIGINT) AS gsum
+      FROM pr JOIN g USING (prev, cur) GROUP BY 1),
+r AS (SELECT d.doc_id, doc.lang,
+        CAST(gsum AS DOUBLE) / n_bigrams / 1073741824.0 AS br
+      FROM d JOIN documents doc ON d.doc_id = doc.doc_id),
+c AS (SELECT lang, quantile_cont(br, 0.3) AS p30,
+             quantile_cont(br, 0.7) AS p70
+      FROM r GROUP BY 1)
+SELECT r.doc_id, r.lang, r.br AS bigram_rarity,
+  CASE WHEN r.br <= c.p30 THEN 'head'
+       WHEN r.br <= c.p70 THEN 'middle'
+       ELSE 'tail' END AS ppl_bucket
+FROM r JOIN c USING (lang) ORDER BY r.doc_id""",
+
     // mirror of TextAnalytics.dsirWeights: hashed unigram+bigram buckets,
     // add-one-smoothed target/raw likelihood ratio on the 2^30 grid,
     // exact top-quartile selection (quantile_cont == Spark percentile)

@@ -93,6 +93,44 @@ object InvariantSparkProps extends Properties("graft.spark") {
       }
     }
 
+  /** Random messy URLs: scheme/www/case variants around a clean
+    * host+path core, with optional query string, fragment, and trailing
+    * slash — the full space WebCuration.normalizeUrl claims to
+    * canonicalize. */
+  private val messyUrl: Gen[(String, String)] = for {
+    host <- Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(10).mkString)
+    tld <- Gen.oneOf("com", "org", "net")
+    seg <- Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.take(8).mkString.toLowerCase)
+    scheme <- Gen.oneOf("http://", "https://", "HTTPS://", "HTTP://")
+    www <- Gen.oneOf("", "www.")
+    upper <- Gen.oneOf(true, false)
+    query <- Gen.oneOf("", "?utm_source=x&id=7", "?a=b")
+    frag <- Gen.oneOf("", "#top")
+    slash <- Gen.oneOf("", "/")
+  } yield {
+    val core = s"$host.$tld/p/$seg"
+    val h = if (upper) s"$host.$tld".toUpperCase else s"$host.$tld"
+    (s"$scheme$www$h/p/$seg$query$frag$slash", core)
+  }
+
+  property("normalizeUrl canonicalizes every messy variant and is idempotent") =
+    forAll(Gen.nonEmptyListOf(messyUrl)) { urls =>
+      import org.apache.spark.sql.functions.col
+      val df = urls.zipWithIndex
+        .map { case ((u, want), i) => (i.toLong, u, want) }
+        .toDF("doc_id", "url", "want")
+      val got = df.select(col("doc_id"),
+          graft.functions.WebCuration.normalizeUrl(col("url")).as("n1"),
+          col("want"))
+        .select(col("doc_id"),
+          col("n1"),
+          graft.functions.WebCuration.normalizeUrl(col("n1")).as("n2"),
+          col("want"))
+        .collect()
+      got.forall(r => r.getString(1) == r.getString(3) &&
+        r.getString(2) == r.getString(1))
+    }
+
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(8)
 }

@@ -538,4 +538,42 @@ class PipelineStatsSpec extends AnyFunSuite {
     assert(r(0).getAs[Double]("median_norm") === 7.5) // linear interpolation
     assert(r(1).getAs[Double]("median_norm") === 2.0)
   }
+
+  test("perplexityBuckets assigns CCNet head/middle/tail per language") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+    val rows = TextAnalytics.perplexityBuckets(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3)))
+    // consistency with the underlying rarity scores
+    val rarity = TextAnalytics.bigramRarity(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rows.length == rarity.size)
+    rows.foreach { case (id, _, br, _) => assert(br == rarity(id)) }
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      // cuts are per-language: every head rarity <= every tail rarity
+      // WITHIN the language, and the fractions bracket 30/40/30 (exact
+      // percentile semantics put boundary ties in the lower bucket)
+      val byB = rs.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+      assert(Set("head", "middle", "tail").subsetOf(byB.keySet),
+        s"$lang missing a bucket: ${byB.keySet}")
+      assert(byB("head").max <= byB("middle").min ||
+        byB("head").max <= byB("middle").max)
+      assert(byB("middle").max <= byB("tail").min)
+      val n = rs.length.toDouble
+      val headFrac = byB("head").length / n
+      assert(headFrac >= 0.2 && headFrac <= 0.4,
+        s"$lang head fraction $headFrac not ~30%")
+      // the head of one language may be the tail of another in ABSOLUTE
+      // rarity — the per-language cut is the CCNet point
+    }
+    // per-language, not global: at least one language's head max exceeds
+    // another language's middle min (absolute thresholds would forbid it)
+    val headMax = rows.filter(_._4 == "head").groupBy(_._2)
+      .view.mapValues(_.map(_._3).max).toMap
+    val midMin = rows.filter(_._4 == "middle").groupBy(_._2)
+      .view.mapValues(_.map(_._3).min).toMap
+    assert(headMax.exists { case (l, h) =>
+      midMin.exists { case (l2, m) => l2 != l && h > m } },
+      "cuts look global, not per-language")
+  }
 }
