@@ -830,11 +830,14 @@ object TextAnalytics {
         explode(tokens(col("text"))).as("w"))
       .groupBy(col("lang"), col("source"), col("w"))
       .agg(count(lit(1)).as("freq"))
+    // perSrc feeds the baseline aggregation AND the final join: lazy
+    // localCheckpoint so the corpus word-count + encode pass runs once
     val perSrc = vocab.withColumn("nsym", bpeNsym(merges))
       .groupBy(col("lang"), col("source"))
       .agg(sum(col("freq")).as("wsp_tokens"),
         sum(col("freq") * col("nsym")).as("bpe_tokens"),
         sum(col("freq") * length(col("w")).cast("long")).as("chars"))
+      .localCheckpoint(false)
     val perLang = perSrc.groupBy(col("lang"))
       .agg(sum(col("wsp_tokens")).as("lang_wsp"),
         sum(col("bpe_tokens")).as("lang_bpe"))
@@ -1136,8 +1139,12 @@ object TextAnalytics {
     * corpus-proportional beyond the scoring pass itself. */
   def perplexityBuckets(docs: DataFrame,
                         scale: Long = BigramRarityScale): DataFrame = {
+    // the scored frame feeds BOTH the percentile aggregation and the
+    // final join — localCheckpoint (lazy) so the bigram-LM scoring pass
+    // runs once, not once per DAG branch (the admissions precedent)
     val r = bigramRarity(docs, scale)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .localCheckpoint(false)
     val cuts = r.groupBy(col("lang")).agg(
       AtScale.quantile(r, col("bigram_rarity"), 0.3).as("p30"),
       AtScale.quantile(r, col("bigram_rarity"), 0.7).as("p70"))

@@ -66,17 +66,31 @@ object AdmissionStream {
     * Documents shorter than the shingle width carry a null signature
     * and can only be exact_dup or admitted. */
   private def markerRows(docs: DataFrame, exactIdx: DataFrame,
-                         probe: DataFrame, threshold: Double): DataFrame = {
+                         probe: DataFrame, threshold: Double): DataFrame =
+    markersFrom(baseRows(docs, exactIdx), probe, threshold)
+
+  /** Row-local hash/signature + the exact-index probe — the expensive
+    * per-doc work, built once so [[gateBatch]] can materialize it
+    * (lazy localCheckpoint) before it fans into the marker and hit
+    * branches; the streaming path consumes it unmaterialized
+    * (localCheckpoint is illegal on a streaming frame, and each
+    * micro-batch computes it once per branch — bounded by batch size,
+    * not corpus size). */
+  private def baseRows(docs: DataFrame, exactIdx: DataFrame): DataFrame = {
     val hashed = docs.select(col("doc_id"), col("source"),
       md5(col("text")).as("h"),
       when(length(col("text")) >= GateN,
         graft.expressions.MinHashSig.min_hash_sig(col("text"), GateN))
         .otherwise(lit(null)).as("sig"))
-    val base = hashed.join(
+    hashed.join(
         exactIdx.select(col("content_hash").as("h"), lit(true).as("eh")),
         Seq("h"), "left")
       .select(col("doc_id"), col("source"),
         coalesce(col("eh"), lit(false)).as("exact_dup"), col("sig"))
+  }
+
+  private def markersFrom(base: DataFrame, probe: DataFrame,
+                          threshold: Double): DataFrame = {
     val bands = base.filter(!col("exact_dup") && col("sig").isNotNull)
       .select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(Sketches.MinHashBands - 1))).as("band"))
@@ -97,7 +111,8 @@ object AdmissionStream {
     * (q_admission_gate) and the equivalence baseline for the stream. */
   def gateBatch(docs: DataFrame, exactIdx: DataFrame, probe: DataFrame,
                 threshold: Double = 0.3): DataFrame =
-    markerRows(docs, exactIdx, probe, threshold)
+    markersFrom(baseRows(docs, exactIdx).localCheckpoint(false),
+        probe, threshold)
       .groupBy(col("doc_id"))
       .agg(first(when(col("is_base"), col("source")), ignoreNulls = true)
           .as("source"),
