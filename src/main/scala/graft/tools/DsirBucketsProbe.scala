@@ -43,7 +43,10 @@ object DsirBucketsProbe {
     val baseSel = base.collect { case (id, (_, true)) => id }.toSet
     def keepRateEn(m: Map[Long, (Double, Boolean)]): Double = {
       val en = m.keys.filter(id => langOf(id) == "en").toSeq
-      en.count(id => m(id)._2).toDouble / en.size
+      // empty-target-language guard (r10 ADVICE): report 0 rather than
+      // NaN on a corpus with no target-language docs
+      if (en.isEmpty) 0.0
+      else en.count(id => m(id)._2).toDouble / en.size
     }
     println(f"[dsir_probe] dir=$dir docs=${base.size} " +
       f"baseline(1024): selected=${baseSel.size} en_keep=${keepRateEn(base)}%.3f")
@@ -51,14 +54,19 @@ object DsirBucketsProbe {
       val m = run(b)
       val sel = m.collect { case (id, (_, true)) => id }.toSet
       val overlap = (sel & baseSel).size.toDouble / baseSel.size
-      // rank agreement over a deterministic pair sample (ids k, k+17)
+      // rank agreement over a deterministic pair sample (ids k, k+17);
+      // pairs TIED in either grid are skipped (r10 ADVICE: counting a
+      // tie as agreement only when both grids tie the same way
+      // understates agreement on heavily-collided grids)
       val ids = base.keys.toSeq.sorted
-      val pairs = ids.zip(ids.drop(17))
+      val pairs = ids.zip(ids.drop(17)).filter { case (a, bId) =>
+        base(a)._1 != base(bId)._1 && m(a)._1 != m(bId)._1 }
       val agree = pairs.count { case (a, bId) =>
         (base(a)._1 < base(bId)._1) == (m(a)._1 < m(bId)._1) }
+      val rankAgree = if (pairs.isEmpty) 1.0 else agree.toDouble / pairs.size
       println(f"[dsir_probe] buckets=$b selected=${sel.size} " +
-        f"overlap=$overlap%.3f rank_agree=${agree.toDouble / pairs.size}%.3f " +
-        f"en_keep=${keepRateEn(m)}%.3f")
+        f"overlap=$overlap%.3f rank_agree=$rankAgree%.3f " +
+        f"(untied pairs ${pairs.size}) en_keep=${keepRateEn(m)}%.3f")
     }
     spark.stop()
   }
