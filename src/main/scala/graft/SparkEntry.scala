@@ -796,6 +796,14 @@ object SparkEntry {
     // over positional n-gram hashes)
     "q_dup_spans" -> ((s, dir) =>
       TextAnalytics.dupSpans(docs(s, dir)).orderBy(col("doc_id"))),
+    // the APPLY half (r10 verdict item 1): duplicated runs excised into
+    // a cleaned_text column — value-hashed by the driver, so the exact
+    // span-boundary semantics are in the oracle gate — plus per-doc
+    // token/byte savings and the per-source savings rollup
+    "q_dup_excision" -> ((s, dir) =>
+      TextAnalytics.exciseDupSpans(docs(s, dir)).orderBy(col("doc_id"))),
+    "q_excision_rollup" -> ((s, dir) =>
+      TextAnalytics.excisionRollup(docs(s, dir)).orderBy(col("source"))),
     "q_tfidf_terms" -> ((s, dir) =>
       TextAnalytics.tfidfTerms(docs(s, dir)).orderBy(col("lang"), col("rnk"))),
     // lexical ranked retrieval next to the embedding ANN family:

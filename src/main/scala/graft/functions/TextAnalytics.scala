@@ -1504,25 +1504,9 @@ object TextAnalytics {
       .select(col("doc_id"),
         graft.expressions.NgramHashes.ngram_pos_hashes(col("text"), n).as("hs"))
       .filter(size(col("hs")) > 0) // sub-n docs absent, as in dupNgramCoverage
-    // cross-document duplication: df over per-doc-DISTINCT hashes > 1
-    val dupSet = docs
-      .select(col("doc_id"),
-        explode(graft.expressions.NgramHashes.ngram_hashes(col("text"), n)).as("ngh"))
-      .groupBy(col("ngh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > 1)
-      .select(col("ngh"))
-    // SHUFFLE_HASH pins the scaladoc's hash-key exchange: dupSet is
-    // corpus-dup-rate-proportional, and at the x40 rung AQE measured it
-    // just under the broadcast threshold and promoted it — which blew
-    // the default-heap driver ("Not enough memory to build and
-    // broadcast", bench r8). A corpus-proportional build side must
-    // never be a broadcast candidate, whatever its momentary size.
-    val dupPos = withArr
-      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "ngh")))
-      .join(dupSet.hint("shuffle_hash"), Seq("ngh"))
     // islands: consecutive positions share (pos - rank); run length in
     // n-grams + (n-1) = span length in tokens
-    val runs = dupPos
+    val runs = dupPositions(docs, n)
       .withColumn("grp", col("pos") -
         row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
       .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run"))
@@ -1535,6 +1519,113 @@ object TextAnalytics {
         coalesce(col("dup_positions"), lit(0L)).as("dup_positions"),
         coalesce(col("max_dup_span"), lit(0L)).as("max_dup_span"))
   }
+
+  /** Shared detect core of [[dupSpans]] / [[exciseDupSpans]]: the
+    * (doc_id, pos) stream of n-gram START positions whose n-gram occurs
+    * in at least one OTHER document (df over per-doc-distinct hashes
+    * > 1). Corpus-dup-rate-bounded output. */
+  private def dupPositions(docs: DataFrame, n: Int): DataFrame = {
+    val dupSet = docs
+      .select(col("doc_id"),
+        explode(graft.expressions.NgramHashes.ngram_hashes(col("text"), n)).as("ngh"))
+      .groupBy(col("ngh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1)
+      .select(col("ngh"))
+    // SHUFFLE_HASH pins the scaladoc's hash-key exchange: dupSet is
+    // corpus-dup-rate-proportional, and at the x40 rung AQE measured it
+    // just under the broadcast threshold and promoted it — which blew
+    // the default-heap driver ("Not enough memory to build and
+    // broadcast", bench r8). A corpus-proportional build side must
+    // never be a broadcast candidate, whatever its momentary size.
+    docs
+      .select(col("doc_id"),
+        posexplode(graft.expressions.NgramHashes.ngram_pos_hashes(col("text"), n))
+          .as(Seq("pos", "ngh")))
+      .join(dupSet.hint("shuffle_hash"), Seq("ngh"))
+      .select(col("doc_id"), col("pos"))
+  }
+
+  /** Duplicated-span EXCISION — the APPLY half of ExactSubstr dedup
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better": detect cross-document duplicated substrings, then
+    * REMOVE them; reference pipelines run removal, not just the
+    * [[dupSpans]] report). Per document: every token covered by a
+    * duplicated run (a maximal set of consecutive duplicated n-gram
+    * start positions — the [[dupSpans]] islands — which covers tokens
+    * [start, start + run + n - 2]) is excised, and the kept tokens are
+    * re-joined with single spaces into `cleaned_text`. Output per doc:
+    * cleaned_text, n_tokens (before), kept_tokens, bytes_removed.
+    *
+    * `minSpanTokens` mirrors the paper's length threshold: runs whose
+    * token coverage is shorter are left in place (0 = excise every
+    * detected run; any value <= n is equivalent, since a single
+    * duplicated n-gram already covers n tokens).
+    *
+    * Shape at 100 TB: the duplicated-position stream and its window are
+    * exactly [[dupSpans]]'s (dup-rate-bounded); runs collapse to one
+    * SKINNY span row per island, per-doc spans pack into one sorted
+    * array row ([s0,e0,s1,e1,...]), and the rewrite itself is the
+    * row-local [[graft.expressions.ExciseSpans]] kernel after one
+    * shuffle-hash join of the span table back onto the corpus — the
+    * corpus text crosses no exchange. The merged covered-token count
+    * comes from a row-local fold over the same sorted span array (runs
+    * are disjoint in POSITION space but can overlap in TOKEN coverage
+    * when the gap between them is under n), so kept_tokens needs no
+    * second pass over the text. */
+  def exciseDupSpans(docs: DataFrame, n: Int = 5,
+                     minSpanTokens: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spanFloor = math.max(minSpanTokens, n).toLong
+    val runs = dupPositions(docs, n)
+      .withColumn("grp", col("pos") -
+        row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("s"),
+        (min(col("pos")) + count(lit(1)) + lit(n - 2)).cast("long").as("e"))
+      .filter(col("e") - col("s") + lit(1L) >= lit(spanFloor))
+    val spans = runs.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("sp"))
+      .select(col("doc_id"),
+        flatten(transform(col("sp"),
+          x => array(x.getField("s"), x.getField("e")))).as("packed"),
+        // merged coverage: fold (total, max end seen) over spans sorted
+        // by start — overlap-safe, row-local
+        aggregate(col("sp"),
+          struct(lit(0L).as("tot"), lit(-1L).as("mx")),
+          (acc, x) => struct(
+            (acc.getField("tot") + greatest(lit(0L),
+              x.getField("e") - greatest(x.getField("s"),
+                acc.getField("mx") + lit(1L)) + lit(1L))).as("tot"),
+            greatest(acc.getField("mx"), x.getField("e")).as("mx")),
+          acc => acc.getField("tot")).as("covered"))
+    docs.select(col("doc_id"), col("text"))
+      .join(spans.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .withColumn("cleaned_text",
+        when(col("packed").isNull, col("text"))
+          .otherwise(graft.expressions.ExciseSpans.excise_spans(
+            col("text"), col("packed"))))
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .select(col("doc_id"), col("cleaned_text"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("covered"), lit(0L))).as("kept_tokens"),
+        (length(col("text")) - length(col("cleaned_text"))).cast("long")
+          .as("bytes_removed"))
+  }
+
+  /** Per-source excision savings — the rollup a curation run reads to
+    * decide whether a feed's duplication is worth span surgery or a
+    * whole-doc drop: document counts, token/byte savings, and the
+    * savings fraction. One hash aggregation over [[exciseDupSpans]]'s
+    * per-doc frame joined back to the source dimension. */
+  def excisionRollup(docs: DataFrame, n: Int = 5): DataFrame =
+    exciseDupSpans(docs, n)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_tokens")).as("tokens_before"),
+        sum(col("n_tokens") - col("kept_tokens")).as("tokens_removed"),
+        sum(col("bytes_removed")).as("bytes_removed"))
+      .withColumn("token_savings_frac",
+        col("tokens_removed").cast("double") / col("tokens_before").cast("double"))
 
   /** Per-source curation rollup: document counts and ORDER-FREE quality
     * statistics (exact percentiles, not avg — a double mean depends on

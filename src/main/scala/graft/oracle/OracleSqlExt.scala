@@ -145,6 +145,35 @@ LEFT JOIN cl$x ON cl$x.doc_id = h$x.doc_id)"""
     * mirror of the NgramHashes kernel values. */
   private val ngramHashS = tokenHashSqlOf("s")
 
+  /** Shared CTE chain of the excision mirrors (q_dup_excision,
+    * q_excision_rollup): the q_dup_spans duplicated-5-gram positions,
+    * expanded to the COVERED token-index set (start + 0..4; DISTINCT
+    * merges overlapping runs), anti-joined against the positional token
+    * stream; kept tokens re-join with ' ' in position order. Positions
+    * are 1-based here (range()) — internally consistent, and only the
+    * rebuilt text and counts reach the output. */
+  private val dupExcisionCtes = s"""
+t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+ng AS (SELECT doc_id,
+         unnest(range(1, len(toks) - 3)) AS pos,
+         unnest(list_transform(
+                  list_transform(range(1, len(toks) - 3),
+                    g -> array_to_string(toks[g:g+4], ' ')),
+                  s -> ${tokenHashSqlOf("s")})) AS ngh
+       FROM t WHERE len(toks) >= 5),
+dfq AS (SELECT ngh FROM (SELECT DISTINCT doc_id, ngh FROM ng)
+        GROUP BY ngh HAVING count(*) > 1),
+dp AS (SELECT doc_id, pos FROM ng JOIN dfq USING (ngh)),
+cov AS (SELECT DISTINCT doc_id, pos + o.off AS cpos
+        FROM dp CROSS JOIN (VALUES (0),(1),(2),(3),(4)) o(off)),
+tok AS (SELECT doc_id, unnest(toks) AS token,
+               unnest(range(1, len(toks) + 1)) AS tpos FROM t),
+kept AS (SELECT k.doc_id, k.token, k.tpos
+         FROM tok k LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.tpos = c.cpos
+         WHERE c.cpos IS NULL),
+cl AS (SELECT doc_id, string_agg(token, ' ' ORDER BY tpos) AS cleaned_text,
+              CAST(count(*) AS BIGINT) AS kept_tokens FROM kept GROUP BY 1)"""
+
   /** Linear-counter bucket of a token (row LcHashIdx of the family). */
   private val lcBucketSql = {
     import graft.functions.Sketches.{P31, UnivA, UnivB}
@@ -2206,6 +2235,42 @@ SELECT doc_id, n_ngrams,
        CAST(coalesce(dup_positions, 0) AS BIGINT) AS dup_positions,
        CAST(coalesce(max_dup_span, 0) AS BIGINT) AS max_dup_span
 FROM base LEFT JOIN per USING (doc_id) ORDER BY doc_id""",
+
+    // mirror of TextAnalytics.exciseDupSpans: the dup-position chain of
+    // q_dup_spans, expanded to COVERED token indices (each duplicated
+    // 5-gram start covers its 5 tokens; DISTINCT merges overlapping
+    // runs), anti-joined against the positional token stream, and the
+    // kept tokens re-joined in position order — cleaned_text is
+    // value-hashed by the driver, so span boundaries must match the
+    // engine's row-local kernel exactly. A doc whose every token is
+    // covered has no kept rows: coalesce to the empty string.
+    "q_dup_excision" -> s"""
+WITH $dupExcisionCtes
+SELECT t.doc_id, coalesce(cl.cleaned_text, '') AS cleaned_text,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(cl.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       CAST(length(t.text) - length(coalesce(cl.cleaned_text, ''))
+            AS BIGINT) AS bytes_removed
+FROM t LEFT JOIN cl USING (doc_id) ORDER BY doc_id""",
+
+    // mirror of TextAnalytics.excisionRollup: the per-doc excision frame
+    // aggregated per source (savings fraction as the one double, from
+    // exactly-represented BIGINT sums — order-free)
+    "q_excision_rollup" -> s"""
+WITH $dupExcisionCtes,
+per AS (SELECT t.doc_id, coalesce(cl.cleaned_text, '') AS cleaned_text,
+               CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               CAST(coalesce(cl.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+               CAST(length(t.text) - length(coalesce(cl.cleaned_text, ''))
+                    AS BIGINT) AS bytes_removed
+        FROM t LEFT JOIN cl USING (doc_id))
+SELECT d.source, CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_before,
+       CAST(sum(n_tokens - kept_tokens) AS BIGINT) AS tokens_removed,
+       CAST(sum(bytes_removed) AS BIGINT) AS bytes_removed,
+       CAST(sum(n_tokens - kept_tokens) AS DOUBLE)
+         / CAST(sum(n_tokens) AS DOUBLE) AS token_savings_frac
+FROM per JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY source""",
 
     // mirror of TextAnalytics.bm25TopK: first-occurrence query terms
     // (min(pos) rank, NOT list_distinct — order is the contract),
