@@ -96,6 +96,12 @@ object Bench {
       spark.conf.set(graft.functions.AtScale.AnnSampleModKey, m))
     sys.env.get("SPARK_GRAFT_LSH_BITS").foreach(m =>
       spark.conf.set(graft.functions.AtScale.LshBitsKey, m))
+    // the two output-linear heavy queries' at-scale slices (r10 verdict
+    // item 4); unset = exact, the driver-contract mode
+    sys.env.get("SPARK_GRAFT_EDITDIST_SAMPLE_MOD").foreach(m =>
+      spark.conf.set(graft.functions.AtScale.EditdistSampleModKey, m))
+    sys.env.get("SPARK_GRAFT_CALIBRATION_SAMPLE_MOD").foreach(m =>
+      spark.conf.set(graft.functions.AtScale.CalibrationSampleModKey, m))
     // SPARK_GRAFT_PROF=1: per-query GC/spill/shuffle attribution on
     // stderr — the scale-ladder diagnosis loop ("measure, don't guess")
     val prof = Option.when(sys.env.get("SPARK_GRAFT_PROF").contains("1")) {

@@ -564,7 +564,17 @@ object SparkEntry {
     "q_minhash_calibration" -> ((s, dir) => {
       val hs = docs(s, dir).select(col("doc_id"),
         array_distinct(Dedup.shingleHashes(col("text"))).as("hs"))
-      val est = minhashCandidates(s, dir)
+      // at-scale affordance (r10 verdict item 4): the truth join is the
+      // corpus-dup-proportional cost — with sampleMod m the curve is
+      // estimated on the deterministic 1/m pair slice (parity default 1)
+      val allCands = minhashCandidates(s, dir)
+      val sampleM = AtScale.calibrationSampleMod(allCands)
+      val cands =
+        if (sampleM > 1)
+          allCands.filter(pmod(hash(col("doc_a"), col("doc_b")),
+            lit(sampleM)) === 0)
+        else allCands
+      val est = cands
         .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
         .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
         .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))

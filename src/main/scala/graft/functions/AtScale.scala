@@ -65,12 +65,48 @@ object AtScale {
     * stays `buckets` rows (corpus-independent) at any published
     * setting, so the conf is purely a quality/parity trade. Measured
     * selection overlap vs the 1024 grid is in NOTES.md. Read when the
-    * query is BUILT, like the other toggles. */
+    * query is BUILT, like the other toggles.
+    *
+    * Unset, the default is MODE-DEPENDENT (r10 verdict item 5): parity
+    * mode stays at the 1024 oracle grid; approx/at-scale mode
+    * (`spark.graft.quantiles.approx=true`) defaults to the probe-
+    * measured 2^13 plateau — the keep-rate stops improving there, so
+    * at-scale runs get the paper's operating point without a second
+    * knob to remember. An explicit conf value always wins. */
   val DsirBucketsKey = "spark.graft.dsir.buckets"
 
   def dsirBuckets(ds: Dataset[_]): Int =
-    ds.sparkSession.conf.get(DsirBucketsKey,
-      graft.functions.TextAnalytics.DsirBuckets.toString).toInt
+    ds.sparkSession.conf.getOption(DsirBucketsKey).map(_.toInt).getOrElse(
+      if (approxEnabled(ds)) graft.functions.TextAnalytics.DsirBucketsAtScale
+      else graft.functions.TextAnalytics.DsirBuckets)
+
+  /** Entity sampling for the edit-distance linkage family (r10 verdict
+    * item 4): with mod m > 1 the FastSS self-join runs over the
+    * deterministic entity slice id % m == 0. Both pair sides shrink by
+    * m, so candidate AND output mass drop ~m^2 — and because the
+    * deletion-neighborhood blocking is per-row, the sampled output is
+    * EXACTLY the full pair set restricted to sampled ids (a true
+    * subset, no estimator error — AtScaleSpec pins it). The linkage
+    * rate statistics a curation run reads off the pair set survive
+    * sampling; the full roster of matches does not. Default 1 = exact,
+    * the oracle-parity mode. */
+  val EditdistSampleModKey = "spark.graft.editdist.sampleMod"
+
+  def editdistSampleMod(ds: Dataset[_]): Int =
+    ds.sparkSession.conf.get(EditdistSampleModKey, "1").toInt
+
+  /** Candidate-pair sampling for the MinHash calibration report (r10
+    * verdict item 4): the report's cost is the full-shingle-array truth
+    * join per candidate pair — corpus-dup-proportional. With mod m > 1
+    * the truth arm runs over the deterministic pair slice
+    * hash(doc_a, doc_b) % m == 0; per-bucket error statistics are
+    * estimated on 1/m of the pairs (the calibration CURVE is the
+    * product, not the pair roster — AtScaleSpec bounds the curve
+    * deltas). Default 1 = exact. */
+  val CalibrationSampleModKey = "spark.graft.calibration.sampleMod"
+
+  def calibrationSampleMod(ds: Dataset[_]): Int =
+    ds.sparkSession.conf.get(CalibrationSampleModKey, "1").toInt
 
   def approxEnabled(ds: Dataset[_]): Boolean =
     ds.sparkSession.conf.get(ApproxQuantilesKey, "false").toBoolean

@@ -1162,6 +1162,15 @@ object TextAnalytics {
     * buckets, independent of corpus size) at any published setting. */
   val DsirBuckets: Int = 1024
 
+  /** The at-scale operating grid: tools.DsirBucketsProbe measured
+    * target-language keep-rate rising monotonically to a plateau at 2^13
+    * — exactly the paper's setting (collisions between unrelated n-grams
+    * dilute likelihood ratios at 1024) — with 8192 vs 16384 nearly
+    * identical. Approx/AtScale mode defaults here (r10 verdict item 5)
+    * the way quantiles switch to percentile_approx; 1024 stays the
+    * oracle-parity default. */
+  val DsirBucketsAtScale: Int = 8192
+
   /** Grid for [[dsirWeights]]: bucket likelihood ratios are bounded by
     * ~1/target-share (an all-target bucket), so even a 0.1% target
     * corpus keeps scale * ratio below 2^40 and per-doc BIGINT sums

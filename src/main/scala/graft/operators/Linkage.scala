@@ -73,7 +73,15 @@ object Linkage {
     * one row per unordered pair. */
   def editDistancePairs(entities: DataFrame, idCol: String, nameCol: String,
                         nationCol: String): DataFrame = {
-    val base = entities.select(
+    // at-scale affordance (r10 verdict item 4): id % m == 0 slices both
+    // pair sides, so the blocking/verify mass drops ~m^2 and the output
+    // is exactly the full pair set restricted to the slice (per-row
+    // blocking — no cross-row information is lost inside the slice)
+    val m = graft.functions.AtScale.editdistSampleMod(entities)
+    val src =
+      if (m > 1) entities.filter(pmod(col(idCol), lit(m.toLong)) === 0)
+      else entities
+    val base = src.select(
       col(idCol).as("id"), col(nameCol).as("name"),
       col(nationCol).cast("int").as("nation"),
       regexp_extract(col(nameCol), "([0-9]+)$", 1).as("k"))
@@ -85,7 +93,7 @@ object Linkage {
     // mass is a few times the true pair mass, and carrying 2 names + 2
     // nations through those exchanges was measured at x64 as ~6x the
     // bytes for nothing.
-    val variants = variantRows(entities, idCol, nameCol).select("id", "variant")
+    val variants = variantRows(src, idCol, nameCol).select("id", "variant")
     val cand = variants.select(col("variant"), col("id").as("id1"))
       .join(variants.select(col("variant"), col("id").as("id2")),
         Seq("variant"))

@@ -157,4 +157,51 @@ class AtScaleSpec extends AnyFunSuite {
     val a = approx.orderBy(col("column")).collect().map(_.toSeq)
     assert(a === e)
   }
+
+  test("editdist sampleMod yields exactly the full pair set on the slice") {
+    // r10 verdict item 4: the slice is a true SUBSET — per-row blocking
+    // means no pair inside the slice can be lost, and none outside it
+    // can appear. Pin set equality, not statistics.
+    import graft.operators.Linkage
+    val customer = spark.read.parquet(s"${TestSpark.Sf0001}/customer.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2", "dist", "same_nation").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toSet
+    val full = pairs(Linkage.editDistancePairs(customer,
+      "c_custkey", "c_name", "c_nationkey"))
+    val m = 3
+    spark.conf.set(AtScale.EditdistSampleModKey, m.toString)
+    val sampled = try pairs(Linkage.editDistancePairs(customer,
+      "c_custkey", "c_name", "c_nationkey"))
+    finally spark.conf.unset(AtScale.EditdistSampleModKey)
+    assert(sampled == full.filter(p => p._1 % m == 0 && p._2 % m == 0),
+      "sampled pair set is not the full set restricted to the id slice")
+    assert(sampled.nonEmpty, "slice too aggressive for the fixture")
+    assert(sampled.size < full.size, "sampling did not reduce the pair set")
+  }
+
+  test("calibration sampleMod keeps the error curve, cuts the pair mass") {
+    // r10 verdict item 4: the CURVE (per-bucket p50 error) is the
+    // product; the pair roster is not. Sampled buckets must exist in
+    // the exact curve with bounded p50 deltas and ~1/m of the mass.
+    def curve() = SparkEntry.queries("q_minhash_calibration")(
+        spark, TestSpark.Sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = curve()
+    val m = 4
+    spark.conf.set(AtScale.CalibrationSampleModKey, m.toString)
+    val sampled = try curve()
+    finally spark.conf.unset(AtScale.CalibrationSampleModKey)
+    assert(sampled.keySet.subsetOf(exact.keySet))
+    val (exactN, sampledN) = (exact.values.map(_._1).sum,
+      sampled.values.map(_._1).sum)
+    assert(sampledN <= exactN / 2,
+      s"sampling left $sampledN of $exactN pairs")
+    assert(sampledN >= exactN / (4L * m),
+      s"slice lost too much mass: $sampledN of $exactN at mod $m")
+    for ((b, (n, p50)) <- sampled if n >= 20)
+      assert(math.abs(p50 - exact(b)._2) <= 0.05,
+        s"bucket $b p50 drifted: sampled $p50 vs exact ${exact(b)._2}")
+  }
 }

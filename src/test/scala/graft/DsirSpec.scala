@@ -137,4 +137,41 @@ class DsirSpec extends AnyFunSuite {
       assert(served == direct, "served scores diverge from batch at 8192")
     } finally s.conf.unset(graft.functions.AtScale.DsirBucketsKey)
   }
+
+  test("approx mode defaults the grid to the 2^13 operating point") {
+    // r10 verdict item 5: with NO explicit buckets conf, at-scale mode
+    // (quantiles.approx=true) must build at 8192 — batch AND the stream
+    // path's frozen model — while parity mode stays at 1024. Both arms
+    // of each comparison run in the SAME mode, so the only variable is
+    // the defaulted grid (the approx percentile switch is shared).
+    val s = {
+      val ns = TestSpark.spark.newSession()
+      TestSpark.spark.conf.getAll.foreach { case (k, v) =>
+        if (ns.conf.isModifiable(k)) ns.conf.set(k, v)
+      }
+      ns
+    }
+    val dir = TestSpark.Sf0001
+    val d = s.read.parquet(s"$dir/documents.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_feats", "dsir_weight", "selected").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+        .sortBy(_._1).toSeq
+    assert(graft.functions.AtScale.dsirBuckets(d) ==
+      TextAnalytics.DsirBuckets, "parity mode must default to 1024")
+    s.conf.set(graft.functions.AtScale.ApproxQuantilesKey, "true")
+    try {
+      assert(graft.functions.AtScale.dsirBuckets(d) ==
+        TextAnalytics.DsirBucketsAtScale)
+      val viaEntry = canon(SparkEntry.queries("q_dsir_weights")(s, dir))
+      assert(viaEntry == canon(TextAnalytics.dsirWeights(d, buckets = 8192)),
+        "approx-mode batch default is not the 8192 grid")
+      val m = TextAnalytics.fitDsir(d)
+      assert(m.buckets == 8192, "approx-mode fitDsir default is not 8192")
+      // an explicit conf still wins over the mode default
+      s.conf.set(graft.functions.AtScale.DsirBucketsKey, "1024")
+      assert(graft.functions.AtScale.dsirBuckets(d) == 1024)
+      s.conf.unset(graft.functions.AtScale.DsirBucketsKey)
+    } finally s.conf.unset(graft.functions.AtScale.ApproxQuantilesKey)
+  }
 }
