@@ -81,6 +81,22 @@ def main():
                   f"{nw[name]:.2f}s ({ratio:.2f}x)")
         if not wregs:
             print(f"  no warmup regression >= {thr}x")
+    # settle provenance (r10 verdict item 2): a query whose re-run did
+    # NOT beat the first pass (settled == first) reproduced its elevated
+    # time — that is a real-regression signal, not ambient noise, and
+    # must not hide inside the settled map
+    settle = new.get("settle", {})
+    if settle:
+        print(f"settle: {len(settle)} quer{'y' if len(settle) == 1 else 'ies'} re-run")
+        for name in sorted(settle):
+            s = settle[name]
+            tag = {"second_lower": "settled",
+                   "first_lower": "DID NOT SETTLE (elevated time reproduced)",
+                   "rerun_failed": "RE-RUN FAILED (first-pass time kept)"}.get(
+                       s.get("kept"), s.get("kept"))
+            print(f"  {name}: first {s['first']:.2f}s -> settled "
+                  f"{s['settled']:.2f}s after {s.get('n_reruns', 1)} re-run(s)"
+                  f" — {tag}")
 
 
 if __name__ == "__main__":
