@@ -505,6 +505,11 @@ object SparkEntry {
     "q_dedup_weights" -> ((s, dir) =>
       Dedup.softDedupWeights(docs(s, dir), dedupClusters03(s, dir))
         .orderBy(col("doc_id"))),
+    // quality-aware keeper policy over the same shared assignment: each
+    // cluster keeps its best-quality member, not the min id
+    "q_cluster_keep_best" -> ((s, dir) =>
+      Dedup.keepBestByQuality(docs(s, dir), dedupClusters03(s, dir))
+        .orderBy(col("doc_id"))),
     "q_minhash_pairs" -> ((s, dir) =>
       minhashCandidates(s, dir).filter(col("est_jaccard") >= 0.3)
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -727,6 +732,15 @@ object SparkEntry {
         d.filter(col("doc_id") % 97 === 0)
           .select(col("doc_id").as("bench_id"), col("text")))
         .orderBy(col("bench_id"))
+    }),
+    // the APPLY half of that audit: drop every training doc sharing an
+    // 8-gram with the bench suite, report per-source removal mass
+    "q_decontam_rollup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalytics.decontaminateReport(
+        d.filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0))
+        .orderBy(col("source"))
     }),
     // the text-cleaning pipeline under the oracle gate: the corpus is
     // deterministically dirtied (tags + an email + a phone per doc) so

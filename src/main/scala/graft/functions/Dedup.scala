@@ -182,6 +182,38 @@ object Dedup {
         (lit(1.0) / size.cast("double")).as("sample_weight"))
   }
 
+  /** Quality-aware cluster representative selection — the keeper policy
+    * real pipelines actually want once a quality score exists: instead
+    * of the min-id convention, each near-dup cluster keeps its
+    * HIGHEST-QUALITY member (ties: lowest doc_id, the deterministic
+    * batch-window order). Unclustered documents are their own
+    * single-member cluster and keep themselves. Output per doc:
+    * cluster_id, cluster_size, quality_score, keep_best.
+    *
+    * Shape at 100 TB: the cluster table holds only pair-incident docs;
+    * the corpus-wide part is ONE cluster_id-keyed exchange shared by
+    * both window functions (rank + size run over the same partitioning,
+    * so Spark plans a single shuffle), over 4 skinny columns — text
+    * stays in the quality projection and never crosses it. */
+  def keepBestByQuality(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quality = graft.functions.TextAnalytics.qualityScores(docs)
+      .select(col("doc_id"), col("quality_score"))
+    val assigned = docs.select(col("doc_id"))
+      .join(clusters.select(col("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .join(quality, "doc_id")
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    assigned
+      .withColumn("rnk", row_number().over(
+        byCluster.orderBy(col("quality_score").desc, col("doc_id"))))
+      .withColumn("cluster_size", count(lit(1)).over(byCluster).cast("long"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("quality_score"), (col("rnk") === 1).as("keep_best"))
+  }
+
   /** Exact record dedup on a key subset: keep the minimum id per key
     * group (the other columns are the payload being deduplicated). */
   def recordGroups(df: DataFrame, keys: Seq[String], id: Column): DataFrame =

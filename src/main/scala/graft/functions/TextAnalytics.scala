@@ -160,6 +160,38 @@ object TextAnalytics {
       .withColumn("flagged", col("contamination_frac") > 0.2)
   }
 
+  /** Benchmark decontamination APPLY half (the removal every training
+    * pipeline runs after the [[contaminationAgainst]] audit — the GPT-3
+    * appendix-C / Llama convention: a training document sharing ANY
+    * n-gram with the eval suite is dropped outright): per-source
+    * removal rollup — docs/tokens before, dropped docs/tokens, dropped
+    * fraction — the view that says which feeds are bleeding eval data.
+    *
+    * Shape at 100 TB: the benchmark is a fixed suite (bounded by
+    * contract), so its DISTINCT n-gram hashes broadcast and the corpus
+    * probes them map-side; the flagged-doc table that joins back is
+    * contamination-rate-proportional — corpus-proportional worst case,
+    * so it is pinned SHUFFLE_HASH, never a broadcast candidate. */
+  def decontaminateReport(docs: DataFrame, benchmark: DataFrame,
+                          n: Int = 8): DataFrame = {
+    val ngrams = graft.expressions.NgramHashes.ngram_hashes(col("text"), n)
+    val benchNg = benchmark.select(explode(ngrams).as("ngh")).distinct()
+    val flagged = docs.select(col("doc_id"), explode(ngrams).as("ngh"))
+      .join(broadcast(benchNg), "ngh")
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(true))
+    docs.select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(flagged.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_tokens")).as("tokens"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("dropped_docs"),
+        sum(when(col("hit"), col("n_tokens")).otherwise(0L)).as("dropped_tokens"))
+      .withColumn("dropped_frac",
+        col("dropped_docs").cast("double") / col("docs"))
+  }
+
   /** Fuzzy benchmark decontamination: catches eval-set leakage that
     * exact n-gram matching misses because the leaked copy was lightly
     * edited (tokenizer artifacts, punctuation normalization, a word

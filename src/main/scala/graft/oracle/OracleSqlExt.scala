@@ -2019,6 +2019,53 @@ FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.doc_id
 LEFT JOIN cs ON lbl.cluster_id = cs.cluster_id
 ORDER BY d.doc_id""",
 
+    // mirror of Dedup.keepBestByQuality over the shared 0.3-threshold
+    // cluster assignment: the qualityScores formula joined onto the
+    // assignment, keeper = row_number() over (quality DESC, doc_id) = 1
+    // — the batch window's exact deterministic order
+    "q_cluster_keep_best" -> s"""
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, text[i:i+4] AS shingle
+  FROM documents, unnest(range(1, greatest(length(text) - 3, 1))) t(i)),
+rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 100),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shr GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.3),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+lbl AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1),
+tq AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+q AS (SELECT doc_id,
+        0.4 * (1.0 - CAST(len(list_filter(toks, x -> x IN $stop)) AS DOUBLE)
+                 / len(toks))
+          + 0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+          + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+          AS quality_score
+      FROM tq),
+asg AS (SELECT d.doc_id,
+               CAST(coalesce(lbl.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+               q.quality_score
+        FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.doc_id
+        JOIN q ON d.doc_id = q.doc_id)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       quality_score,
+       row_number() OVER (PARTITION BY cluster_id
+         ORDER BY quality_score DESC, doc_id) = 1 AS keep_best
+FROM asg ORDER BY doc_id""",
+
     "q_dedup_corpus" -> """
 WITH RECURSIVE sh AS (
   SELECT DISTINCT doc_id, text[i:i+4] AS shingle
@@ -2130,6 +2177,35 @@ SELECT t.doc_id, t.n_ngrams, COALESCE(h.contaminated, 0) AS contaminated,
          AS contamination_frac,
        CAST(COALESCE(h.contaminated, 0) AS DOUBLE) / t.n_ngrams > 0.2 AS flagged
 FROM tot t LEFT JOIN hits h USING (doc_id) ORDER BY t.doc_id""",
+
+    // mirror of TextAnalytics.decontaminateReport under the
+    // q_contamination_bench convention (bench suite = doc_id % 97 == 0):
+    // a training doc sharing ANY distinct 8-gram hash with the suite is
+    // dropped; per-source removal rollup
+    "q_decontam_rollup" -> s"""
+WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+ng AS (SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 8
+           THEN list_transform(
+                  list_transform(range(1, len(toks) - 6),
+                    g -> array_to_string(toks[g:g+7], ' ')),
+                  s -> $ngramHashS)
+           ELSE [] END) AS ngrams
+       FROM t),
+bn AS (SELECT DISTINCT unnest(ngrams) AS ngh FROM ng WHERE doc_id % 97 = 0),
+cn AS (SELECT doc_id, unnest(ngrams) AS ngh FROM ng WHERE doc_id % 97 <> 0),
+hits AS (SELECT DISTINCT doc_id FROM cn WHERE ngh IN (SELECT ngh FROM bn)),
+base AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens
+         FROM t WHERE doc_id % 97 <> 0)
+SELECT source, CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS dropped_docs,
+       CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS dropped_tokens,
+       CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS dropped_frac
+FROM base LEFT JOIN hits h USING (doc_id) GROUP BY 1 ORDER BY source""",
 
     "q_repetition" -> """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
