@@ -76,13 +76,17 @@ class BenchLadderSpec extends AnyFunSuite {
   }
 
   test("the TUNED operating-point series stays within its own growth bound") {
-    // r9 verdict item 1: the x64/x128 rungs re-run at the documented
-    // operating point (SPARK_GRAFT_LSH_BITS ~ log2(corpus / target
-    // bucket population), SPARK_GRAFT_ANN_SAMPLE_MOD=4) are committed
-    // as BENCH_x{64,128}_tuned.json — a SECOND tracked series next to
-    // the parity-geometry ladder. Two points give a two-point exponent:
-    // bound it like the main ladder (1.35), with the same 5 s
-    // materiality floor at the top rung.
+    // r9 verdict item 1 / r10 item 3: the x40/x64/x128 rungs re-run at
+    // the documented operating point (SPARK_GRAFT_LSH_BITS ~
+    // log2(corpus / ~125-per-bucket), SPARK_GRAFT_ANN_SAMPLE_MOD=4,
+    // and from r11 the editdist/calibration sample mods) are committed
+    // as BENCH_x{40,64,128}_tuned.json — a SECOND tracked series next
+    // to the parity-geometry ladder. Three points give a real
+    // regression fit, so the r10 parity-certification escape (needed
+    // only while two-point "exponents" inherited both samples' ambient
+    // tails) is GONE: the same power-law bound as the main ladder,
+    // no exceptions.
+    val TunedRungs = Seq(40, 64, 128)
     def tuned(k: Int): Option[Map[String, Double]] = {
       val f = new java.io.File(s"BENCH_x${k}_tuned.json")
       if (!f.exists()) None
@@ -97,48 +101,30 @@ class BenchLadderSpec extends AnyFunSuite {
         } finally src.close()
       }
     }
-    val pair = for (a <- tuned(64); b <- tuned(128)) yield (a, b)
-    assume(pair.isDefined, "tuned rungs not committed yet")
-    val (t64, t128) = pair.get
-    val shared = t64.keySet intersect t128.keySet
-    // Two points have zero redundancy, so a raw two-point exponent
-    // inherits the full +-seconds ambient tail of BOTH samples (the
-    // r10 refresh measured reproducible 1.4-1.9 "exponents" on queries
-    // the knobs cannot touch). The escape hatch is a STRONGER
-    // instrument: a query ducks the two-point bound only if the
-    // 5-point PARITY ladder certifies its growth (exponent <= 1.35)
-    // AND the tuned run left it within 1.5x of the parity value at the
-    // same top rung (same work, tail-noise margin) — a knob-CAUSED
-    // blowup fails the second condition, a code-path blowup fails the
-    // first, so nothing quadratic can hide.
-    val parity = Rungs.flatMap(k => rung(k).map(k -> _))
-    def parityExp(q: String): Option[Double] = {
-      val pts = parity.collect { case (k, m) if m.contains(q) =>
-        (math.log(k.toDouble), math.log(math.max(m(q), 0.01))) }
-      if (pts.size < 4) None
-      else {
-        val n = pts.size
-        val mx = pts.map(_._1).sum / n
-        val my = pts.map(_._2).sum / n
-        Some(pts.map { case (x, y) => (x - mx) * (y - my) }.sum /
-          pts.map { case (x, _) => (x - mx) * (x - mx) }.sum)
-      }
-    }
-    val parity128 = parity.lastOption.filter(_._1 == 128).map(_._2)
+    val present = TunedRungs.flatMap(k => tuned(k).map(k -> _))
+    assume(present.size >= 3, s"need 3 tuned rungs, have ${present.size}")
+    val shared = present.map(_._2.keySet).reduce(_ intersect _)
+    val top = present.last._2
     val bad = for {
       q <- shared.toSeq.sorted
-      if t128(q) > 5.0
-      slope = math.log(t128(q) / math.max(t64(q), 0.01)) / math.log(2.0)
+      if top(q) > 5.0
+      pts = present.map { case (k, m) => (math.log(k.toDouble),
+        math.log(math.max(m(q), 0.01))) }
+      n = pts.size
+      mx = pts.map(_._1).sum / n
+      my = pts.map(_._2).sum / n
+      slope = pts.map { case (x, y) => (x - mx) * (y - my) }.sum /
+        pts.map { case (x, _) => (x - mx) * (x - mx) }.sum
       if slope > 1.35
-      certified = parityExp(q).exists(_ <= 1.35) &&
-        parity128.exists(m => m.contains(q) && t128(q) <= 1.5 * m(q))
-      if !certified
-    } yield f"$q: tuned exponent $slope%.2f (x64=${t64(q)}%.1fs x128=${t128(q)}%.1fs)"
+    } yield f"$q: tuned exponent $slope%.2f (t(x${present.last._1}) = ${top(q)}%.1fs)"
     assert(bad.isEmpty, s"tuned-series super-linear growth:\n${bad.mkString("\n")}")
-    // totals: 2x the data must cost <= 2.2x the wall on the shared set
-    val (s64, s128) = (shared.toSeq.map(t64).sum, shared.toSeq.map(t128).sum)
-    assert(s128 / s64 <= 2.0 * 1.1,
-      f"tuned totals grew ${s128 / s64}%.2fx for 2x data")
+    // totals: rung over rung, K2/K1 times the data costs <= 1.1x that
+    val totals = present.map { case (k, m) => k -> shared.toSeq.map(m).sum }
+    for (Seq((k1, t1), (k2, t2)) <- totals.sliding(2)) {
+      val dataRatio = k2.toDouble / k1
+      assert(t2 / t1 <= dataRatio * 1.1,
+        f"tuned total grew ${t2 / t1}%.2fx for ${dataRatio}%.1fx data (x$k1 -> x$k2)")
+    }
   }
 
   test("whole-surface totals stay sub-linear rung over rung") {
