@@ -257,7 +257,12 @@ object Bench {
     }
     val results = firstPass.map { case (name, first) =>
       if (isOutlier(name, first)) {
-        val second = timeSettle(name, qmap(name))
+        // ONE isolated re-run is the settle protocol; the attempts list
+        // keeps n_reruns a measurement, not a constant — a future
+        // multi-rerun protocol changes this list, and the artifact
+        // follows
+        val attempts = List(timeSettle(name, qmap(name)))
+        val second = attempts.flatten.minOption
         System.err.println(f"[bench_settle] $name: first=${first}%.3f " +
           f"second=${second.getOrElse(-1.0)}%.3f " +
           f"(prev=${prev.getOrElse(name, -1.0)}%.3f)")
@@ -267,7 +272,7 @@ object Bench {
           case Some(_) => "first_lower"
         }
         val value = second.fold(first)(math.min(first, _))
-        settled += name -> Settle(first, value, 1, kept)
+        settled += name -> Settle(first, value, attempts.size, kept)
         name -> value
       } else name -> first
     }

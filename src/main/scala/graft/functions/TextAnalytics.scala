@@ -167,17 +167,27 @@ object TextAnalytics {
     * removal rollup — docs/tokens before, dropped docs/tokens, dropped
     * fraction — the view that says which feeds are bleeding eval data.
     *
-    * Shape at 100 TB: the benchmark is a fixed suite (bounded by
-    * contract), so its DISTINCT n-gram hashes broadcast and the corpus
-    * probes them map-side; the flagged-doc table that joins back is
-    * contamination-rate-proportional — corpus-proportional worst case,
-    * so it is pinned SHUFFLE_HASH, never a broadcast candidate. */
+    * Shape at 100 TB: callers may pass ANY (doc-slice) frame as the
+    * benchmark — including corpus-proportional ones like the
+    * q_decontam_rollup fixture slice — so nothing here may force a
+    * broadcast (the r8 lesson: a corpus-proportional build side must
+    * never be a broadcast candidate). The corpus n-gram stream is
+    * prefiltered map-side against a FIXED-SIZE Bloom filter of the
+    * benchmark's n-grams (the contaminationImpl pattern), only
+    * survivors reach the exact hint-free join (AQE broadcasts it only
+    * when the bench side measures small), and the flagged-doc table
+    * that joins back is contamination-rate-proportional —
+    * corpus-proportional worst case, so it is pinned SHUFFLE_HASH. */
   def decontaminateReport(docs: DataFrame, benchmark: DataFrame,
                           n: Int = 8): DataFrame = {
     val ngrams = graft.expressions.NgramHashes.ngram_hashes(col("text"), n)
     val benchNg = benchmark.select(explode(ngrams).as("ngh")).distinct()
-    val flagged = docs.select(col("doc_id"), explode(ngrams).as("ngh"))
-      .join(broadcast(benchNg), "ngh")
+    val corpusNg = docs.select(col("doc_id"), explode(ngrams).as("ngh"))
+    val survivors = BloomPrefilter.build(benchNg, "ngh") match {
+      case Some(bf) => corpusNg.filter(BloomPrefilter.mightContain(bf, col("ngh")))
+      case None     => corpusNg.filter(lit(false)) // empty bench -> no drops
+    }
+    val flagged = survivors.join(benchNg, "ngh")
       .select(col("doc_id")).distinct()
       .withColumn("hit", lit(true))
     docs.select(col("doc_id"), col("source"),
@@ -1614,7 +1624,14 @@ object TextAnalytics {
     * when the gap between them is under n), so kept_tokens needs no
     * second pass over the text. */
   def exciseDupSpans(docs: DataFrame, n: Int = 5,
-                     minSpanTokens: Int = 0): DataFrame = {
+                     minSpanTokens: Int = 0): DataFrame =
+    exciseWith(docs, n, minSpanTokens, Nil)
+
+  /** [[exciseDupSpans]] with pass-through columns carried from `docs`
+    * (e.g. `source` for the rollup) so downstream groupings need no
+    * second corpus-wide join against the excision frame. */
+  private def exciseWith(docs: DataFrame, n: Int, minSpanTokens: Int,
+                         carry: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spanFloor = math.max(minSpanTokens, n).toLong
     val runs = dupPositions(docs, n)
@@ -1639,17 +1656,21 @@ object TextAnalytics {
                 acc.getField("mx") + lit(1L)) + lit(1L))).as("tot"),
             greatest(acc.getField("mx"), x.getField("e")).as("mx")),
           acc => acc.getField("tot")).as("covered"))
-    docs.select(col("doc_id"), col("text"))
+    docs.select((Seq("doc_id", "text") ++ carry).map(col): _*)
       .join(spans.hint("shuffle_hash"), Seq("doc_id"), "left")
       .withColumn("cleaned_text",
         when(col("packed").isNull, col("text"))
           .otherwise(graft.expressions.ExciseSpans.excise_spans(
             col("text"), col("packed"))))
       .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
-      .select(col("doc_id"), col("cleaned_text"), col("n_tokens"),
+      // octet_length, not length: the kernel removes UTF-8 BYTES and the
+      // column says bytes — char-counting undercounts on non-ASCII text
+      // (and the DuckDB mirror uses strlen, its byte-length form)
+      .select(Seq(col("doc_id")) ++ carry.map(col) ++ Seq(
+        col("cleaned_text"), col("n_tokens"),
         (col("n_tokens") - coalesce(col("covered"), lit(0L))).as("kept_tokens"),
-        (length(col("text")) - length(col("cleaned_text"))).cast("long")
-          .as("bytes_removed"))
+        (octet_length(col("text")) - octet_length(col("cleaned_text")))
+          .cast("long").as("bytes_removed")): _*)
   }
 
   /** Per-source excision savings — the rollup a curation run reads to
@@ -1658,8 +1679,7 @@ object TextAnalytics {
     * savings fraction. One hash aggregation over [[exciseDupSpans]]'s
     * per-doc frame joined back to the source dimension. */
   def excisionRollup(docs: DataFrame, n: Int = 5): DataFrame =
-    exciseDupSpans(docs, n)
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    exciseWith(docs, n, 0, Seq("source"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("docs"),
         sum(col("n_tokens")).as("tokens_before"),

@@ -145,6 +145,35 @@ LEFT JOIN cl$x ON cl$x.doc_id = h$x.doc_id)"""
     * mirror of the NgramHashes kernel values. */
   private val ngramHashS = tokenHashSqlOf("s")
 
+  /** The shared near-dup cluster chain (char-5-gram shingles, <=100-df
+    * rare-shingle blocking, 0.3 jaccard, recursive-CTE connected
+    * components) — SEVEN mirrors compose it (q_dedup_clusters,
+    * q_cluster_sizes, q_dedup_weights, q_dedup_corpus,
+    * q_dedup_rate_by_source, q_cross_source_dups via q_curation_funnel's
+    * chain, q_cluster_keep_best), so the threshold constants live here
+    * exactly once. */
+  private val clusterChainCtes = """sh AS (
+  SELECT DISTINCT doc_id, text[i:i+4] AS shingle
+  FROM documents, unnest(range(1, greatest(length(text) - 3, 1))) t(i)),
+rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 100),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shr GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.3),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node)"""
+
   /** Shared CTE chain of the excision mirrors (q_dup_excision,
     * q_excision_rollup): the q_dup_spans duplicated-5-gram positions,
     * expanded to the COVERED token-index set (start + 0..4; DISTINCT
@@ -1895,28 +1924,8 @@ SELECT e.source AS source, n_docs, CAST(med_b AS DOUBLE) / 256.0 AS est_median,
 FROM e JOIN x ON e.source = x.source ORDER BY source""",
 
     // mirror of Dedup.dedupRateBySource (cluster CTEs reused verbatim)
-    "q_dedup_rate_by_source" -> """
-WITH RECURSIVE sh AS (
-  SELECT DISTINCT doc_id, text[i:i+4] AS shingle
-  FROM documents, unnest(range(1, greatest(length(text) - 3, 1))) t(i)),
-rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 100),
-shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM shr GROUP BY 1),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-pairs AS (
-  SELECT doc_a, doc_b FROM inter
-  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.3),
-edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-          UNION SELECT doc_b, doc_a FROM pairs),
-nodes AS (SELECT DISTINCT src AS node FROM edges),
-reach(node, label) AS (
-  SELECT node, node FROM nodes
-  UNION
-  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+    "q_dedup_rate_by_source" -> s"""
+WITH RECURSIVE $clusterChainCtes,
 cl AS (SELECT node AS doc_id, min(label) = node AS keep
        FROM reach GROUP BY node),
 ex AS (SELECT source, count(*) AS docs,
@@ -1932,54 +1941,14 @@ SELECT ex.source AS source, docs, distinct_content,
        CAST(coalesce(near_dup_dropped, 0) AS DOUBLE) / docs AS near_dup_rate
 FROM ex LEFT JOIN nd ON ex.source = nd.source ORDER BY source""",
 
-    "q_dedup_clusters" -> """
-WITH RECURSIVE sh AS (
-  SELECT DISTINCT doc_id, text[i:i+4] AS shingle
-  FROM documents, unnest(range(1, greatest(length(text) - 3, 1))) t(i)),
-rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 100),
-shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM shr GROUP BY 1),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-pairs AS (
-  SELECT doc_a, doc_b FROM inter
-  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.3),
-edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-          UNION SELECT doc_b, doc_a FROM pairs),
-nodes AS (SELECT DISTINCT src AS node FROM edges),
-reach(node, label) AS (
-  SELECT node, node FROM nodes
-  UNION
-  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node)
+    "q_dedup_clusters" -> s"""
+WITH RECURSIVE $clusterChainCtes
 SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id,
        min(label) = node AS keep
 FROM reach GROUP BY node ORDER BY doc_id""",
 
-    "q_cluster_sizes" -> """
-WITH RECURSIVE sh AS (
-  SELECT DISTINCT doc_id, text[i:i+4] AS shingle
-  FROM documents, unnest(range(1, greatest(length(text) - 3, 1))) t(i)),
-rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 100),
-shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM shr GROUP BY 1),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-pairs AS (
-  SELECT doc_a, doc_b FROM inter
-  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.3),
-edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-          UNION SELECT doc_b, doc_a FROM pairs),
-nodes AS (SELECT DISTINCT src AS node FROM edges),
-reach(node, label) AS (
-  SELECT node, node FROM nodes
-  UNION
-  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+    "q_cluster_sizes" -> s"""
+WITH RECURSIVE $clusterChainCtes,
 lbl AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1),
 cs AS (SELECT cluster_id, count(*) AS members FROM lbl GROUP BY 1)
 SELECT members, count(*) AS clusters FROM cs GROUP BY 1 ORDER BY members""",
@@ -1987,28 +1956,8 @@ SELECT members, count(*) AS clusters FROM cs GROUP BY 1 ORDER BY members""",
     // mirror of Dedup.softDedupWeights over the shared 0.3-threshold
     // cluster assignment: per-doc cluster size and 1/n sample weight;
     // unclustered docs are their own cluster at weight 1.0
-    "q_dedup_weights" -> """
-WITH RECURSIVE sh AS (
-  SELECT DISTINCT doc_id, text[i:i+4] AS shingle
-  FROM documents, unnest(range(1, greatest(length(text) - 3, 1))) t(i)),
-rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 100),
-shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM shr GROUP BY 1),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-pairs AS (
-  SELECT doc_a, doc_b FROM inter
-  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.3),
-edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-          UNION SELECT doc_b, doc_a FROM pairs),
-nodes AS (SELECT DISTINCT src AS node FROM edges),
-reach(node, label) AS (
-  SELECT node, node FROM nodes
-  UNION
-  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+    "q_dedup_weights" -> s"""
+WITH RECURSIVE $clusterChainCtes,
 lbl AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1),
 cs AS (SELECT cluster_id, count(*) AS members FROM lbl GROUP BY 1)
 SELECT d.doc_id,
@@ -2024,27 +1973,7 @@ ORDER BY d.doc_id""",
     // assignment, keeper = row_number() over (quality DESC, doc_id) = 1
     // — the batch window's exact deterministic order
     "q_cluster_keep_best" -> s"""
-WITH RECURSIVE sh AS (
-  SELECT DISTINCT doc_id, text[i:i+4] AS shingle
-  FROM documents, unnest(range(1, greatest(length(text) - 3, 1))) t(i)),
-rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 100),
-shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM shr GROUP BY 1),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-pairs AS (
-  SELECT doc_a, doc_b FROM inter
-  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.3),
-edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-          UNION SELECT doc_b, doc_a FROM pairs),
-nodes AS (SELECT DISTINCT src AS node FROM edges),
-reach(node, label) AS (
-  SELECT node, node FROM nodes
-  UNION
-  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+WITH RECURSIVE $clusterChainCtes,
 lbl AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1),
 tq AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 q AS (SELECT doc_id,
@@ -2066,28 +1995,8 @@ SELECT doc_id, cluster_id,
          ORDER BY quality_score DESC, doc_id) = 1 AS keep_best
 FROM asg ORDER BY doc_id""",
 
-    "q_dedup_corpus" -> """
-WITH RECURSIVE sh AS (
-  SELECT DISTINCT doc_id, text[i:i+4] AS shingle
-  FROM documents, unnest(range(1, greatest(length(text) - 3, 1))) t(i)),
-rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 100),
-shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM shr GROUP BY 1),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-pairs AS (
-  SELECT doc_a, doc_b FROM inter
-  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.3),
-edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-          UNION SELECT doc_b, doc_a FROM pairs),
-nodes AS (SELECT DISTINCT src AS node FROM edges),
-reach(node, label) AS (
-  SELECT node, node FROM nodes
-  UNION
-  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+    "q_dedup_corpus" -> s"""
+WITH RECURSIVE $clusterChainCtes,
 dropped AS (
   SELECT node AS doc_id FROM reach GROUP BY node HAVING min(label) <> node)
 SELECT doc_id, lang, source, n_chars FROM documents
@@ -2325,7 +2234,7 @@ WITH $dupExcisionCtes
 SELECT t.doc_id, coalesce(cl.cleaned_text, '') AS cleaned_text,
        CAST(len(t.toks) AS BIGINT) AS n_tokens,
        CAST(coalesce(cl.kept_tokens, 0) AS BIGINT) AS kept_tokens,
-       CAST(length(t.text) - length(coalesce(cl.cleaned_text, ''))
+       CAST(strlen(t.text) - strlen(coalesce(cl.cleaned_text, ''))
             AS BIGINT) AS bytes_removed
 FROM t LEFT JOIN cl USING (doc_id) ORDER BY doc_id""",
 
@@ -2337,7 +2246,7 @@ WITH $dupExcisionCtes,
 per AS (SELECT t.doc_id, coalesce(cl.cleaned_text, '') AS cleaned_text,
                CAST(len(t.toks) AS BIGINT) AS n_tokens,
                CAST(coalesce(cl.kept_tokens, 0) AS BIGINT) AS kept_tokens,
-               CAST(length(t.text) - length(coalesce(cl.cleaned_text, ''))
+               CAST(strlen(t.text) - strlen(coalesce(cl.cleaned_text, ''))
                     AS BIGINT) AS bytes_removed
         FROM t LEFT JOIN cl USING (doc_id))
 SELECT d.source, CAST(count(*) AS BIGINT) AS docs,
@@ -3145,27 +3054,7 @@ q AS (SELECT *,
       FROM s),
 m AS (SELECT *, min(CASE WHEN q THEN doc_id END)
                OVER (PARTITION BY h) AS keep_id FROM q),
-sh AS (
-  SELECT DISTINCT doc_id, text[i:i+4] AS shingle
-  FROM documents, unnest(range(1, greatest(length(text) - 3, 1))) t(i)),
-rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 100),
-shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM shr GROUP BY 1),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-pairs AS (
-  SELECT doc_a, doc_b FROM inter
-  JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.3),
-edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-          UNION SELECT doc_b, doc_a FROM pairs),
-nodes AS (SELECT DISTINCT src AS node FROM edges),
-reach(node, label) AS (
-  SELECT node, node FROM nodes
-  UNION
-  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+$clusterChainCtes,
 cl AS (SELECT node AS doc_id, min(label) = node AS nd_keep
        FROM reach GROUP BY node),
 f AS (SELECT m.*, COALESCE(cl.nd_keep, TRUE) AS ndk

@@ -146,7 +146,7 @@ object StreamBench {
         (0 until batchSize).map { i =>
           val t = b * 300L + i.toLong * 300L / batchSize
           EventStream.Event(b.toLong * batchSize + i, t,
-            (b * batchSize + i) % SessionUsers,
+            (b.toLong * batchSize + i) % SessionUsers,
             EventTypes(i % EventTypes.length), (i % 100) / 10.0)
         }
       }
@@ -165,7 +165,7 @@ object StreamBench {
         (0 until batchSize).map { i =>
           val t = b * 3600L + i.toLong * 3600L / batchSize
           EventStream.Event(b.toLong * batchSize + i, t,
-            (b * batchSize + i) % SessionUsers,
+            (b.toLong * batchSize + i) % SessionUsers,
             EventTypes(i % EventTypes.length), 1.0)
         }
       }
@@ -181,7 +181,7 @@ object StreamBench {
       val keys = Topics * PartsPerTopic
       drain(input, q, batches) { b =>
         (0 until batchSize).map { i =>
-          val k = (b * batchSize + i) % keys
+          val k = ((b.toLong * batchSize + i) % keys).toInt
           OffsetStream.WatermarkScan("c1", s"t${k / PartsPerTopic}",
             (k % PartsPerTopic).toLong, 0L,
             b * 1000L + i, b * 300L + i.toLong * 300L / batchSize)
@@ -212,7 +212,7 @@ object StreamBench {
       drain(input, q, batches) { b =>
         (0 until batchSize).map { i =>
           val t = (b * 600L + i.toLong * 600L / batchSize) * us
-          AsofStream.AsofEvent((b * batchSize + i) % AsofUsers, t,
+          AsofStream.AsofEvent((b.toLong * batchSize + i) % AsofUsers, t,
             if (i % 5 == 4) 1 else 0, b.toLong * batchSize + i, i / 10.0)
         }
       }

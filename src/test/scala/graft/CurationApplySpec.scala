@@ -89,14 +89,18 @@ class CurationApplySpec extends AnyFunSuite {
     assert(totDropped < totDocs / 2, "decontamination dropped most of the corpus")
   }
 
-  test("plan shapes: bench broadcast, flagged-doc join shuffle-hash") {
+  test("plan shapes: bloom prefilter, no forced broadcast, shuffle-hash back-join") {
     val d = docs
     val plan = TextAnalytics.decontaminateReport(
         d.filter(col("doc_id") % 97 =!= 0),
         d.filter(col("doc_id") % 97 === 0))
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      "bounded bench n-gram set should broadcast")
+    // the bench slice is corpus-PROPORTIONAL here (doc_id % 97), so the
+    // operator must not force a broadcast of its n-gram set — the
+    // corpus streams map-side against the fixed-size bloom instead
+    // (contaminationImpl's shape), and the exact join is hint-free
+    assert(plan.contains("might_contain"),
+      "corpus n-gram stream should probe the fixed-size bloom map-side")
     assert(plan.contains("ShuffledHashJoin"),
       "flagged-doc join must stay shuffle-hash (corpus-proportional worst case)")
     val kb = Dedup.keepBestByQuality(d, clusters)

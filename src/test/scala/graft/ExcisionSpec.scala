@@ -43,8 +43,11 @@ class ExcisionSpec extends AnyFunSuite {
         .flatMap(p => p to p + 4).toSet
       val kept = toks.indices.filterNot(covered)
       val cleaned = kept.map(toks).mkString(" ")
+      // UTF-8 byte length, matching the engine's octet_length and the
+      // oracle's strlen — char counting would undercount non-ASCII
+      def bytes(s: String) = s.getBytes("UTF-8").length.toLong
       id -> (cleaned, toks.length.toLong, kept.size.toLong,
-        (text.length - cleaned.length).toLong)
+        bytes(text) - bytes(cleaned))
     }.toMap
   }
 

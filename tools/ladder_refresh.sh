@@ -32,7 +32,7 @@ for PASS in 1 2; do
   echo "=== tuned bench x40 pass $PASS $(date +%T)"
   SPARK_GRAFT_SF_DIR=/tmp/graft_sf_x40 SPARK_GRAFT_CPUS=32 \
     SPARK_GRAFT_BENCH_OUT=BENCH_x40_tuned.json \
-    SPARK_GRAFT_LSH_BITS=9 SPARK_GRAFT_ANN_SAMPLE_MOD=4 \
+    SPARK_GRAFT_LSH_BITS=${BITS[40]} SPARK_GRAFT_ANN_SAMPLE_MOD=4 \
     SPARK_GRAFT_EDITDIST_SAMPLE_MOD=2 SPARK_GRAFT_CALIBRATION_SAMPLE_MOD=4 \
     sbt -batch "runMain graft.Bench" > /tmp/bench_x40_tuned_$PASS.log 2>&1
 done
