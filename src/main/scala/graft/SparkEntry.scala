@@ -232,6 +232,57 @@ object SparkEntry {
     bm25Memo.getOrElseUpdate((s, dir),
       TextAnalytics.bm25TopK(docs(s, dir)).persist())
 
+  /** The dup-span family's shared (doc_id, s, e) run frame — derived
+    * once per (session, dir) and persisted (skinny, dup-rate-bounded).
+    * q_dup_spans, q_dup_excision, and q_excision_rollup all consumed
+    * dupPositions independently until r11, where the triple recompute
+    * made the rollup's x128 ladder step depend on ambient shuffle-reuse
+    * (r11 verdict item 1). */
+  private val dupRunsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def dupRunsOf(s: SparkSession, dir: String): DataFrame =
+    dupRunsMemo.getOrElseUpdate((s, dir),
+      TextAnalytics.dupRunFrame(docs(s, dir)).persist())
+
+  /** The source-carried per-doc excision frame — shared by
+    * q_dup_excision and q_excision_rollup so the rollup's marginal cost
+    * is exactly its one hash aggregation. Holds cleaned_text
+    * (corpus-sized); the default MEMORY_AND_DISK persist spills rather
+    * than evicts under top-rung pressure. */
+  private val excisionMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def excisionFrameOf(s: SparkSession, dir: String): DataFrame =
+    excisionMemo.getOrElseUpdate((s, dir),
+      TextAnalytics.exciseRuns(docs(s, dir), dupRunsOf(s, dir), 5L,
+        Seq("source")).persist())
+
+  /** The deterministically templated corpus (header on doc_id%2, footer
+    * on %3 — per-source df ~50%/~33% clears the 25% boilerplate floor
+    * while organic trigrams stay far below it) shared by the
+    * boilerplate detect report and the strip family. */
+  private def templatedDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("source"), concat(
+      when(col("doc_id") % 2 === 0,
+        lit("all rights reserved contact us for more info "))
+        .otherwise(lit("")),
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        lit(" subscribe to our newsletter for weekly updates"))
+        .otherwise(lit(""))).as("text"))
+
+  /** The boilerplate-strip per-doc excision frame over the templated
+    * corpus — shared by q_boilerplate_strip and q_boilerplate_rollup
+    * (the same one-derivation contract as [[excisionFrameOf]]). */
+  private val boilerExcisionMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def boilerExcisionOf(s: SparkSession, dir: String): DataFrame =
+    boilerExcisionMemo.getOrElseUpdate((s, dir),
+      TextAnalytics.boilerplateStrip(templatedDocs(s, dir),
+        carry = Seq("source")).persist())
+
   /** Release every (session, dir)-memoized shared derivation: unpersist
     * the cached frames and drop the keys, so a LONG-LIVED service
     * looping over snapshot dirs (the GraftApp cadence) does not
@@ -275,7 +326,8 @@ object SparkEntry {
   }
 
   private def dfMemos = Seq(topicsMemo, groupsMemo, scoredPairsMemo,
-    minhashMemo, incAdmissionsMemo, bm25Memo)
+    minhashMemo, incAdmissionsMemo, bm25Memo, dupRunsMemo, excisionMemo,
+    boilerExcisionMemo)
 
   /** All memo keys held for a session across every dir and memo family
     * (incl. driver-state memos and the snapshot tables) — the soak
@@ -819,15 +871,35 @@ object SparkEntry {
     // cross-document duplicated token span per doc (gaps-and-islands
     // over positional n-gram hashes)
     "q_dup_spans" -> ((s, dir) =>
-      TextAnalytics.dupSpans(docs(s, dir)).orderBy(col("doc_id"))),
+      TextAnalytics.dupSpansFrom(docs(s, dir), dupRunsOf(s, dir))
+        .orderBy(col("doc_id"))),
     // the APPLY half (r10 verdict item 1): duplicated runs excised into
     // a cleaned_text column — value-hashed by the driver, so the exact
     // span-boundary semantics are in the oracle gate — plus per-doc
-    // token/byte savings and the per-source savings rollup
+    // token/byte savings and the per-source savings rollup. All three
+    // dup-span queries read the memoized run frame, and the two apply
+    // queries share the memoized per-doc excision frame (r11 verdict
+    // item 1: the rollup's marginal cost is its aggregation only).
     "q_dup_excision" -> ((s, dir) =>
-      TextAnalytics.exciseDupSpans(docs(s, dir)).orderBy(col("doc_id"))),
+      excisionFrameOf(s, dir)
+        .select(col("doc_id"), col("cleaned_text"), col("n_tokens"),
+          col("kept_tokens"), col("bytes_removed"))
+        .orderBy(col("doc_id"))),
     "q_excision_rollup" -> ((s, dir) =>
-      TextAnalytics.excisionRollup(docs(s, dir)).orderBy(col("source"))),
+      TextAnalytics.excisionRollupOf(excisionFrameOf(s, dir))
+        .orderBy(col("source"))),
+    // boilerplate-strip APPLY half (r11 verdict item 4): the per-source
+    // template n-grams q_source_boilerplate detects, excised from the
+    // same templated corpus — cleaned_text value-hashed per doc, plus
+    // the per-source savings rollup over the shared memoized frame
+    "q_boilerplate_strip" -> ((s, dir) =>
+      boilerExcisionOf(s, dir)
+        .select(col("doc_id"), col("cleaned_text"), col("n_tokens"),
+          col("kept_tokens"), col("bytes_removed"))
+        .orderBy(col("doc_id"))),
+    "q_boilerplate_rollup" -> ((s, dir) =>
+      TextAnalytics.excisionRollupOf(boilerExcisionOf(s, dir))
+        .orderBy(col("source"))),
     "q_tfidf_terms" -> ((s, dir) =>
       TextAnalytics.tfidfTerms(docs(s, dir)).orderBy(col("lang"), col("rnk"))),
     // lexical ranked retrieval next to the embedding ANN family:
@@ -880,17 +952,10 @@ object SparkEntry {
     // CCNet-style template screen over a deterministically templated
     // corpus (header on doc_id%2, footer on %3 -> per-source df ~50%/~33%
     // clears the 25% floor while organic trigrams stay far below it)
-    "q_source_boilerplate" -> ((s, dir) => {
-      val dirty = docs(s, dir).select(col("source"), concat(
-        when(col("doc_id") % 2 === 0,
-          lit("all rights reserved contact us for more info "))
-          .otherwise(lit("")),
-        col("text"),
-        when(col("doc_id") % 3 === 0,
-          lit(" subscribe to our newsletter for weekly updates"))
-          .otherwise(lit(""))).as("text"))
-      TextAnalytics.sourceBoilerplate(dirty).orderBy(col("source"))
-    }),
+    "q_source_boilerplate" -> ((s, dir) =>
+      TextAnalytics.sourceBoilerplate(
+        templatedDocs(s, dir).select(col("source"), col("text")))
+        .orderBy(col("source"))),
     // crawl-over-crawl length-distribution drift (exact two-sample KS
     // per lang) between the corpus and the q_corpus_diff-style derived
     // v2 (13 drops, 17 edits +3 chars, 19 re-adds a copy)
@@ -1113,6 +1178,9 @@ object SparkEntry {
     }
     timed("incAdmissions")(incAdmissionsOf(s, dir).count())
     timed("bm25TopK")(bm25Of(s, dir).count())
+    timed("dupRuns")(dupRunsOf(s, dir).count())
+    timed("excisionFrame")(excisionFrameOf(s, dir).count())
+    timed("boilerExcision")(boilerExcisionOf(s, dir).count())
     timed("pcaDirections")(pcaDirections(s, dir))
     timed("ivfCentroids")(ivfCentroids(s, dir))
     timed("dedupIvfCentroids")(dedupIvfCentroids(s, dir))

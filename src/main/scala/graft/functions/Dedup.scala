@@ -28,12 +28,18 @@ object Dedup {
     * the provenance view of dedup ("which feeds copy each other") that
     * decides what a crawl re-ingests. Takes the already-computed
     * candidate pair set (jaccard or sketch based), so the only new work
-    * is two broadcast-sized dimension joins on doc_id and a tiny
-    * aggregation. */
+    * is two joins against the skinny (doc_id, source) dimension and a
+    * tiny aggregation. The pair side is the SHUFFLE_HASH build side,
+    * pinned: the source dimension is corpus-proportional and must never
+    * be a broadcast candidate, and letting AQE pick per rung made the
+    * x64→x128 ladder step plan-dependent (r11 What's-wrong 2 — a 2.6x
+    * step for 2x data with no algorithmic cause). Two deterministic
+    * skinny-dimension shuffles, linear in the corpus. */
   def crossSourceDups(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
-    pairs
+    pairs.hint("shuffle_hash")
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+      .hint("shuffle_hash")
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
       .filter(col("src_a") =!= col("src_b"))
       .select(least(col("src_a"), col("src_b")).as("source_a"),

@@ -1549,27 +1549,55 @@ object TextAnalytics {
     * SURVIVING positions only. Two exchanges on the n-gram stream (hash
     * key, then doc key over the filtered stream) — the doc-key sort is
     * over duplicated positions only, a corpus-dup-rate-bounded subset. */
-  def dupSpans(docs: DataFrame, n: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def dupSpans(docs: DataFrame, n: Int = 5): DataFrame =
+    dupSpansFrom(docs, dupRunFrame(docs, n), n)
+
+  /** [[dupSpans]] over a PRECOMPUTED [[dupRunFrame]] — the memo seam:
+    * the three dup-span queries (report, excision, rollup) share the
+    * heavy duplicated-position derivation, so a caller derives the run
+    * frame once, persists it, and feeds all three (the scoredPairsMemo
+    * pattern; the r11 ladder showed the triple recompute turning the
+    * rollup's top rung super-linear via ambient shuffle-reuse). */
+  def dupSpansFrom(docs: DataFrame, runs: DataFrame, n: Int = 5): DataFrame = {
     val withArr = docs
       .select(col("doc_id"),
         graft.expressions.NgramHashes.ngram_pos_hashes(col("text"), n).as("hs"))
       .filter(size(col("hs")) > 0) // sub-n docs absent, as in dupNgramCoverage
-    // islands: consecutive positions share (pos - rank); run length in
-    // n-grams + (n-1) = span length in tokens
-    val runs = dupPositions(docs, n)
-      .withColumn("grp", col("pos") -
-        row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run"))
+    // run length in n-gram positions = e - s - (n - 2); span length in
+    // tokens = e - s + 1
     val perDoc = runs.groupBy(col("doc_id"))
-      .agg(sum(col("run")).as("dup_positions"),
-        (max(col("run")) + lit(n - 1).cast("long")).as("max_dup_span"))
+      .agg(sum(col("e") - col("s") - lit(n - 2).cast("long")).as("dup_positions"),
+        max(col("e") - col("s") + lit(1L)).as("max_dup_span"))
     withArr.select(col("doc_id"), size(col("hs")).cast("long").as("n_ngrams"))
       .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_ngrams"),
         coalesce(col("dup_positions"), lit(0L)).as("dup_positions"),
         coalesce(col("max_dup_span"), lit(0L)).as("max_dup_span"))
   }
+
+  /** Gaps-and-islands over a (doc_id, pos) n-gram-start stream: one row
+    * per maximal run of CONSECUTIVE positions, as an inclusive 0-based
+    * token span (s = first start, e = s + run + n - 2 = last covered
+    * token). The shared shape of the dup-span and boilerplate families —
+    * any base offset in pos cancels in the (pos - row_number) group key. */
+  private def runsOf(positions: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    positions
+      .withColumn("grp", col("pos") -
+        row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("s"),
+        (min(col("pos")) + count(lit(1)) + lit(n - 2)).cast("long").as("e"))
+      .select(col("doc_id"), col("s"), col("e"))
+  }
+
+  /** The dup-span family's SHARED derivation, exposed for memoization:
+    * (doc_id, s, e) maximal duplicated runs as inclusive token spans —
+    * [[dupPositions]] + islands. Skinny (dup-rate-bounded, 24-byte
+    * rows), so persisting it is cheap; [[dupSpansFrom]] and
+    * [[exciseRuns]] both consume it. */
+  def dupRunFrame(docs: DataFrame, n: Int = 5): DataFrame =
+    runsOf(dupPositions(docs, n), n)
 
   /** Shared detect core of [[dupSpans]] / [[exciseDupSpans]]: the
     * (doc_id, pos) stream of n-gram START positions whose n-gram occurs
@@ -1625,23 +1653,23 @@ object TextAnalytics {
     * second pass over the text. */
   def exciseDupSpans(docs: DataFrame, n: Int = 5,
                      minSpanTokens: Int = 0): DataFrame =
-    exciseWith(docs, n, minSpanTokens, Nil)
+    exciseRuns(docs, dupRunFrame(docs, n),
+      math.max(minSpanTokens, n).toLong)
 
-  /** [[exciseDupSpans]] with pass-through columns carried from `docs`
-    * (e.g. `source` for the rollup) so downstream groupings need no
-    * second corpus-wide join against the excision frame. */
-  private def exciseWith(docs: DataFrame, n: Int, minSpanTokens: Int,
-                         carry: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spanFloor = math.max(minSpanTokens, n).toLong
-    val runs = dupPositions(docs, n)
-      .withColumn("grp", col("pos") -
-        row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-      .groupBy(col("doc_id"), col("grp"))
-      .agg(min(col("pos")).cast("long").as("s"),
-        (min(col("pos")) + count(lit(1)) + lit(n - 2)).cast("long").as("e"))
+  /** Generic span-excision APPLY over a precomputed (doc_id, s, e) run
+    * frame ([[dupRunFrame]] or [[boilerRunFrame]]): every token covered
+    * by a run of at least `spanFloor` tokens is excised and the kept
+    * tokens re-join into `cleaned_text`, via the row-local
+    * [[graft.expressions.ExciseSpans]] kernel after one shuffle-hash
+    * join of the skinny span table back onto the corpus — the corpus
+    * text crosses no exchange. `carry` passes columns through from
+    * `docs` (e.g. `source` for [[excisionRollupOf]]) so downstream
+    * groupings need no second corpus-wide join. */
+  def exciseRuns(docs: DataFrame, runs: DataFrame, spanFloor: Long,
+                 carry: Seq[String] = Nil): DataFrame = {
+    val spans = runs
       .filter(col("e") - col("s") + lit(1L) >= lit(spanFloor))
-    val spans = runs.groupBy(col("doc_id"))
+      .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("sp"))
       .select(col("doc_id"),
         flatten(transform(col("sp"),
@@ -1679,7 +1707,15 @@ object TextAnalytics {
     * savings fraction. One hash aggregation over [[exciseDupSpans]]'s
     * per-doc frame joined back to the source dimension. */
   def excisionRollup(docs: DataFrame, n: Int = 5): DataFrame =
-    exciseWith(docs, n, 0, Seq("source"))
+    excisionRollupOf(exciseRuns(docs, dupRunFrame(docs, n), n.toLong,
+      Seq("source")))
+
+  /** The per-source savings aggregation over a source-carried
+    * [[exciseRuns]] frame — split out so the rollup's marginal cost over
+    * a memoized per-doc excision frame is exactly this one hash
+    * aggregation (the r11 ladder asked for that attribution). */
+  def excisionRollupOf(excised: DataFrame): DataFrame =
+    excised
       .groupBy(col("source"))
       .agg(count(lit(1)).as("docs"),
         sum(col("n_tokens")).as("tokens_before"),
@@ -1687,6 +1723,57 @@ object TextAnalytics {
         sum(col("bytes_removed")).as("bytes_removed"))
       .withColumn("token_savings_frac",
         col("tokens_removed").cast("double") / col("tokens_before").cast("double"))
+
+  /** Boilerplate-strip DETECT half as a run frame: the per-source
+    * boilerplate n-gram set of [[sourceBoilerplate]] (df >= minDf and
+    * >= minFrac of the source's documents — site headers, license
+    * footers, navigation chrome), located positionally in each document
+    * and collapsed to maximal (doc_id, s, e) token spans. The apply is
+    * [[boilerplateStrip]] = [[exciseRuns]] over this frame — the same
+    * detect→apply closure [[exciseDupSpans]] gives the dup-span report
+    * (r11 verdict item 4: q_source_boilerplate detected template n-grams
+    * but nothing removed them).
+    *
+    * Shape at 100 TB: detection is [[sourceBoilerplate]]'s two hash
+    * exchanges of the 16-byte n-gram stream; the positional stream then
+    * joins the boilerplate set on (source, ngh) — pinned SHUFFLE_HASH,
+    * never broadcast: the set is template-cardinality-bounded in
+    * practice but corpus-derived, and a corpus-derived build side must
+    * never be a broadcast candidate (the dupPositions r8 lesson). The
+    * surviving positions are boilerplate-rate-bounded, and the islands
+    * window runs over that subset only. */
+  def boilerRunFrame(docs: DataFrame, n: Int = 3, minFrac: Double = 0.25,
+                     minDf: Long = 3L): DataFrame = {
+    val srcSizes = docs.groupBy(col("source")).agg(count(lit(1)).as("docs"))
+    val boiler = docs
+      .select(col("source"),
+        explode(graft.expressions.NgramHashes.ngram_hashes(col("text"), n))
+          .as("ngh"))
+      .groupBy(col("source"), col("ngh")).agg(count(lit(1)).as("df"))
+      .join(broadcast(srcSizes), "source")
+      .filter(col("df") >= minDf &&
+        col("df").cast("double") >= col("docs") * minFrac)
+      .select(col("source"), col("ngh"))
+    val positions = docs
+      .select(col("doc_id"), col("source"),
+        posexplode(graft.expressions.NgramHashes.ngram_pos_hashes(col("text"), n))
+          .as(Seq("pos", "ngh")))
+      .join(boiler.hint("shuffle_hash"), Seq("source", "ngh"))
+      .select(col("doc_id"), col("pos"))
+    runsOf(positions, n)
+  }
+
+  /** Boilerplate-strip APPLY half: per document, every token covered by
+    * a per-source boilerplate n-gram (the [[boilerRunFrame]] spans) is
+    * excised and the kept tokens re-join into cleaned_text — the CCNet
+    * template-stripping step a curation pipeline runs after
+    * [[sourceBoilerplate]] flags a feed. Same output contract as
+    * [[exciseDupSpans]]: cleaned_text, n_tokens, kept_tokens,
+    * bytes_removed; feed a `carry = Seq("source")` frame to
+    * [[excisionRollupOf]] for the per-source savings view. */
+  def boilerplateStrip(docs: DataFrame, n: Int = 3, minFrac: Double = 0.25,
+                       minDf: Long = 3L, carry: Seq[String] = Nil): DataFrame =
+    exciseRuns(docs, boilerRunFrame(docs, n, minFrac, minDf), n.toLong, carry)
 
   /** Per-source curation rollup: document counts and ORDER-FREE quality
     * statistics (exact percentiles, not avg — a double mean depends on

@@ -203,6 +203,49 @@ kept AS (SELECT k.doc_id, k.token, k.tpos
 cl AS (SELECT doc_id, string_agg(token, ' ' ORDER BY tpos) AS cleaned_text,
               CAST(count(*) AS BIGINT) AS kept_tokens FROM kept GROUP BY 1)"""
 
+  /** Shared CTE chain of the boilerplate-strip mirrors
+    * (q_boilerplate_strip, q_boilerplate_rollup): the q_source_boilerplate
+    * per-source trigram boilerplate set over the SAME templated corpus
+    * (header on doc_id%2, footer on %3), located positionally, expanded
+    * to covered token indices (start + 0..2; DISTINCT merges overlaps),
+    * anti-joined against the positional token stream; kept tokens
+    * re-join with ' ' in position order — the dupExcisionCtes shape with
+    * the detect half swapped. df is over per-doc-DISTINCT (doc, ngh)
+    * pairs, matching the engine's ngram_hashes distinct-set contract. */
+  private val boilerExcisionCtes = s"""
+dirty AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 2 = 0
+           THEN 'all rights reserved contact us for more info ' ELSE '' END
+         || text ||
+         CASE WHEN doc_id % 3 = 0
+           THEN ' subscribe to our newsletter for weekly updates' ELSE '' END AS text
+  FROM documents),
+t AS (SELECT doc_id, source, text, string_split(text, ' ') AS toks FROM dirty),
+ng AS (SELECT doc_id, source,
+         unnest(range(1, len(toks) - 1)) AS pos,
+         unnest(list_transform(
+                  list_transform(range(1, len(toks) - 1),
+                    g -> array_to_string(toks[g:g+2], ' ')),
+                  s -> ${tokenHashSqlOf("s")})) AS ngh
+       FROM t WHERE len(toks) >= 3),
+srcn AS (SELECT source, count(*) AS docs FROM documents GROUP BY 1),
+dfx AS (SELECT source, ngh, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, source, ngh FROM ng) GROUP BY 1, 2),
+boiler AS (SELECT d.source, d.ngh
+           FROM dfx d JOIN srcn s USING (source)
+           WHERE df >= 3 AND CAST(df AS DOUBLE) >= s.docs * 0.25),
+bp AS (SELECT doc_id, pos FROM ng JOIN boiler USING (source, ngh)),
+cov AS (SELECT DISTINCT doc_id, pos + o.off AS cpos
+        FROM bp CROSS JOIN (VALUES (0),(1),(2)) o(off)),
+tok AS (SELECT doc_id, unnest(toks) AS token,
+               unnest(range(1, len(toks) + 1)) AS tpos FROM t),
+kept AS (SELECT k.doc_id, k.token, k.tpos
+         FROM tok k LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.tpos = c.cpos
+         WHERE c.cpos IS NULL),
+cl AS (SELECT doc_id, string_agg(token, ' ' ORDER BY tpos) AS cleaned_text,
+              CAST(count(*) AS BIGINT) AS kept_tokens FROM kept GROUP BY 1)"""
+
   /** Linear-counter bucket of a token (row LcHashIdx of the family). */
   private val lcBucketSql = {
     import graft.functions.Sketches.{P31, UnivA, UnivB}
@@ -2256,6 +2299,38 @@ SELECT d.source, CAST(count(*) AS BIGINT) AS docs,
        CAST(sum(n_tokens - kept_tokens) AS DOUBLE)
          / CAST(sum(n_tokens) AS DOUBLE) AS token_savings_frac
 FROM per JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY source""",
+
+    // mirror of TextAnalytics.boilerplateStrip over the templated corpus
+    // (the q_source_boilerplate fixture): per-source boilerplate trigram
+    // spans excised; cleaned_text is value-hashed by the driver, so the
+    // strip's span-boundary semantics sit in the oracle gate exactly as
+    // the dup-excision mirror's do
+    "q_boilerplate_strip" -> s"""
+WITH $boilerExcisionCtes
+SELECT t.doc_id, coalesce(cl.cleaned_text, '') AS cleaned_text,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(cl.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       CAST(strlen(t.text) - strlen(coalesce(cl.cleaned_text, ''))
+            AS BIGINT) AS bytes_removed
+FROM t LEFT JOIN cl USING (doc_id) ORDER BY doc_id""",
+
+    // mirror of TextAnalytics.excisionRollupOf over the boilerplate
+    // strip frame: per-source savings (exact BIGINT sums, one double)
+    "q_boilerplate_rollup" -> s"""
+WITH $boilerExcisionCtes,
+per AS (SELECT t.doc_id, t.source,
+               CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               CAST(coalesce(cl.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+               CAST(strlen(t.text) - strlen(coalesce(cl.cleaned_text, ''))
+                    AS BIGINT) AS bytes_removed
+        FROM t LEFT JOIN cl USING (doc_id))
+SELECT source, CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_before,
+       CAST(sum(n_tokens - kept_tokens) AS BIGINT) AS tokens_removed,
+       CAST(sum(bytes_removed) AS BIGINT) AS bytes_removed,
+       CAST(sum(n_tokens - kept_tokens) AS DOUBLE)
+         / CAST(sum(n_tokens) AS DOUBLE) AS token_savings_frac
+FROM per GROUP BY 1 ORDER BY source""",
 
     // mirror of TextAnalytics.bm25TopK: first-occurrence query terms
     // (min(pos) rank, NOT list_distinct — order is the contract),

@@ -31,9 +31,15 @@ class CacheLifecycleSpec extends AnyFunSuite {
       "q_jaccard_pairs" -> SparkEntry.queries("q_jaccard_pairs")(s, dir).collect().toSeq,
       "q_cosine_neardups" -> SparkEntry.queries("q_cosine_neardups")(s, dir).collect().toSeq,
       "q_incremental_dedup" -> SparkEntry.queries("q_incremental_dedup")(s, dir).collect().toSeq,
-      "q_bm25_topk" -> SparkEntry.queries("q_bm25_topk")(s, dir).collect().toSeq)
+      "q_bm25_topk" -> SparkEntry.queries("q_bm25_topk")(s, dir).collect().toSeq,
+      // the dup-span run/excision memos + the boilerplate strip memo
+      // (r11 verdict item 1 / r12): the shared-derivation frames the
+      // apply-half queries read
+      "q_dup_spans" -> SparkEntry.queries("q_dup_spans")(s, dir).collect().toSeq,
+      "q_dup_excision" -> SparkEntry.queries("q_dup_excision")(s, dir).collect().toSeq,
+      "q_boilerplate_strip" -> SparkEntry.queries("q_boilerplate_strip")(s, dir).collect().toSeq)
     val frames = SparkEntry.cachedFrames(s, dir)
-    assert(frames.size >= 8, s"expected the memo families to be populated, got ${frames.size}")
+    assert(frames.size >= 11, s"expected the memo families to be populated, got ${frames.size}")
     // all persisted right now (storageLevel reads the cacheManager)
     frames.foreach(f => assert(f.storageLevel != StorageLevel.NONE))
 
