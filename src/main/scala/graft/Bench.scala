@@ -217,10 +217,66 @@ object Bench {
       val ok = firstPass.collect { case (n, s) if !failed(n) => s }.sorted
       if (ok.isEmpty) 0.0 else ok(ok.size / 2)
     }
+    // Cross-rung prediction for FRESH-RUNG outliers (r11 verdict
+    // item 3): a query new to this rung has no previous-sidecar value,
+    // and the 10x-median fallback sat above the 25 s sample that slid
+    // through un-settled at x128. When this run IS a ladder rung
+    // (sidecar named BENCH_x<K>[_tuned].json) and the same query has
+    // >= 2 committed LOWER rungs, extrapolate a power-law prediction
+    // and settle anything >= 1.5x it — the same trigger shape as the
+    // previous-sidecar path. Suffix-matched: tuned rungs predict from
+    // tuned rungs only.
+    val RungName = "BENCH_x(\\d+)(_tuned)?\\.json".r
+    val (currentRung, lowerRungs): (Option[Int], Seq[(Int, Map[String, Double])]) =
+      sidecar.getName match {
+        case RungName(k, suf) =>
+          val suffix = Option(suf).getOrElse("")
+          val dirF = Option(sidecar.getAbsoluteFile.getParentFile)
+            .getOrElse(new java.io.File("."))
+          val lower = Option(dirF.listFiles()).getOrElse(Array.empty).toSeq
+            .flatMap { f =>
+              f.getName match {
+                case RungName(k2, suf2)
+                    if Option(suf2).getOrElse("") == suffix && k2.toInt < k.toInt =>
+                  val src = scala.io.Source.fromFile(f)
+                  try {
+                    val body = src.mkString
+                    val qBody = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r
+                      .findFirstMatchIn(body).map(_.group(1)).getOrElse(body)
+                    Some(k2.toInt -> QueryTiming.findAllMatchIn(qBody)
+                      .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+                  } finally src.close()
+                case _ => None
+              }
+            }.sortBy(_._1)
+          (Some(k.toInt), lower)
+        case _ => (None, Seq.empty)
+      }
+    def predicted(name: String): Option[Double] = currentRung.flatMap { k =>
+      val pts = lowerRungs.flatMap { case (k2, m) =>
+        m.get(name).filter(_ > 0)
+          .map(t => (math.log(k2.toDouble), math.log(t)))
+      }
+      if (pts.size < 2) None
+      else {
+        val n = pts.size
+        val mx = pts.map(_._1).sum / n
+        val my = pts.map(_._2).sum / n
+        val denom = pts.map { case (x, _) => (x - mx) * (x - mx) }.sum
+        if (denom == 0) None
+        else {
+          val slope = pts.map { case (x, y) => (x - mx) * (y - my) }.sum / denom
+          Some(math.exp(my + slope * (math.log(k.toDouble) - mx)))
+        }
+      }
+    }
     def isOutlier(name: String, sec: Double): Boolean =
       !failed(name) && !prevFailed(name) && (prev.get(name) match {
         case Some(p) if p > 0 => sec - p >= 0.3 && sec >= 1.5 * p
-        case _ => sec >= math.max(10 * med, 5.0)
+        case _ => predicted(name) match {
+          case Some(p) => sec - p >= 0.3 && sec >= 1.5 * p
+          case None => sec >= math.max(10 * med, 5.0)
+        }
       })
     val qmap = SparkEntry.queries
     // per-query settle provenance (r10 verdict item 2): the sidecar
@@ -233,8 +289,12 @@ object Bench {
     // "first_lower" = the re-run was NOT faster (the elevated time
     // reproduces — a real-regression signal bench_diff flags), and
     // "rerun_failed" = the re-run threw, first-pass time kept.
+    // trigger: which baseline tripped the re-run — "prev" (previous
+    // sidecar), "extrapolation" (cross-rung power-law prediction, with
+    // the predicted seconds), or "median" (the no-baseline fallback) —
+    // so a fresh-rung settle record attributes itself in-artifact
     case class Settle(first: Double, settled: Double, nReruns: Int,
-                      kept: String)
+                      kept: String, trigger: String, pred: Option[Double])
     val settled = scala.collection.mutable.LinkedHashMap[String, Settle]()
     val gcS0 = gcMs()
     // settle-local timing (r9 ADVICE): a FAILED re-run must not mark a
@@ -263,16 +323,23 @@ object Bench {
         // follows
         val attempts = List(timeSettle(name, qmap(name)))
         val second = attempts.flatten.minOption
+        val (trigger, pred) =
+          if (prev.get(name).exists(_ > 0)) ("prev", None)
+          else predicted(name) match {
+            case Some(p) => ("extrapolation", Some(p))
+            case None => ("median", None)
+          }
         System.err.println(f"[bench_settle] $name: first=${first}%.3f " +
           f"second=${second.getOrElse(-1.0)}%.3f " +
-          f"(prev=${prev.getOrElse(name, -1.0)}%.3f)")
+          f"(prev=${prev.getOrElse(name, -1.0)}%.3f trigger=$trigger" +
+          pred.map(p => f" pred=$p%.3f").getOrElse("") + ")")
         val kept = second match {
           case None => "rerun_failed"
           case Some(s) if s < first => "second_lower"
           case Some(_) => "first_lower"
         }
         val value = second.fold(first)(math.min(first, _))
-        settled += name -> Settle(first, value, attempts.size, kept)
+        settled += name -> Settle(first, value, attempts.size, kept, trigger, pred)
         name -> value
       } else name -> first
     }
@@ -291,7 +358,9 @@ object Bench {
       "\"" + k + "\":{\"first\":" + fmt(s.first) +
         ",\"settled\":" + fmt(s.settled) +
         ",\"n_reruns\":" + s.nReruns +
-        ",\"kept\":\"" + s.kept + "\"}"
+        ",\"kept\":\"" + s.kept + "\"" +
+        ",\"trigger\":\"" + s.trigger + "\"" +
+        s.pred.map(p => ",\"pred\":" + fmt(p)).getOrElse("") + "}"
     }.mkString("{", ",", "}")
     // markers: GC time per phase, heap ceiling, and system load at both
     // ends — the graded artifact carries its own ambient-noise evidence

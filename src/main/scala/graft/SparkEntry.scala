@@ -272,6 +272,22 @@ object SparkEntry {
         lit(" subscribe to our newsletter for weekly updates"))
         .otherwise(lit(""))).as("text"))
 
+  /** The deterministically PII-dirtied corpus (emails on doc_id%3,
+    * phones on %5, dotted quads on %7) shared by the PII audit and its
+    * redaction apply half. */
+  private def piiDirtyDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("source"), concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        lit(" call +1 (555) 123-4567")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), (col("doc_id") % 100).cast("string")))
+        .otherwise(lit(""))).as("text"))
+
   /** The boilerplate-strip per-doc excision frame over the templated
     * corpus — shared by q_boilerplate_strip and q_boilerplate_rollup
     * (the same one-derivation contract as [[excisionFrameOf]]). */
@@ -808,20 +824,17 @@ object SparkEntry {
     // per-source PII exposure audit over a deterministically dirtied
     // corpus (emails on doc_id%3, phones on %5, dotted quads on %7 —
     // modular classes spread across sources, so counts vary per source)
-    "q_pii_scan" -> ((s, dir) => {
-      val dirty = docs(s, dir).select(col("source"), concat(
-        col("text"),
-        when(col("doc_id") % 3 === 0,
-          concat(lit(" contact user"), col("doc_id").cast("string"),
-            lit("@example.com"))).otherwise(lit("")),
-        when(col("doc_id") % 5 === 0,
-          lit(" call +1 (555) 123-4567")).otherwise(lit("")),
-        when(col("doc_id") % 7 === 0,
-          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
-            lit(".0."), (col("doc_id") % 100).cast("string")))
-          .otherwise(lit(""))).as("text"))
-      functions.TextCleaning.piiReport(dirty).orderBy(col("source"))
-    }),
+    "q_pii_scan" -> ((s, dir) =>
+      functions.TextCleaning.piiReport(
+        piiDirtyDocs(s, dir).select(col("source"), col("text")))
+        .orderBy(col("source"))),
+    // PII redaction APPLY half over the same dirtied corpus —
+    // redacted_text value-hashed per doc, original-text match counts
+    // riding along (the audit->apply closure, as excision is for
+    // q_dup_spans and strip for q_source_boilerplate)
+    "q_pii_redact" -> ((s, dir) =>
+      functions.TextCleaning.piiRedact(piiDirtyDocs(s, dir))
+        .orderBy(col("doc_id"))),
     // crawl-over-crawl diff: v2 derives deterministically from the
     // fixture (13 drops a doc, 17 edits one, 19 adds a copy)
     "q_corpus_diff" -> ((s, dir) => {

@@ -63,10 +63,24 @@ object ExciseSpans {
 
   /** One pass over the document bytes: token boundaries as in
     * [[NgramHashes.computeAll]], then a merged walk (span pointer +
-    * running max covered end) emitting kept tokens ' '-joined. */
+    * running max covered end) emitting kept tokens ' '-joined.
+    *
+    * Input contract (r11 ADVICE — enforced, not assumed): `packed` must
+    * be even-length `[s0,e0,s1,e1,...]` with starts non-decreasing; the
+    * merged walk reads spans in start order, so an unsorted or
+    * odd-length array would silently excise the wrong tokens. Both
+    * checks are O(spans) against an array the caller already built. */
   def excise(bytes: Array[Byte], packed: ArrayData): UTF8String = {
+    require(packed.numElements() % 2 == 0,
+      s"excise_spans: packed span array has odd length ${packed.numElements()}")
     val m = packed.numElements() / 2
     if (m == 0) return UTF8String.fromBytes(bytes)
+    var chk = 1
+    while (chk < m) {
+      require(packed.getLong(2 * chk) >= packed.getLong(2 * (chk - 1)),
+        s"excise_spans: span starts not sorted at index $chk")
+      chk += 1
+    }
     var tokens = 1
     var i = 0
     while (i < bytes.length) { if (bytes(i) == ' ') tokens += 1; i += 1 }

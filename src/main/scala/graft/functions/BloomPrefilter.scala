@@ -37,7 +37,14 @@ object BloomPrefilter {
   /** Build the serialized filter over `keys(keyCol)`. One tree-aggregate
     * job; the result is a `numBits/8`-byte blob collected to the driver
     * (fixed-size, like IVF's k x dim centroid collect). None on empty
-    * input. */
+    * input.
+    *
+    * Saturation is OBSERVABLE, not silent (r11 ADVICE): the same
+    * aggregate job counts the key cardinality, and a count past
+    * `estimatedItems` logs the degradation — correctness is unaffected
+    * (the exact join removes false positives), but a saturated filter
+    * quietly decays toward pass-through shuffle, and the operator's
+    * cost story must say so. */
   def build(keys: DataFrame, keyCol: String,
             estimatedItems: Long = DefaultEstimatedItems,
             numBits: Long = DefaultNumBits): Option[Array[Byte]] = {
@@ -45,7 +52,14 @@ object BloomPrefilter {
       ColumnBridge.expression(xxhash64(col(keyCol))),
       Literal(estimatedItems), Literal(numBits))
     val row = keys.select(
-      ColumnBridge.column(agg.toAggregateExpression()).as("bf")).head()
+      ColumnBridge.column(agg.toAggregateExpression()).as("bf"),
+      count(lit(1)).as("n")).head()
+    val n = row.getAs[Long]("n")
+    if (n > estimatedItems)
+      System.err.println(s"[bloom_prefilter] $keyCol: $n items exceed the " +
+        s"$estimatedItems-item estimate for the $numBits-bit filter — " +
+        "fpp degrades toward pass-through (more survivors reach the " +
+        "exact join; results unchanged)")
     Option(row.getAs[Array[Byte]]("bf"))
   }
 

@@ -58,6 +58,27 @@ object TextCleaning {
     * content). Row-local regexp_count per document then one hash
     * aggregation on source — a single map stage plus one
     * source-cardinality exchange at any corpus size. */
+  /** PII REDACTION — the apply half of [[piiReport]] (the audit says
+    * which feeds leak; this scrubs them before training): emails, phone
+    * numbers, and dotted quads replaced with typed placeholders, chained
+    * in the audit's class order (email -> phone -> IP). The placeholders
+    * contain no digits, so a replacement can never mint a later-stage
+    * match; a dotted quad that also satisfies the phone pattern is
+    * consumed by the phone stage — consistent with [[piiReport]], whose
+    * independent per-class counts attribute it to both classes. Per-doc
+    * match counts (on the ORIGINAL text, as the audit counts) ride
+    * along so a savings rollup needs no second scan. Row-local — one
+    * map stage at any corpus size. */
+  def piiRedact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>"),
+        Ipv4Pattern, "<IP>").as("redacted_text"),
+      regexp_count(col("text"), lit(EmailPattern)).cast("long").as("emails"),
+      regexp_count(col("text"), lit(PhonePattern)).cast("long").as("phones"),
+      regexp_count(col("text"), lit(Ipv4Pattern)).cast("long").as("ips"))
+
   def piiReport(docs: DataFrame): DataFrame =
     docs.select(col("source"),
         regexp_count(col("text"), lit(EmailPattern)).cast("long").as("emails"),

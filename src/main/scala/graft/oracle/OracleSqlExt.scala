@@ -2949,6 +2949,34 @@ SELECT source, count(*) AS docs,
   CAST(sum(ips) AS BIGINT) AS ips
 FROM c GROUP BY 1 ORDER BY source""",
 
+    // mirror of TextCleaning.piiRedact over the q_pii_scan dirty fixture:
+    // the same three patterns chained email -> phone -> IP with global
+    // replacement; per-class counts on the ORIGINAL text, as the audit
+    "q_pii_redact" -> """
+WITH dirty AS (
+  SELECT doc_id,
+         text
+           || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+                || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN ' call +1 (555) 123-4567' ELSE '' END
+           || CASE WHEN doc_id % 7 = 0 THEN ' from 10.'
+                || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                || CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\+?[0-9][0-9 ()+.-]{7,}[0-9]', '<PHONE>', 'g'),
+    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')
+    AS redacted_text,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS emails,
+  CAST(len(regexp_extract_all(text,
+    '\+?[0-9][0-9 ()+.-]{7,}[0-9]')) AS BIGINT) AS phones,
+  CAST(len(regexp_extract_all(text,
+    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS ips
+FROM dirty ORDER BY doc_id""",
+
     // mirror of TextAnalytics.corpusDiff over the derived v2
     "q_corpus_diff" -> """
 WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),

@@ -44,8 +44,28 @@ object StreamBench {
 
   case class Res(events: Long, sec: Double, maxState: Long)
 
+  /** Per-twin cause annotations for the committed artifact: the slowest
+    * twins' throughput must be self-explaining in STREAM_BENCH.json the
+    * way the batch sidecar's settle records are (r11 verdict item 6).
+    * StreamBenchSpec asserts the bottom twin carries one. */
+  val Annotations: Map[String, String] = Map(
+    "retrieval_topk" -> ("per-document cost is the frozen model's " +
+      "row-local scoring: nQueries x termsPerQuery token-array scans " +
+      "per arriving doc (scoredHits builds one tf filter-count per " +
+      "query term), so throughput scales inversely with query-set " +
+      "size and doc length; state stays nQueries x k regardless"),
+    "curate" -> ("per-document cost is content-hash + quality scoring " +
+      "over full fixture texts plus a TTL-windowed dedup state probe " +
+      "per doc; rows are corpus documents (docBatch), not synthetic " +
+      "skinny events like the 10k+ rows/s twins"))
+
   /** Feed `batches` generated chunks through a started query, tracking
-    * wall time and the max state-operator row total across progress. */
+    * wall time and the max state-operator row total across progress.
+    * The max is taken over EVERY progress entry since the last sample
+    * (recentProgress), not lastProgress alone — a drain that executes
+    * multiple micro-batches (timeout-driven no-data batches after
+    * eviction) must not understate the peak the state contracts bound
+    * (r11 ADVICE). */
   private def drain[A](input: MemoryStream[A], q: StreamingQuery,
                        batches: Int)(rows: Int => Seq[A]): Res = {
     var maxState = 0L
@@ -57,8 +77,10 @@ object StreamBench {
         n += rs.size
         input.addData(rs)
         q.processAllAvailable()
-        val st = Option(q.lastProgress)
-          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+        val st = (Option(q.lastProgress).toSeq ++ q.recentProgress.toSeq)
+          .map(p => Option(p.stateOperators).map(_.map(_.numRowsTotal).sum)
+            .getOrElse(0L))
+          .foldLeft(0L)(math.max)
         if (st > maxState) maxState = st
       }
       Res(n, (System.nanoTime() - t0) / 1e9, maxState)
@@ -361,7 +383,8 @@ object StreamBench {
     val twinsJson = results.map { case (name, r) =>
       s""""$name":{"events":${r.events},"sec":${fmt(r.sec)},""" +
         s""""rows_per_sec":${fmt(r.events / math.max(r.sec, 1e-9))},""" +
-        s""""max_state_rows":${r.maxState}}"""
+        s""""max_state_rows":${r.maxState}""" +
+        Annotations.get(name).map(a => s""","note":"$a"""").getOrElse("") + "}"
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"stream_bench","batches":$batches,""" +
       s""""batch_size":$batchSize,"doc_batch":$docBatch,"sf":"$sfDir",""" +

@@ -140,6 +140,24 @@ class ExcisionSpec extends AnyFunSuite {
     }
   }
 
+  test("the kernel rejects malformed span arrays instead of silently " +
+      "excising wrong tokens") {
+    import graft.expressions.ExciseSpans
+    import spark.implicits._
+    val d = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    def run(spans: Seq[Long]): Unit =
+      d.select(ExciseSpans.excise_spans(col("text"),
+        lit(spans.toArray)).as("c")).collect()
+    // well-formed: sorted, even
+    run(Seq(1L, 2L, 4L, 4L))
+    // odd length: the trailing element would silently vanish
+    val odd = intercept[Exception](run(Seq(1L, 2L, 4L)))
+    assert(odd.getMessage != null)
+    // unsorted starts: the merged walk would skip the early span
+    val unsorted = intercept[Exception](run(Seq(4L, 5L, 1L, 2L)))
+    assert(unsorted.getMessage != null)
+  }
+
   test("plan shape: span join is shuffle-hash, corpus never broadcast") {
     val plan = TextAnalytics.exciseDupSpans(docs)
       .queryExecution.executedPlan.toString

@@ -15,9 +15,11 @@ class StreamBenchSpec extends AnyFunSuite {
 
   private val Twin =
     ("\"([a-z_]+)\":\\{\"events\":(\\d+),\"sec\":([0-9.]+)," +
-      "\"rows_per_sec\":([0-9.]+),\"max_state_rows\":(\\d+)\\}").r
+      "\"rows_per_sec\":([0-9.]+),\"max_state_rows\":(\\d+)" +
+      "(?:,\"note\":\"([^\"]*)\")?\\}").r
 
-  private case class T(events: Long, sec: Double, maxState: Long)
+  private case class T(events: Long, sec: Double, maxState: Long,
+                       note: Option[String])
 
   private lazy val artifact: Option[(Map[String, T], Int, Int, Int)] = {
     val f = new java.io.File("STREAM_BENCH.json")
@@ -30,7 +32,7 @@ class StreamBenchSpec extends AnyFunSuite {
           s""""$k":(\\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt)
         val twins = Twin.findAllMatchIn(body).map(m =>
           m.group(1) -> T(m.group(2).toLong, m.group(3).toDouble,
-            m.group(5).toLong)).toMap
+            m.group(5).toLong, Option(m.group(6)).filter(_.nonEmpty))).toMap
         Some((twins, intOf("batches").getOrElse(0),
           intOf("batch_size").getOrElse(0), intOf("doc_batch").getOrElse(0)))
       } finally src.close()
@@ -99,5 +101,22 @@ class StreamBenchSpec extends AnyFunSuite {
     if (batchSize >= StreamBench.Topics * StreamBench.PartsPerTopic)
       assert(twins("offset_deltas").maxState ==
         StreamBench.Topics.toLong * StreamBench.PartsPerTopic)
+  }
+
+  test("the slowest twin's throughput is annotated in-artifact") {
+    // r11 verdict item 6: retrieval_topk drains 8x slower than the
+    // median twin — the committed artifact must carry a one-line cause
+    // note for whichever twin lands at the bottom, so the number is
+    // self-explaining the way the batch sidecar's settle records are.
+    // If a refresh re-orders the bottom, StreamBench.Annotations must
+    // grow to cover the new slowest twin.
+    assume(artifact.isDefined, "STREAM_BENCH.json not committed yet")
+    val (twins, _, _, _) = artifact.get
+    val (slowest, t) = twins.minBy { case (_, t) =>
+      t.events / math.max(t.sec, 1e-9) }
+    assert(t.note.exists(_.nonEmpty),
+      s"slowest twin $slowest has no cause note in STREAM_BENCH.json")
+    assert(StreamBench.Annotations.contains(slowest),
+      s"slowest twin $slowest missing from StreamBench.Annotations")
   }
 }

@@ -53,4 +53,32 @@ class TextCleaningSpec extends AnyFunSuite {
     assert(r(0) === ("s1", 3L, 1L, 2L, 1L, 1L, 0L, 0L))
     assert(r(1) === ("s2", 2L, 0L, 0L, 1L, 1L, 2L, 2L))
   }
+
+  test("redaction closes the audit: a re-scan of redacted text is clean") {
+    val docs = Seq(
+      (1L, "s1", "mail a@b.com and c@d.org today"),
+      (2L, "s1", "call +1 (555) 123-4567 now"),
+      (3L, "s1", "nothing to see"),
+      (4L, "s2", "host 10.2.0.4 only"),
+      (5L, "s2", "quad 192.168.100.200 is phone-shaped")
+    ).toDF("doc_id", "source", "text")
+    val red = TextCleaning.piiRedact(docs)
+    val out = red.collect().map(x => x.getLong(0) ->
+      (x.getString(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(out(1L) == (("mail <EMAIL> and <EMAIL> today", 2L, 0L, 0L)))
+    assert(out(2L) == (("call <PHONE> now", 0L, 1L, 0L)))
+    assert(out(3L) == (("nothing to see", 0L, 0L, 0L)))
+    assert(out(4L) == (("host <IP> only", 0L, 0L, 1L)))
+    // the phone stage runs before the IP stage, so a phone-shaped quad
+    // is consumed as a phone — consistent with the audit's independent
+    // per-class counts, which attribute it to both classes
+    assert(out(5L) == (("quad <PHONE> is phone-shaped", 0L, 1L, 1L)))
+    // audit∘apply residual: re-scanning the redacted corpus finds nothing
+    val rescan = TextCleaning.piiReport(
+        red.select($"doc_id", lit("s").as("source"),
+          $"redacted_text".as("text")))
+      .collect()(0)
+    assert((rescan.getLong(3), rescan.getLong(5), rescan.getLong(7)) ==
+      ((0L, 0L, 0L)), "redacted text still matches a PII pattern")
+  }
 }

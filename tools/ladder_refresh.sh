@@ -8,12 +8,20 @@
 set -e
 cd /root/repo
 
+# Corpus builds are skipped only on a COMPLETION MARKER carrying the
+# generator's git rev — bare directory existence would silently reuse a
+# partially-written corpus from an interrupted run (set -e aborts
+# mid-loop) or one built by an older generator.
+GENREV=$(git log -1 --format=%H -- src/main/scala/graft/tools/BenchAtScale.scala)
 for K in 10 20 40 64 128; do
-  if [ ! -d /tmp/graft_sf_x$K ]; then
+  MARKER=/tmp/graft_sf_x$K/_SUCCESS
+  if [ ! -f "$MARKER" ] || [ "$(cat "$MARKER")" != "$GENREV" ]; then
     echo "=== build x$K corpus $(date +%T)"
+    rm -rf /tmp/graft_sf_x$K
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
       sbt -batch "runMain graft.tools.BenchAtScale $K /tmp/graft_sf_x$K" \
       > /tmp/build_x$K.log 2>&1
+    echo "$GENREV" > "$MARKER"
   fi
 done
 
