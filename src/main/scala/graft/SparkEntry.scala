@@ -245,18 +245,19 @@ object SparkEntry {
     dupRunsMemo.getOrElseUpdate((s, dir),
       TextAnalytics.dupRunFrame(docs(s, dir)).persist())
 
-  /** The source-carried per-doc excision frame — shared by
-    * q_dup_excision and q_excision_rollup so the rollup's marginal cost
-    * is exactly its one hash aggregation. Holds cleaned_text
-    * (corpus-sized); the default MEMORY_AND_DISK persist spills rather
-    * than evicts under top-rung pressure. */
-  private val excisionMemo =
+  /** The packed per-doc SPAN frame — shared by q_dup_excision and
+    * q_excision_rollup, which each re-apply the row-local kernel over
+    * one corpus scan. The memo boundary is deliberately the SKINNY
+    * frame, not the cleaned-text result: caching corpus-sized text
+    * taxed the whole x128 bench rung's 8 GiB heap (r12 measurement —
+    * reproduced first_lower inflations on unrelated queries), and at
+    * 100 TB caching corpus text is wrong outright. */
+  private val excisionSpansMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def excisionFrameOf(s: SparkSession, dir: String): DataFrame =
-    excisionMemo.getOrElseUpdate((s, dir),
-      TextAnalytics.exciseRuns(docs(s, dir), dupRunsOf(s, dir), 5L,
-        Seq("source")).persist())
+  private def excisionSpansOf(s: SparkSession, dir: String): DataFrame =
+    excisionSpansMemo.getOrElseUpdate((s, dir),
+      TextAnalytics.exciseSpanFrame(dupRunsOf(s, dir), 5L).persist())
 
   /** The deterministically templated corpus (header on doc_id%2, footer
     * on %3 — per-source df ~50%/~33% clears the 25% boilerplate floor
@@ -288,16 +289,16 @@ object SparkEntry {
           lit(".0."), (col("doc_id") % 100).cast("string")))
         .otherwise(lit(""))).as("text"))
 
-  /** The boilerplate-strip per-doc excision frame over the templated
-    * corpus — shared by q_boilerplate_strip and q_boilerplate_rollup
-    * (the same one-derivation contract as [[excisionFrameOf]]). */
-  private val boilerExcisionMemo =
+  /** The boilerplate-strip packed span frame over the templated corpus
+    * — shared by q_boilerplate_strip and q_boilerplate_rollup (the same
+    * skinny-frame memo contract as [[excisionSpansOf]]). */
+  private val boilerSpansMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def boilerExcisionOf(s: SparkSession, dir: String): DataFrame =
-    boilerExcisionMemo.getOrElseUpdate((s, dir),
-      TextAnalytics.boilerplateStrip(templatedDocs(s, dir),
-        carry = Seq("source")).persist())
+  private def boilerSpansOf(s: SparkSession, dir: String): DataFrame =
+    boilerSpansMemo.getOrElseUpdate((s, dir),
+      TextAnalytics.exciseSpanFrame(
+        TextAnalytics.boilerRunFrame(templatedDocs(s, dir)), 3L).persist())
 
   /** Release every (session, dir)-memoized shared derivation: unpersist
     * the cached frames and drop the keys, so a LONG-LIVED service
@@ -342,8 +343,8 @@ object SparkEntry {
   }
 
   private def dfMemos = Seq(topicsMemo, groupsMemo, scoredPairsMemo,
-    minhashMemo, incAdmissionsMemo, bm25Memo, dupRunsMemo, excisionMemo,
-    boilerExcisionMemo)
+    minhashMemo, incAdmissionsMemo, bm25Memo, dupRunsMemo, excisionSpansMemo,
+    boilerSpansMemo)
 
   /** All memo keys held for a session across every dir and memo family
     * (incl. driver-state memos and the snapshot tables) — the soak
@@ -894,24 +895,22 @@ object SparkEntry {
     // queries share the memoized per-doc excision frame (r11 verdict
     // item 1: the rollup's marginal cost is its aggregation only).
     "q_dup_excision" -> ((s, dir) =>
-      excisionFrameOf(s, dir)
-        .select(col("doc_id"), col("cleaned_text"), col("n_tokens"),
-          col("kept_tokens"), col("bytes_removed"))
+      TextAnalytics.applyExcision(docs(s, dir), excisionSpansOf(s, dir))
         .orderBy(col("doc_id"))),
     "q_excision_rollup" -> ((s, dir) =>
-      TextAnalytics.excisionRollupOf(excisionFrameOf(s, dir))
+      TextAnalytics.excisionRollupOf(TextAnalytics.applyExcision(
+          docs(s, dir), excisionSpansOf(s, dir), Seq("source")))
         .orderBy(col("source"))),
     // boilerplate-strip APPLY half (r11 verdict item 4): the per-source
     // template n-grams q_source_boilerplate detects, excised from the
     // same templated corpus — cleaned_text value-hashed per doc, plus
-    // the per-source savings rollup over the shared memoized frame
+    // the per-source savings rollup over the shared memoized span frame
     "q_boilerplate_strip" -> ((s, dir) =>
-      boilerExcisionOf(s, dir)
-        .select(col("doc_id"), col("cleaned_text"), col("n_tokens"),
-          col("kept_tokens"), col("bytes_removed"))
+      TextAnalytics.applyExcision(templatedDocs(s, dir), boilerSpansOf(s, dir))
         .orderBy(col("doc_id"))),
     "q_boilerplate_rollup" -> ((s, dir) =>
-      TextAnalytics.excisionRollupOf(boilerExcisionOf(s, dir))
+      TextAnalytics.excisionRollupOf(TextAnalytics.applyExcision(
+          templatedDocs(s, dir), boilerSpansOf(s, dir), Seq("source")))
         .orderBy(col("source"))),
     "q_tfidf_terms" -> ((s, dir) =>
       TextAnalytics.tfidfTerms(docs(s, dir)).orderBy(col("lang"), col("rnk"))),
@@ -1192,8 +1191,8 @@ object SparkEntry {
     timed("incAdmissions")(incAdmissionsOf(s, dir).count())
     timed("bm25TopK")(bm25Of(s, dir).count())
     timed("dupRuns")(dupRunsOf(s, dir).count())
-    timed("excisionFrame")(excisionFrameOf(s, dir).count())
-    timed("boilerExcision")(boilerExcisionOf(s, dir).count())
+    timed("excisionSpans")(excisionSpansOf(s, dir).count())
+    timed("boilerSpans")(boilerSpansOf(s, dir).count())
     timed("pcaDirections")(pcaDirections(s, dir))
     timed("ivfCentroids")(ivfCentroids(s, dir))
     timed("dedupIvfCentroids")(dedupIvfCentroids(s, dir))

@@ -1559,16 +1559,22 @@ object TextAnalytics {
     * pattern; the r11 ladder showed the triple recompute turning the
     * rollup's top rung super-linear via ambient shuffle-reuse). */
   def dupSpansFrom(docs: DataFrame, runs: DataFrame, n: Int = 5): DataFrame = {
-    val withArr = docs
+    // n_ngrams is ARITHMETIC, not a kernel pass: the positional-hash
+    // array's size is exactly tokens - n + 1 (sub-n docs absent, as in
+    // dupNgramCoverage) — materializing the array to take its size was
+    // the query's dominant cost once the run frame was memoized (r12
+    // x128: the report query cost 5.3 s of which the kernel scan was
+    // nearly all; the count needs only the token split)
+    val base = docs
       .select(col("doc_id"),
-        graft.expressions.NgramHashes.ngram_pos_hashes(col("text"), n).as("hs"))
-      .filter(size(col("hs")) > 0) // sub-n docs absent, as in dupNgramCoverage
+        (size(tokens(col("text"))) - lit(n - 1)).cast("long").as("n_ngrams"))
+      .filter(col("n_ngrams") > 0)
     // run length in n-gram positions = e - s - (n - 2); span length in
     // tokens = e - s + 1
     val perDoc = runs.groupBy(col("doc_id"))
       .agg(sum(col("e") - col("s") - lit(n - 2).cast("long")).as("dup_positions"),
         max(col("e") - col("s") + lit(1L)).as("max_dup_span"))
-    withArr.select(col("doc_id"), size(col("hs")).cast("long").as("n_ngrams"))
+    base
       .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_ngrams"),
         coalesce(col("dup_positions"), lit(0L)).as("dup_positions"),
@@ -1666,8 +1672,19 @@ object TextAnalytics {
     * `docs` (e.g. `source` for [[excisionRollupOf]]) so downstream
     * groupings need no second corpus-wide join. */
   def exciseRuns(docs: DataFrame, runs: DataFrame, spanFloor: Long,
-                 carry: Seq[String] = Nil): DataFrame = {
-    val spans = runs
+                 carry: Seq[String] = Nil): DataFrame =
+    applyExcision(docs, exciseSpanFrame(runs, spanFloor), carry)
+
+  /** The packed per-doc span frame of [[exciseRuns]] — one row per doc
+    * holding the sorted [s0,e0,...] array plus the merged covered-token
+    * count. SKINNY (dup-rate-bounded, no text), so THIS is the memo
+    * boundary: the r12 x128 rung measured that persisting the full
+    * cleaned-text frame instead taxes the whole rung's 8 GiB bench heap
+    * (reproduced first_lower inflations on unrelated queries), and at
+    * 100 TB caching corpus text is wrong outright — the row-local
+    * kernel re-applies cheaply from the cached spans. */
+  def exciseSpanFrame(runs: DataFrame, spanFloor: Long): DataFrame = {
+    runs
       .filter(col("e") - col("s") + lit(1L) >= lit(spanFloor))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("sp"))
@@ -1684,6 +1701,14 @@ object TextAnalytics {
                 acc.getField("mx") + lit(1L)) + lit(1L))).as("tot"),
             greatest(acc.getField("mx"), x.getField("e")).as("mx")),
           acc => acc.getField("tot")).as("covered"))
+  }
+
+  /** The row-local APPLY over a (possibly memoized) [[exciseSpanFrame]]:
+    * one corpus scan, one shuffle-hash join of the skinny span table,
+    * the [[graft.expressions.ExciseSpans]] kernel — corpus text crosses
+    * no exchange and is never cached. */
+  def applyExcision(docs: DataFrame, spans: DataFrame,
+                    carry: Seq[String] = Nil): DataFrame = {
     docs.select((Seq("doc_id", "text") ++ carry).map(col): _*)
       .join(spans.hint("shuffle_hash"), Seq("doc_id"), "left")
       .withColumn("cleaned_text",

@@ -93,10 +93,16 @@ class StreamBenchSpec extends AnyFunSuite {
       assert(t.events > 0, s"$name drained no rows")
     }
     // eviction actually happened where history would otherwise pile up:
-    // the TTL twins' plateaus must sit well under their total feed
-    for (name <- Seq("transitions", "curate"))
-      assert(twins(name).maxState < twins(name).events / 2,
-        s"$name state tracked history, not the TTL window")
+    // the TTL twins' plateaus must sit well under their total feed.
+    // curate's margin is 2/3, not 1/2: since the drain samples EVERY
+    // micro-batch (recentProgress, r11 ADVICE), the observed peak is the
+    // transient pre-eviction window — ttl/span + 1 = 6 of 12 batches —
+    // which legitimately grazes half the feed; history would be ~all of
+    // it. transitions' plateau is population-bounded far below half.
+    assert(twins("transitions").maxState < twins("transitions").events / 2,
+      "transitions state tracked history, not the TTL window")
+    assert(twins("curate").maxState < twins("curate").events * 2 / 3,
+      "curate state tracked history, not the TTL window")
     // and the fixed-topology live set was fully populated
     if (batchSize >= StreamBench.Topics * StreamBench.PartsPerTopic)
       assert(twins("offset_deltas").maxState ==
