@@ -161,6 +161,31 @@ object Bench {
         } finally text.close()
       } else (Map.empty, Set.empty, Map.empty)
 
+    // Corpus provenance (r12 verdict item 1): the committed rung
+    // artifacts must attribute cross-round level shifts to DATA, not
+    // leave them indistinguishable from regressions — r12's first
+    // marker-verified corpus rebuild moved q_minhash_calibration's x128
+    // parity rung 50.2 -> 99.0 s and nothing in the artifact said the
+    // corpus had been rebuilt. Every sidecar now carries the generator
+    // rev from the corpus dir's _SUCCESS marker (written by
+    // tools/ladder_refresh.sh; "none" for the driver's testdata dirs)
+    // plus per-table row counts — parquet-footer metadata reads, taken
+    // OUTSIDE the warmup/query timing (the total is unaffected).
+    val genRev = {
+      val m = new java.io.File(sfDir, "_SUCCESS")
+      if (!m.exists()) "none"
+      else {
+        val src = scala.io.Source.fromFile(m)
+        try src.mkString.trim.filter(c => c.isLetterOrDigit || c == '-' || c == '_')
+        finally src.close()
+      }
+    }
+    val corpusRows = Option(new java.io.File(sfDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => f.getName.stripSuffix(".parquet") ->
+        spark.read.parquet(f.getPath).count())
+
     val loadStart = loadAvg()
     // JVM/codegen warmup outside the timed region (no input data touched)
     spark.range(1000000L).selectExpr("sum(id * 2)").collect()
@@ -270,13 +295,18 @@ object Bench {
         }
       }
     }
+    // The extrapolation trigger COMBINES with the 10x-median fallback
+    // instead of replacing it (r12 ADVICE 1): a noisy low-rung pair can
+    // make the 2-point fit overpredict, and a genuinely slow fresh-rung
+    // sample below 1.5x that inflated prediction — but far above 10x
+    // the run's median — is exactly the outlier class the fallback
+    // existed to catch. Either condition settles.
     def isOutlier(name: String, sec: Double): Boolean =
       !failed(name) && !prevFailed(name) && (prev.get(name) match {
         case Some(p) if p > 0 => sec - p >= 0.3 && sec >= 1.5 * p
-        case _ => predicted(name) match {
-          case Some(p) => sec - p >= 0.3 && sec >= 1.5 * p
-          case None => sec >= math.max(10 * med, 5.0)
-        }
+        case _ =>
+          predicted(name).exists(p => sec - p >= 0.3 && sec >= 1.5 * p) ||
+            sec >= math.max(10 * med, 5.0)
       })
     val qmap = SparkEntry.queries
     // per-query settle provenance (r10 verdict item 2): the sidecar
@@ -323,11 +353,16 @@ object Bench {
         // follows
         val attempts = List(timeSettle(name, qmap(name)))
         val second = attempts.flatten.minOption
+        // attribution matches the (now combined) trigger: a prediction
+        // that exists but did NOT fire — the median fallback caught it —
+        // is labeled "median" with the prediction still recorded, so the
+        // artifact shows both what fired and what the fit expected
         val (trigger, pred) =
           if (prev.get(name).exists(_ > 0)) ("prev", None)
           else predicted(name) match {
-            case Some(p) => ("extrapolation", Some(p))
-            case None => ("median", None)
+            case Some(p) if first - p >= 0.3 && first >= 1.5 * p =>
+              ("extrapolation", Some(p))
+            case other => ("median", other)
           }
         System.err.println(f"[bench_settle] $name: first=${first}%.3f " +
           f"second=${second.getOrElse(-1.0)}%.3f " +
@@ -374,7 +409,10 @@ object Bench {
     // it reports query deltas
     val warmupJson = warmupParts.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warmup_sec":${fmt(warmupSec)},"warmup":$warmupJson,"failed":$failedJson,"queries":$qs,"first_pass":$firstPassJson,"settle":$settleJson,$markers,"sf":"$sfDir"}"""
+    val corpusJson = s""""corpus":{"generator_rev":"$genRev","rows":""" +
+      corpusRows.map { case (t, n) => "\"" + t + "\":" + n }
+        .mkString("{", ",", "}") + "}"
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warmup_sec":${fmt(warmupSec)},"warmup":$warmupJson,"failed":$failedJson,"queries":$qs,"first_pass":$firstPassJson,"settle":$settleJson,$corpusJson,$markers,"sf":"$sfDir"}"""
 
     // a failed query's near-zero timing is noise, not a baseline: skip
     // diffs in BOTH directions for failed runs, but say so explicitly —

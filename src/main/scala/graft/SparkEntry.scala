@@ -140,6 +140,23 @@ object SparkEntry {
         docs(s, dir).filter(col("doc_id") > split), ex, bi, si).persist()
     })
 
+  /** The corpus-to-date n-gram-hash index — the lake's fourth table
+    * ([[graft.operators.IncrementalDedup.ngramIndex]]), probed by
+    * q_incremental_excision's span-level pass. DISK_ONLY, not the
+    * default MEMORY_AND_DISK of the other memos: this table is
+    * TOKEN-proportional (every distinct corpus 5-gram hash), and
+    * heap-caching corpus-proportional state is exactly what the r12
+    * skinny-frame lesson forbids — disk blocks model the production
+    * read of a lake parquet table without taxing the bench heap. */
+  private val incNgramIdxMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def incNgramIdxOf(s: SparkSession, dir: String): DataFrame =
+    incNgramIdxMemo.getOrElseUpdate((s, dir),
+      IncrementalDedup.ngramIndex(
+          docs(s, dir).filter(col("doc_id") <= incrementalSplitOf(s, dir)))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+
   /** The deflated power-iteration direction stack feeds three queries —
     * train once per (session, dir) (2 x 64 doubles of driver state, the
     * IVF centroid contract). Component 1 of the stack IS topDirection
@@ -259,35 +276,36 @@ object SparkEntry {
     excisionSpansMemo.getOrElseUpdate((s, dir),
       TextAnalytics.exciseSpanFrame(dupRunsOf(s, dir), 5L).persist())
 
+  /** A corpus dir's dirty-fixture table when the generator materialized
+    * one, else the query-time derivation (r12 verdict item 6): the
+    * scale-ladder corpora carry `documents_pii.parquet` /
+    * `documents_templated.parquet` written by BenchAtScale, so every
+    * committed bench/ladder number reads the dirty text COLD from a
+    * fixture column. The driver's testdata dirs are READ-ONLY — no
+    * fixture can land there — so the correctness gate keeps the
+    * derive-at-query-time form, whose expressions live exactly once in
+    * [[graft.functions.FixtureCorpora]] and whose DuckDB mirror the
+    * oracle carries. */
+  private def fixtureOr(s: SparkSession, dir: String, table: String)
+                       (derive: DataFrame => DataFrame): DataFrame = {
+    val f = new java.io.File(s"$dir/$table.parquet")
+    if (f.exists()) s.read.parquet(f.getPath) else derive(docs(s, dir))
+  }
+
   /** The deterministically templated corpus (header on doc_id%2, footer
     * on %3 — per-source df ~50%/~33% clears the 25% boilerplate floor
     * while organic trigrams stay far below it) shared by the
     * boilerplate detect report and the strip family. */
   private def templatedDocs(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"), col("source"), concat(
-      when(col("doc_id") % 2 === 0,
-        lit("all rights reserved contact us for more info "))
-        .otherwise(lit("")),
-      col("text"),
-      when(col("doc_id") % 3 === 0,
-        lit(" subscribe to our newsletter for weekly updates"))
-        .otherwise(lit(""))).as("text"))
+    fixtureOr(s, dir, functions.FixtureCorpora.TemplatedTable)(
+      functions.FixtureCorpora.templated)
 
   /** The deterministically PII-dirtied corpus (emails on doc_id%3,
     * phones on %5, dotted quads on %7) shared by the PII audit and its
     * redaction apply half. */
   private def piiDirtyDocs(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"), col("source"), concat(
-      col("text"),
-      when(col("doc_id") % 3 === 0,
-        concat(lit(" contact user"), col("doc_id").cast("string"),
-          lit("@example.com"))).otherwise(lit("")),
-      when(col("doc_id") % 5 === 0,
-        lit(" call +1 (555) 123-4567")).otherwise(lit("")),
-      when(col("doc_id") % 7 === 0,
-        concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
-          lit(".0."), (col("doc_id") % 100).cast("string")))
-        .otherwise(lit(""))).as("text"))
+    fixtureOr(s, dir, functions.FixtureCorpora.PiiTable)(
+      functions.FixtureCorpora.piiDirty)
 
   /** The boilerplate-strip packed span frame over the templated corpus
     * — shared by q_boilerplate_strip and q_boilerplate_rollup (the same
@@ -343,8 +361,8 @@ object SparkEntry {
   }
 
   private def dfMemos = Seq(topicsMemo, groupsMemo, scoredPairsMemo,
-    minhashMemo, incAdmissionsMemo, bm25Memo, dupRunsMemo, excisionSpansMemo,
-    boilerSpansMemo)
+    minhashMemo, incAdmissionsMemo, incNgramIdxMemo, bm25Memo, dupRunsMemo,
+    excisionSpansMemo, boilerSpansMemo)
 
   /** All memo keys held for a session across every dir and memo family
     * (incl. driver-state memos and the snapshot tables) — the soak
@@ -627,6 +645,28 @@ object SparkEntry {
         ex, bi, si)
       IncrementalDedup.reconcile(d, split1, split2, online = Some(online),
           offline = Some(incAdmissionsOf(s, dir)))
+        .orderBy(col("doc_id"))
+    }),
+    // span-level excision against the cross-crawl index (r12 verdict
+    // item 5): the admission gate admits/rejects WHOLE documents; real
+    // pipelines additionally excise the spans of ADMITTED docs that
+    // duplicate prior crawls (the ExactSubstr apply run corpus-to-date,
+    // Lee et al. 2022). The probe side is the lake's fourth index table
+    // (distinct corpus n-gram hashes, memoized DISK_ONLY like a lake
+    // read); the per-run work is one shuffle of the admitted docs'
+    // positional n-gram stream against it, islands, and the row-local
+    // ExciseSpans kernel — the dupRunFrame seam composed with the
+    // incremental index, corpus text never re-read. The oracle runs the
+    // literal from-scratch union pipeline for the admission verdicts
+    // plus the positional anti-join rebuild of cleaned_text.
+    "q_incremental_excision" -> ((s, dir) => {
+      val split = incrementalSplitOf(s, dir)
+      val admitted = docs(s, dir).filter(col("doc_id") > split)
+        .join(incAdmissionsOf(s, dir).filter(col("outcome") === "admitted")
+          .select(col("doc_id")), Seq("doc_id"), "left_semi")
+      TextAnalytics.applyExcision(admitted,
+          TextAnalytics.exciseSpanFrame(
+            TextAnalytics.indexedRunFrame(admitted, incNgramIdxOf(s, dir)), 5L))
         .orderBy(col("doc_id"))
     }),
     // estimator calibration: minhash est vs the TRUE full-shingle
@@ -1189,6 +1229,7 @@ object SparkEntry {
       ex.count(); bi.count(); si.count()
     }
     timed("incAdmissions")(incAdmissionsOf(s, dir).count())
+    timed("incNgramIndex")(incNgramIdxOf(s, dir).count())
     timed("bm25TopK")(bm25Of(s, dir).count())
     timed("dupRuns")(dupRunsOf(s, dir).count())
     timed("excisionSpans")(excisionSpansOf(s, dir).count())

@@ -1605,6 +1605,25 @@ object TextAnalytics {
   def dupRunFrame(docs: DataFrame, n: Int = 5): DataFrame =
     runsOf(dupPositions(docs, n), n)
 
+  /** [[dupRunFrame]] against an EXTERNAL n-gram-hash set instead of the
+    * corpus's own df>1 dup set: the (doc_id, s, e) maximal runs of
+    * consecutive positions whose n-gram occurs in `nghSet` (one column
+    * `ngh`) — the cross-crawl excision seam (r12 verdict item 5).
+    * [[graft.operators.IncrementalDedup.ngramIndex]] builds the set as
+    * the lake's fourth index table; the join is pinned SHUFFLE_HASH for
+    * the [[dupPositions]] r8 reason — a prior-corpus-derived build side
+    * is corpus-proportional and must never be a broadcast candidate. */
+  def indexedRunFrame(docs: DataFrame, nghSet: DataFrame,
+                      n: Int = 5): DataFrame = {
+    val positions = docs
+      .select(col("doc_id"),
+        posexplode(graft.expressions.NgramHashes.ngram_pos_hashes(col("text"), n))
+          .as(Seq("pos", "ngh")))
+      .join(nghSet.hint("shuffle_hash"), Seq("ngh"))
+      .select(col("doc_id"), col("pos"))
+    runsOf(positions, n)
+  }
+
   /** Shared detect core of [[dupSpans]] / [[exciseDupSpans]]: the
     * (doc_id, pos) stream of n-gram START positions whose n-gram occurs
     * in at least one OTHER document (df over per-doc-distinct hashes
@@ -1768,9 +1787,20 @@ object TextAnalytics {
     * surviving positions are boilerplate-rate-bounded, and the islands
     * window runs over that subset only. */
   def boilerRunFrame(docs: DataFrame, n: Int = 3, minFrac: Double = 0.25,
-                     minDf: Long = 3L): DataFrame = {
+                     minDf: Long = 3L): DataFrame =
+    boilerRunFrameFrom(docs, boilerSet(docs, n, minFrac, minDf), n)
+
+  /** The DETECT-half output as a standalone table: the per-source
+    * boilerplate n-gram set (source, ngh) — what a production run
+    * PERSISTS between detect and apply, and the frozen "versioned
+    * state" the streaming strip twin serves against
+    * ([[graft.streaming.StripStream]]): rebuilt per detect cadence,
+    * read-only between rebuilds, exactly the admission gate's
+    * index-then-serve split. */
+  def boilerSet(docs: DataFrame, n: Int = 3, minFrac: Double = 0.25,
+                minDf: Long = 3L): DataFrame = {
     val srcSizes = docs.groupBy(col("source")).agg(count(lit(1)).as("docs"))
-    val boiler = docs
+    docs
       .select(col("source"),
         explode(graft.expressions.NgramHashes.ngram_hashes(col("text"), n))
           .as("ngh"))
@@ -1779,11 +1809,21 @@ object TextAnalytics {
       .filter(col("df") >= minDf &&
         col("df").cast("double") >= col("docs") * minFrac)
       .select(col("source"), col("ngh"))
+  }
+
+  /** [[boilerRunFrame]] against an ALREADY-BUILT (possibly persisted)
+    * boilerplate set — the apply half's positional locate + islands,
+    * with the detect half frozen. SHUFFLE_HASH pinned: the set is
+    * template-cardinality-bounded in practice but corpus-derived, and a
+    * corpus-derived build side must never be a broadcast candidate (the
+    * dupPositions r8 lesson). */
+  def boilerRunFrameFrom(docs: DataFrame, boilerSet: DataFrame,
+                         n: Int = 3): DataFrame = {
     val positions = docs
       .select(col("doc_id"), col("source"),
         posexplode(graft.expressions.NgramHashes.ngram_pos_hashes(col("text"), n))
           .as(Seq("pos", "ngh")))
-      .join(boiler.hint("shuffle_hash"), Seq("source", "ngh"))
+      .join(boilerSet.hint("shuffle_hash"), Seq("source", "ngh"))
       .select(col("doc_id"), col("pos"))
     runsOf(positions, n)
   }

@@ -82,6 +82,23 @@ object IncrementalDedup {
   def sigIndex(corpus: DataFrame, n: Int = 5): DataFrame =
     Sketches.minHashSignatures(exactSurvivors(corpus), n)
 
+  /** N-gram-hash presence index of the corpus-to-date — the FOURTH lake
+    * table, for span-level excision against prior crawls (r12 verdict
+    * item 5): one row per distinct corpus n-gram hash (the 8-byte
+    * [[graft.expressions.NgramHashes]] values, per-doc-distinct then
+    * globally distinct). Append-only like the other three — a new
+    * crawl's admitted docs contribute their own hashes for crawl N+2.
+    * Lee et al. 2022 run ExactSubstr REMOVAL against the corpus-to-date;
+    * this is its lake form: probing is one shuffle of the crawl's
+    * positional n-gram stream against this table
+    * ([[graft.functions.TextAnalytics.indexedRunFrame]]), corpus text
+    * never re-read. Token-proportional — callers caching it must use
+    * disk-backed storage, never the bench heap (the r12 memo lesson). */
+  def ngramIndex(corpus: DataFrame, n: Int = 5): DataFrame =
+    corpus.select(explode(
+        graft.expressions.NgramHashes.ngram_hashes(col("text"), n)).as("ngh"))
+      .distinct()
+
   /** Skinny minhash band index over an ALREADY-COMPUTED signature
     * table: (band, band_key, doc_id). */
   def bandRows(sigs: DataFrame): DataFrame =

@@ -1408,6 +1408,54 @@ FROM v_w w JOIN v_u u ON w.doc_id = u.doc_id
 CROSS JOIN bnd WHERE w.doc_id > bnd.t1 AND w.doc_id <= bnd.t2
 ORDER BY w.doc_id""",
 
+    // mirror of the cross-crawl span-level excision
+    // (q_incremental_excision): admission verdicts come from the literal
+    // from-scratch union pipeline (the admissions equivalence contract);
+    // for each ADMITTED crawl doc, every positional 5-gram whose hash
+    // exists anywhere in the prior corpus (doc_id <= split — presence,
+    // not the within-corpus df>1 dup set) covers its 5 tokens, DISTINCT
+    // merges overlaps, and kept tokens re-join in position order — the
+    // dup-excision rebuild with the detect half swapped for the
+    // prior-corpus n-gram presence set
+    "q_incremental_excision" -> s"""
+WITH RECURSIVE
+bnd AS (SELECT (max(doc_id) * 4) // 5 AS t FROM documents),
+${unionVerdictCtes("_u", "true")},
+adm AS (SELECT v.doc_id FROM v_u v, bnd
+        WHERE v.doc_id > bnd.t AND v.outcome = 'admitted'),
+t AS (SELECT d.doc_id, d.text, string_split(d.text, ' ') AS toks
+      FROM documents d JOIN adm USING (doc_id)),
+ng AS (SELECT doc_id,
+         unnest(range(1, len(toks) - 3)) AS pos,
+         unnest(list_transform(
+                  list_transform(range(1, len(toks) - 3),
+                    g -> array_to_string(toks[g:g+4], ' ')),
+                  s -> ${tokenHashSqlOf("s")})) AS ngh
+       FROM t WHERE len(toks) >= 5),
+ct AS (SELECT string_split(text, ' ') AS toks
+       FROM documents, bnd WHERE doc_id <= bnd.t),
+pset AS (SELECT DISTINCT unnest(list_transform(
+           list_transform(range(1, len(toks) - 3),
+             g -> array_to_string(toks[g:g+4], ' ')),
+           s -> ${tokenHashSqlOf("s")})) AS ngh
+         FROM ct WHERE len(toks) >= 5),
+dp AS (SELECT doc_id, pos FROM ng JOIN pset USING (ngh)),
+cov AS (SELECT DISTINCT doc_id, pos + o.off AS cpos
+        FROM dp CROSS JOIN (VALUES (0),(1),(2),(3),(4)) o(off)),
+tok AS (SELECT doc_id, unnest(toks) AS token,
+               unnest(range(1, len(toks) + 1)) AS tpos FROM t),
+kept AS (SELECT k.doc_id, k.token, k.tpos
+         FROM tok k LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.tpos = c.cpos
+         WHERE c.cpos IS NULL),
+cle AS (SELECT doc_id, string_agg(token, ' ' ORDER BY tpos) AS cleaned_text,
+               CAST(count(*) AS BIGINT) AS kept_tokens FROM kept GROUP BY 1)
+SELECT t.doc_id, coalesce(cle.cleaned_text, '') AS cleaned_text,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(cle.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       CAST(strlen(t.text) - strlen(coalesce(cle.cleaned_text, ''))
+            AS BIGINT) AS bytes_removed
+FROM t LEFT JOIN cle USING (doc_id) ORDER BY doc_id""",
+
     // mirror of Similarity.hybridVerify: the banded MinHash candidate
     // set (text signal) joined to exact embedding cosine (semantic
     // signal) on the shared doc_id == vec_id key

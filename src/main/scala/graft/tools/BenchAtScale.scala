@@ -82,6 +82,28 @@ object BenchAtScale {
         col("lang"), col("source"), col("n_chars"))
     }
 
+    // --- dirty-fixture corpora (r12 verdict item 6): the PII-dirtied and
+    // templated corpora the audit→apply families query are materialized
+    // as fixture TABLES of every ladder corpus, so committed bench/rung
+    // numbers read the dirty text cold from parquet instead of deriving
+    // it at query time. Derivation expressions live exactly once in
+    // functions.FixtureCorpora (SparkEntry falls back to them only for
+    // the read-only testdata dirs, where no fixture can land). Derived
+    // from the WRITTEN scaled documents so the replica permutation has
+    // already been applied — identical rows to the former query-time
+    // derivation over the scaled corpus.
+    def derived(table: String,
+                derive: DataFrame => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$out/documents.parquet")
+      derive(base).write.mode("overwrite").parquet(s"$out/$table.parquet")
+      println(s"[scale] $table -> " +
+        s"${spark.read.parquet(s"$out/$table.parquet").count()} rows")
+    }
+    derived(graft.functions.FixtureCorpora.PiiTable,
+      graft.functions.FixtureCorpora.piiDirty)
+    derived(graft.functions.FixtureCorpora.TemplatedTable,
+      graft.functions.FixtureCorpora.templated)
+
     // --- embeddings: dimension-permuted replicas (rotation-isomorphic)
     val dims = spark.read.parquet(s"$src/embeddings.parquet")
       .select(size(col("embedding"))).first().getInt(0)

@@ -61,11 +61,15 @@ object StreamBench {
 
   /** Feed `batches` generated chunks through a started query, tracking
     * wall time and the max state-operator row total across progress.
-    * The max is taken over EVERY progress entry since the last sample
-    * (recentProgress), not lastProgress alone — a drain that executes
-    * multiple micro-batches (timeout-driven no-data batches after
-    * eviction) must not understate the peak the state contracts bound
-    * (r11 ADVICE). */
+    * The max folds over recentProgress — a SINCE-START rolling buffer
+    * bounded at spark.sql.streaming.numRecentProgressUpdates entries
+    * (default 100), NOT a per-sample window (r12 ADVICE 4) — plus
+    * lastProgress; correctness here relies only on the fold being a
+    * monotone max sampled every batch, so a drain that executes multiple
+    * micro-batches per sample (timeout-driven no-data batches after
+    * eviction) cannot understate the peak the state contracts bound
+    * (r11 ADVICE). A refactor wanting per-sample isolation must diff
+    * progress buffers itself — recentProgress does not provide it. */
   private def drain[A](input: MemoryStream[A], q: StreamingQuery,
                        batches: Int)(rows: Int => Seq[A]): Res = {
     var maxState = 0L
@@ -379,12 +383,67 @@ object StreamBench {
       }
     }
 
+    // --- pii redaction: fully stateless row-local map (no state
+    // operator at all) — texts carry the fixture corpus plus injected
+    // PII in the q_pii_redact modular classes
+    run("pii_redact") {
+      val input = MemoryStream[(Long, String)]
+      val q = RedactStream.redacted(input.toDF().toDF("doc_id", "text"))
+        .writeStream.format("noop").outputMode("append").start()
+      drain(input, q, batches) { b =>
+        (0 until docBatch).map { i =>
+          val id = b.toLong * docBatch + i
+          id -> (textOf(id) +
+            (if (id % 3 == 0) s" contact user$id@example.com" else "") +
+            (if (id % 5 == 0) " call +1 (555) 123-4567" else "") +
+            (if (id % 7 == 0) s" from 10.${id % 256}.0.${id % 100}" else ""))
+        }
+      }
+    }
+
+    // --- boilerplate strip: the frozen per-source template set is the
+    // VERSIONED state (index-then-serve); the per-doc collapse never
+    // writes state — zero retained rows is the contract
+    run("boiler_strip") {
+      val set = TextAnalytics.boilerSet(
+        graft.functions.FixtureCorpora.templated(fixtureDocs)).localCheckpoint()
+      val input = MemoryStream[(Long, String, String)]
+      val q = StripStream.stripStream(
+          input.toDF().toDF("doc_id", "source", "text"), set)
+        .writeStream.format("noop").outputMode("update").start()
+      drain(input, q, batches) { b =>
+        (0 until docBatch).map { i =>
+          val id = b.toLong * docBatch + i
+          (id, sources((id % sources.length).toInt),
+            (if (id % 2 == 0)
+              "all rights reserved contact us for more info " else "") +
+              textOf(id) +
+              (if (id % 3 == 0)
+                " subscribe to our newsletter for weekly updates" else ""))
+        }
+      }
+    }
+
     def fmt(d: Double): String = f"$d%.3f"
+    // JSON-escape the note text (r12 ADVICE 2): the current constants
+    // are clean, but a future annotation containing a quote, backslash,
+    // or control char would silently corrupt the artifact — and
+    // StreamBenchSpec's Twin regex would then DROP the whole twin entry
+    // rather than fail loudly.
+    def esc(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val twinsJson = results.map { case (name, r) =>
       s""""$name":{"events":${r.events},"sec":${fmt(r.sec)},""" +
         s""""rows_per_sec":${fmt(r.events / math.max(r.sec, 1e-9))},""" +
         s""""max_state_rows":${r.maxState}""" +
-        Annotations.get(name).map(a => s""","note":"$a"""").getOrElse("") + "}"
+        Annotations.get(name).map(a => s""","note":"${esc(a)}"""").getOrElse("") + "}"
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"stream_bench","batches":$batches,""" +
       s""""batch_size":$batchSize,"doc_batch":$docBatch,"sf":"$sfDir",""" +

@@ -80,6 +80,47 @@ class ExcisionSpec extends AnyFunSuite {
       s"residual dup positions $after vs $before before excision")
   }
 
+  test("cross-crawl excision matches the string-level brute force") {
+    // the q_incremental_excision kernel (r12 verdict item 5): covered
+    // token t of a crawl doc iff some 5-gram window containing t occurs
+    // (as a STRING — no hashing, so a hash bug cannot cancel) anywhere
+    // in the PRIOR corpus (presence, not the within-corpus df>1 set).
+    // The admitted-only restriction and the from-scratch verdicts are
+    // the oracle gate's job; this pins the span mechanics.
+    val all = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val split = all.map(_._1).max * 4 / 5
+    val priorGrams = all.filter(_._1 <= split).iterator.flatMap { case (_, t) =>
+      val toks = t.split(" ", -1)
+      if (toks.length < 5) Iterator.empty
+      else toks.sliding(5).map(_.mkString(" "))
+    }.toSet
+    val crawl = docs.filter(col("doc_id") > split)
+    val idx = graft.operators.IncrementalDedup.ngramIndex(
+      docs.filter(col("doc_id") <= split))
+    val got = TextAnalytics.applyExcision(crawl,
+        TextAnalytics.exciseSpanFrame(
+          TextAnalytics.indexedRunFrame(crawl, idx), 5L))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val want = all.filter(_._1 > split).map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val covered = (0 to toks.length - 5)
+        .filter(p => priorGrams(toks.slice(p, p + 5).mkString(" ")))
+        .flatMap(p => p to p + 4).toSet
+      val kept = toks.indices.filterNot(covered)
+      val cleaned = kept.map(toks).mkString(" ")
+      def bytes(s: String) = s.getBytes("UTF-8").length.toLong
+      id -> ((cleaned, toks.length.toLong, kept.size.toLong,
+        bytes(text) - bytes(cleaned)))
+    }.toMap
+    assert(got.keySet == want.keySet)
+    for ((id, g) <- got) assert(g == want(id), s"doc $id")
+    assert(got.values.exists(_._4 > 0),
+      "no cross-crawl span was excised — the fixture's dup structure " +
+        "should cross the 80% split")
+  }
+
   test("per-doc arithmetic: kept_tokens and bytes_removed are consistent") {
     for ((id, (cleaned, n, kept, bytes)) <- result) {
       assert(kept >= 0 && kept <= n, s"doc $id")

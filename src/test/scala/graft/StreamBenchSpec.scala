@@ -54,6 +54,10 @@ class StreamBenchSpec extends AnyFunSuite {
       "linkage_matches" -> ((0L, "stream-static variant join")),
       // the admission gate's flatMapGroupsWithState NEVER writes state
       "admission_gate" -> ((0L, "zero-retained-rows gate")),
+      // r12 verdict item 4: the two apply-half twins — redaction plans
+      // with NO state operator; the strip collapse never writes state
+      "pii_redact" -> ((0L, "stateless row-local redaction")),
+      "boiler_strip" -> ((0L, "zero-retained-rows strip collapse")),
       // keyed state with an explicit structural cap
       "retrieval_topk" -> ((StreamBench.RetrievalQueries.toLong,
         "one k-bounded entry list per query")),

@@ -8,11 +8,18 @@
 set -e
 cd /root/repo
 
-# Corpus builds are skipped only on a COMPLETION MARKER carrying the
-# generator's git rev — bare directory existence would silently reuse a
-# partially-written corpus from an interrupted run (set -e aborts
-# mid-loop) or one built by an older generator.
-GENREV=$(git log -1 --format=%H -- src/main/scala/graft/tools/BenchAtScale.scala)
+# Corpus builds are skipped only on a COMPLETION MARKER carrying a
+# CONTENT hash of the generator's source set — bare directory existence
+# would silently reuse a partially-written corpus from an interrupted
+# run (set -e aborts mid-loop) or one built by an older generator, and
+# the previous git-log key missed uncommitted working-tree edits and
+# changes to the generator's source dependencies (r12 ADVICE 3): the
+# hash covers the files' bytes as they are NOW, committed or dirty.
+# FixtureCorpora.scala is in the set because the generator materializes
+# its derivations as the dirty-fixture tables.
+GENREV=$(cat src/main/scala/graft/tools/BenchAtScale.scala \
+             src/main/scala/graft/functions/FixtureCorpora.scala \
+         | sha256sum | cut -d' ' -f1)
 for K in 10 20 40 64 128; do
   MARKER=/tmp/graft_sf_x$K/_SUCCESS
   if [ ! -f "$MARKER" ] || [ "$(cat "$MARKER")" != "$GENREV" ]; then
