@@ -40,23 +40,40 @@ class BenchLadderSpec extends AnyFunSuite {
   private def tunedRung(k: Int): Option[Map[String, Double]] =
     rungFile(s"BENCH_x${k}_tuned.json")
 
-  private def rungFile(name: String): Option[Map[String, Double]] = {
+  private def rungBody(name: String): Option[String] = {
     val f = new java.io.File(name)
     if (!f.exists()) None
     else {
       val src = scala.io.Source.fromFile(f)
+      try Some(src.mkString) finally src.close()
+    }
+  }
+
+  private def rungFile(name: String): Option[Map[String, Double]] =
+    rungBody(name).map { body =>
       // scope to the "queries" object: the sidecar also carries a
       // "first_pass" map (raw pre-settle outlier timings) whose entries
       // must not shadow the settled values
-      try {
-        val body = src.mkString
-        val qBody = "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(body)
-          .map(_.group(1)).getOrElse(body)
-        Some(Timing.findAllMatchIn(qBody)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap)
-      } finally src.close()
+      val qBody = "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(body)
+        .map(_.group(1)).getOrElse(body)
+      Timing.findAllMatchIn(qBody)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
-  }
+
+  /** (warmup_sec total, per-derivation warmup map) of a committed rung. */
+  private def rungWarmup(name: String): Option[(Double, Map[String, Double])] =
+    rungBody(name).map { body =>
+      val total = "\"warmup_sec\":([0-9.]+)".r.findFirstMatchIn(body)
+        .map(_.group(1).toDouble).getOrElse(0.0)
+      val wBody = "\"warmup\":\\{([^}]*)\\}".r.findFirstMatchIn(body)
+        .map(_.group(1)).getOrElse("")
+      (total, "\"([a-zA-Z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(wBody)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+    }
+
+  private val AllRungNames =
+    Rungs.map(k => s"BENCH_x$k.json") ++
+      Seq(40, 64, 128).map(k => s"BENCH_x${k}_tuned.json")
 
   private val OutputBound = Set.empty[String]
 
@@ -101,6 +118,24 @@ class BenchLadderSpec extends AnyFunSuite {
       s"$label top-rung step exceeds the per-query bound:\n${bad.mkString("\n")}")
   }
 
+  /** Least-squares slope of log(time) on log(scale). */
+  private def fitSlope(pts: Seq[(Double, Double)]): Double = {
+    val n = pts.size
+    val mx = pts.map(_._1).sum / n
+    val my = pts.map(_._2).sum / n
+    pts.map { case (x, y) => (x - mx) * (y - my) }.sum /
+      pts.map { case (x, _) => (x - mx) * (x - mx) }.sum
+  }
+
+  /** Fit-floor = 3 s (r12 verdict item 2: the former 5 s floor left
+    * q_dup_excision's 1.76 tuned exponent un-adjudicated by 4 ms —
+    * 4.996 s at the top rung). Below it single-run timings are jitter-
+    * dominated (the committed settle records show sub-second re-run
+    * deltas of ±0.3 s, which alone swings a 2-second query's slope past
+    * the bound), so sub-3 s near-floor exponents are surfaced by the
+    * watch test below instead of adjudicated here. */
+  private val FitFloor = 3.0
+
   test("per-query growth exponent <= 1.35 across the committed ladder") {
     val present = Rungs.flatMap(k => rung(k).map(k -> _))
     assume(present.size >= 4, s"need >= 4 rungs, have ${present.size}")
@@ -110,16 +145,35 @@ class BenchLadderSpec extends AnyFunSuite {
       pts = present.map { case (k, m) => (math.log(k.toDouble),
         math.log(math.max(m(q), 0.01))) }
       // materiality: a query invisible at the top rung cannot be a
-      // scale story, and sub-second fits are pure noise
-      if present.last._2(q) > 5.0
-      n = pts.size
-      mx = pts.map(_._1).sum / n
-      my = pts.map(_._2).sum / n
-      slope = pts.map { case (x, y) => (x - mx) * (y - my) }.sum /
-        pts.map { case (x, _) => (x - mx) * (x - mx) }.sum
+      // scale story, and sub-FitFloor fits are noise (watched below)
+      if present.last._2(q) > FitFloor
+      slope = fitSlope(pts)
       if slope > 1.35
     } yield f"$q: exponent $slope%.2f (t(x${present.last._1}) = ${present.last._2(q)}%.1fs)"
     assert(bad.isEmpty, s"super-linear ladder growth:\n${bad.mkString("\n")}")
+  }
+
+  test("near-floor exponents are surfaced, not silent") {
+    // the watch half of r12 verdict item 2: a query whose top rung is
+    // under the fit floor but whose slope is already super-linear will
+    // trip the guard the first refresh it crosses the floor — this
+    // report makes that visible BEFORE it becomes a failure, so the
+    // adjudication (probe or fix) can happen with history in hand
+    for ((label, series) <- Seq(
+        "parity" -> Rungs.flatMap(k => rung(k).map(k -> _)),
+        "tuned" -> Seq(40, 64, 128).flatMap(k => tunedRung(k).map(k -> _)))
+        if series.size >= 2) {
+      val shared = series.map(_._2.keySet).reduce(_ intersect _)
+      val watch = for {
+        q <- shared.toSeq.sorted
+        top = series.last._2(q)
+        if top > 1.0 && top <= FitFloor
+        slope = fitSlope(series.map { case (k, m) =>
+          (math.log(k.toDouble), math.log(math.max(m(q), 0.01))) })
+        if slope > 1.35
+      } yield f"$q: $label exponent $slope%.2f at t(top) = $top%.2fs (under floor)"
+      watch.foreach(w => info(s"near-floor watch: $w"))
+    }
   }
 
   test("the TUNED operating-point series stays within its own growth bound") {
@@ -140,14 +194,9 @@ class BenchLadderSpec extends AnyFunSuite {
     val top = present.last._2
     val bad = for {
       q <- shared.toSeq.sorted
-      if top(q) > 5.0
-      pts = present.map { case (k, m) => (math.log(k.toDouble),
-        math.log(math.max(m(q), 0.01))) }
-      n = pts.size
-      mx = pts.map(_._1).sum / n
-      my = pts.map(_._2).sum / n
-      slope = pts.map { case (x, y) => (x - mx) * (y - my) }.sum /
-        pts.map { case (x, _) => (x - mx) * (x - mx) }.sum
+      if top(q) > FitFloor
+      slope = fitSlope(present.map { case (k, m) => (math.log(k.toDouble),
+        math.log(math.max(m(q), 0.01))) })
       if slope > 1.35
     } yield f"$q: tuned exponent $slope%.2f (t(x${present.last._1}) = ${top(q)}%.1fs)"
     assert(bad.isEmpty, s"tuned-series super-linear growth:\n${bad.mkString("\n")}")
@@ -167,6 +216,73 @@ class BenchLadderSpec extends AnyFunSuite {
   test("tuned-series top-rung step ratio is bounded per query") {
     assertTopStep(Seq(40, 64, 128).flatMap(k => tunedRung(k).map(k -> _)),
       "tuned")
+  }
+
+  test("every committed rung artifact carries corpus provenance") {
+    // r12 verdict item 1: the first _SUCCESS-verified corpus rebuild
+    // moved q_minhash_calibration's x128 parity rung 50.2 -> 99.0 s and
+    // the artifact could not say why — a cross-round level shift was
+    // indistinguishable from a regression. Every rung sidecar must now
+    // carry the generator rev (from the corpus _SUCCESS marker) and
+    // per-table row counts, and all rungs must have been built by the
+    // SAME generator — a mixed-generation ladder is not a ladder.
+    val present = AllRungNames.flatMap(n => rungBody(n).map(n -> _))
+    assume(present.nonEmpty, "no rung artifacts committed yet")
+    val GenRev = "\"generator_rev\":\"([A-Za-z0-9_-]+)\"".r
+    val revs = present.map { case (name, body) =>
+      val rev = GenRev.findFirstMatchIn(body).map(_.group(1))
+      assert(rev.exists(r => r.nonEmpty && r != "none"),
+        s"$name carries no generator_rev corpus provenance")
+      val docRows = "\"documents\":(\\d+)".r.findFirstMatchIn(
+        "\"rows\":\\{([^}]*)\\}".r.findFirstMatchIn(body)
+          .map(_.group(1)).getOrElse(""))
+        .map(_.group(1).toLong)
+      assert(docRows.exists(_ > 0),
+        s"$name carries no per-table corpus row counts")
+      name -> rev.get
+    }
+    assert(revs.map(_._2).distinct.size == 1,
+      s"rung corpora built by DIFFERENT generators: $revs")
+  }
+
+  /** Warmup growth contract (r12 verdict item 3): the skinny-frame
+    * memos deliberately move shared-family cost INTO warmup, which made
+    * warmup the one ladder slice no guard read — super-linear cost
+    * could migrate there unseen (tuned warmup hit 473.7 s at x128,
+    * 2.01x for 2x data, in r12). Same bounds as the query surface:
+    * whole-warmup rung-over-rung <= 1.1x the data ratio, and each
+    * attributed derivation's TOP step <= (kTop/kPrev)^2.0 above the 5 s
+    * floor (the measured single-sample ambient band calibration of
+    * assertTopStep applies to warmup stages equally). */
+  private def assertWarmup(present: Seq[(Int, (Double, Map[String, Double]))],
+                           label: String): Unit = {
+    assume(present.size >= 2, s"need >= 2 rungs with warmup, have ${present.size}")
+    for (Seq((k1, (t1, _)), (k2, (t2, _))) <- present.sliding(2)) {
+      val dataRatio = k2.toDouble / k1
+      assert(t2 / t1 <= dataRatio * 1.1,
+        f"$label warmup grew ${t2 / t1}%.2fx for ${dataRatio}%.1fx data (x$k1 -> x$k2)")
+    }
+    val Seq((kPrev, (_, mPrev)), (kTop, (_, mTop))) = present.takeRight(2)
+    val bound = math.pow(kTop.toDouble / kPrev, 2.0)
+    val bad = for {
+      s <- (mPrev.keySet intersect mTop.keySet).toSeq.sorted
+      if mTop(s) > 5.0 && mPrev(s) > 0
+      r = mTop(s) / mPrev(s)
+      if r > bound
+    } yield f"$s: x$kPrev->x$kTop warmup step $r%.2fx " +
+      f"(bound $bound%.2fx, t(x$kTop) = ${mTop(s)}%.1fs)"
+    assert(bad.isEmpty,
+      s"$label warmup stage exceeds the top-step bound:\n${bad.mkString("\n")}")
+  }
+
+  test("parity-series warmup stays inside the growth contract") {
+    assertWarmup(Rungs.flatMap(k =>
+      rungWarmup(s"BENCH_x$k.json").map(k -> _)), "parity")
+  }
+
+  test("tuned-series warmup stays inside the growth contract") {
+    assertWarmup(Seq(40, 64, 128).flatMap(k =>
+      rungWarmup(s"BENCH_x${k}_tuned.json").map(k -> _)), "tuned")
   }
 
   test("whole-surface totals stay sub-linear rung over rung") {
