@@ -99,6 +99,19 @@ object IncrementalDedup {
         graft.expressions.NgramHashes.ngram_hashes(col("text"), n)).as("ngh"))
       .distinct()
 
+  /** The crawl's n-gram-index DELTA: its distinct hashes not already
+    * indexed. Appending these to the ngram table yields exactly
+    * ngramIndex(corpus ∪ crawl) — hashes are row-local and the
+    * anti-join removes the only possible overlap, so no existing row
+    * changes (the [[indexDelta]] append invariant, pinned for this
+    * table in IncrementalDedupSpec). The excision ingest cadence
+    * appends this alongside the three [[indexDelta]] tables; between
+    * ingests the table is read-only, and [[compactIndex]]-style file
+    * folding applies unchanged (plain single-column parquet). */
+  def ngramDelta(crawl: DataFrame, ngramIdx: DataFrame,
+                 n: Int = 5): DataFrame =
+    ngramIndex(crawl, n).join(ngramIdx, Seq("ngh"), "left_anti")
+
   /** Skinny minhash band index over an ALREADY-COMPUTED signature
     * table: (band, band_key, doc_id). */
   def bandRows(sigs: DataFrame): DataFrame =

@@ -1,11 +1,9 @@
 package graft.streaming
 
-import java.nio.charset.StandardCharsets
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import graft.expressions.{ExciseSpans, NgramHashes}
+import graft.expressions.NgramHashes
 import graft.functions.TextAnalytics
 
 /** Streaming BOILERPLATE STRIP — the twin of q_boilerplate_strip (r12
@@ -60,11 +58,8 @@ object StripStream {
   /** The streaming strip: one base row per doc (carrying its text) plus
     * one row per boilerplate-hit position from the stream-static join,
     * collapsed per doc_id through a flatMapGroupsWithState that never
-    * writes state. The collapse is the row-local mirror of the batch
-    * islands chain: sorted hit positions -> maximal consecutive runs ->
-    * inclusive token spans [p0, pLast + n - 1] -> the shared
-    * [[ExciseSpans]] kernel, with kept_tokens from the same merged
-    * running-max coverage fold [[TextAnalytics.exciseSpanFrame]] runs. */
+    * writes state. The collapse is [[SpanKernel.excise]] — the shared
+    * row-local mirror of the batch islands→pack→excise chain. */
   def stripStream(docs: DataFrame, set: DataFrame,
                   n: Int = StripN): Dataset[Stripped] = {
     import docs.sparkSession.implicits._
@@ -83,33 +78,9 @@ object StripStream {
                  state: GroupState[Boolean]): Iterator[Stripped] = {
       val rs = rows.toList
       rs.find(_.is_base).map { b =>
-        val positions = rs.filter(!_.is_base).map(_.pos).sorted
-        // islands: maximal runs of consecutive positions -> token spans
-        val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-        var i = 0
-        while (i < positions.length) {
-          var j = i
-          while (j + 1 < positions.length && positions(j + 1) == positions(j) + 1)
-            j += 1
-          spans += ((positions(i), positions(j) + n - 1))
-          i = j + 1
-        }
-        val packed = new GenericArrayData(
-          spans.toArray.flatMap(t => Array(t._1, t._2)))
-        val bytes = b.text.getBytes(StandardCharsets.UTF_8)
-        val cleaned = ExciseSpans.excise(bytes, packed).toString
-        val nTokens = (bytes.count(_ == ' ') + 1).toLong
-        // merged coverage fold (spans are disjoint in position space but
-        // can overlap in token coverage when the gap is under n) — the
-        // exciseSpanFrame arithmetic, row-local
-        var covered = 0L
-        var mx = -1L
-        for ((s, e) <- spans) {
-          covered += math.max(0L, e - math.max(s, mx + 1) + 1)
-          mx = math.max(mx, e)
-        }
-        Stripped(id, b.source, cleaned, nTokens, nTokens - covered,
-          (bytes.length - cleaned.getBytes(StandardCharsets.UTF_8).length).toLong)
+        val (cleaned, nTokens, kept, bytesRemoved) = SpanKernel.excise(
+          b.text, rs.filter(!_.is_base).map(_.pos).sorted, n)
+        Stripped(id, b.source, cleaned, nTokens, kept, bytesRemoved)
       }.iterator
     }
 

@@ -424,6 +424,25 @@ object StreamBench {
       }
     }
 
+    // --- cross-crawl span excision: the frozen corpus n-gram index is
+    // the versioned state (the lake's fourth table); per-doc collapse
+    // never writes state — zero retained rows is the contract
+    run("incremental_excise") {
+      val split = IncrementalDedup.splitAt(fixtureDocs)
+      val ngramIdx = IncrementalDedup.ngramIndex(
+        fixtureDocs.filter($"doc_id" <= split)).localCheckpoint()
+      val input = MemoryStream[(Long, String)]
+      val q = ExciseStream.exciseStream(
+          input.toDF().toDF("doc_id", "text"), ngramIdx)
+        .writeStream.format("noop").outputMode("update").start()
+      drain(input, q, batches) { b =>
+        (0 until docBatch).map { i =>
+          val id = 1000000L + b.toLong * docBatch + i
+          id -> textOf(id)
+        }
+      }
+    }
+
     def fmt(d: Double): String = f"$d%.3f"
     // JSON-escape the note text (r12 ADVICE 2): the current constants
     // are clean, but a future annotation containing a quote, backslash,

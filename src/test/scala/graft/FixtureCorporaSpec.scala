@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.FixtureCorpora
+
+/** The dirty-fixture read path (r12 verdict item 6): a corpus dir
+  * carrying generator-written `documents_pii.parquet` /
+  * `documents_templated.parquet` must be read COLD by the audit→apply
+  * queries — the bench/ladder evidence depends on the fixture tables
+  * actually being used, not silently re-derived. Pins: (1) a
+  * generator-faithful fixture dir produces bitwise the same results as
+  * the read-only-testdata derivation fallback, (2) the fixture takes
+  * PRECEDENCE over the derivation (a poisoned fixture shows up in the
+  * output), which also proves (1) is not vacuous. */
+class FixtureCorporaSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+
+  /** A corpus dir with documents + the two fixture tables, `poison`
+    * optionally rewriting one PII-fixture doc's text to a sentinel. */
+  private def fixtureDir(name: String, poison: Boolean): String = {
+    val dir = s"/tmp/graft_fixture_spec_$name"
+    val d = new java.io.File(dir)
+    if (!new java.io.File(d, "documents.parquet").exists()) {
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val pii = FixtureCorpora.piiDirty(docs)
+      val piiOut =
+        if (poison) pii.withColumn("text",
+          when(col("doc_id") === 0, lit("poisoned fixture sentinel"))
+            .otherwise(col("text")))
+        else pii
+      piiOut.write.mode("overwrite")
+        .parquet(s"$dir/${FixtureCorpora.PiiTable}.parquet")
+      FixtureCorpora.templated(docs).write.mode("overwrite")
+        .parquet(s"$dir/${FixtureCorpora.TemplatedTable}.parquet")
+    }
+    dir
+  }
+
+  private def rows(q: String, dir: String): Seq[Seq[Any]] =
+    SparkEntry.queries(q)(spark, dir).collect().map(_.toSeq.toVector).toSeq
+
+  test("a generator-faithful fixture dir == the derivation fallback bitwise") {
+    val dir = fixtureDir("clean", poison = false)
+    for (q <- Seq("q_pii_redact", "q_pii_scan", "q_boilerplate_strip",
+        "q_boilerplate_rollup")) {
+      assert(rows(q, dir) == rows(q, TestSpark.Sf0001),
+        s"$q diverged between fixture read and derivation fallback")
+    }
+  }
+
+  test("the fixture table takes precedence over the derivation") {
+    val dir = fixtureDir("poison", poison = true)
+    val redacted = SparkEntry.queries("q_pii_redact")(spark, dir)
+      .filter(col("doc_id") === 0).collect()
+    assert(redacted.length == 1 &&
+      redacted(0).getString(1) == "poisoned fixture sentinel",
+      "q_pii_redact ignored the fixture table — the cold-read path is dead")
+  }
+}

@@ -114,6 +114,24 @@ class IncrementalDedupSpec extends AnyFunSuite {
       sigSet(IncrementalDedup.sigIndex(union)))
   }
 
+  test("ngram-index append invariant: corpus index + crawl delta == union index") {
+    // the lake's FOURTH table (span-level excision's probe side): the
+    // same append contract as the other three — delta rows are new
+    // hashes only, so appending reproduces the from-scratch union index
+    // exactly and no existing row changes
+    val idx = IncrementalDedup.ngramIndex(corpusDocs)
+    val delta = IncrementalDedup.ngramDelta(crawlDocs, idx)
+    val got = idx.unionByName(delta).as[Long].collect().toSet
+    val want = IncrementalDedup.ngramIndex(
+      corpusDocs.unionByName(crawlDocs)).as[Long].collect().toSet
+    assert(got === want)
+    // the delta is disjoint from the index (append-only: nothing rewrites)
+    assert(delta.join(idx, Seq("ngh"), "left_semi").count() === 0L)
+    // and crawl hashes already present do NOT reappear in the delta
+    assert(delta.count() < IncrementalDedup.ngramIndex(crawlDocs).count(),
+      "crawl shares 5-grams with the corpus by fixture construction")
+  }
+
   private def writeIndex(corpus: DataFrame, dir: String): Unit = {
     val (ex, bi, si) = corpusIndex(corpus)
     ex.write.parquet(s"$dir/exact")

@@ -58,6 +58,7 @@ class StreamBenchSpec extends AnyFunSuite {
       // with NO state operator; the strip collapse never writes state
       "pii_redact" -> ((0L, "stateless row-local redaction")),
       "boiler_strip" -> ((0L, "zero-retained-rows strip collapse")),
+      "incremental_excise" -> ((0L, "zero-retained-rows excision collapse")),
       // keyed state with an explicit structural cap
       "retrieval_topk" -> ((StreamBench.RetrievalQueries.toLong,
         "one k-bounded entry list per query")),
