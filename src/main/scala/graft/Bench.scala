@@ -301,11 +301,16 @@ object Bench {
     // sample below 1.5x that inflated prediction — but far above 10x
     // the run's median — is exactly the outlier class the fallback
     // existed to catch. Either condition settles.
+    // ONE predicate shared by the trigger and the settle-record
+    // attribution below — a second hand-copied comparison could drift
+    // and label re-runs with the wrong trigger
+    def firesVs(sec: Double, baseline: Double): Boolean =
+      sec - baseline >= 0.3 && sec >= 1.5 * baseline
     def isOutlier(name: String, sec: Double): Boolean =
       !failed(name) && !prevFailed(name) && (prev.get(name) match {
-        case Some(p) if p > 0 => sec - p >= 0.3 && sec >= 1.5 * p
+        case Some(p) if p > 0 => firesVs(sec, p)
         case _ =>
-          predicted(name).exists(p => sec - p >= 0.3 && sec >= 1.5 * p) ||
+          predicted(name).exists(firesVs(sec, _)) ||
             sec >= math.max(10 * med, 5.0)
       })
     val qmap = SparkEntry.queries
@@ -360,8 +365,7 @@ object Bench {
         val (trigger, pred) =
           if (prev.get(name).exists(_ > 0)) ("prev", None)
           else predicted(name) match {
-            case Some(p) if first - p >= 0.3 && first >= 1.5 * p =>
-              ("extrapolation", Some(p))
+            case Some(p) if firesVs(first, p) => ("extrapolation", Some(p))
             case other => ("median", other)
           }
         System.err.println(f"[bench_settle] $name: first=${first}%.3f " +

@@ -664,9 +664,7 @@ object SparkEntry {
       val admitted = docs(s, dir).filter(col("doc_id") > split)
         .join(incAdmissionsOf(s, dir).filter(col("outcome") === "admitted")
           .select(col("doc_id")), Seq("doc_id"), "left_semi")
-      TextAnalytics.applyExcision(admitted,
-          TextAnalytics.exciseSpanFrame(
-            TextAnalytics.indexedRunFrame(admitted, incNgramIdxOf(s, dir)), 5L))
+      TextAnalytics.exciseAgainstIndex(admitted, incNgramIdxOf(s, dir))
         .orderBy(col("doc_id"))
     }),
     // estimator calibration: minhash est vs the TRUE full-shingle

@@ -1624,6 +1624,19 @@ object TextAnalytics {
     runsOf(positions, n)
   }
 
+  /** The cross-crawl excision APPLY body — `applyExcision ∘
+    * exciseSpanFrame ∘ indexedRunFrame` with the span floor at the
+    * shingle width (a no-op floor: a single duplicated n-gram already
+    * covers n tokens, the [[exciseDupSpans]] convention). ONE
+    * definition shared by the q_incremental_excision operator and the
+    * streaming twin's batch baseline
+    * ([[graft.streaming.ExciseStream.exciseBatch]]), so the two cannot
+    * drift. */
+  def exciseAgainstIndex(docs: DataFrame, ngramIdx: DataFrame,
+                         n: Int = 5): DataFrame =
+    applyExcision(docs,
+      exciseSpanFrame(indexedRunFrame(docs, ngramIdx, n), n.toLong))
+
   /** Shared detect core of [[dupSpans]] / [[exciseDupSpans]]: the
     * (doc_id, pos) stream of n-gram START positions whose n-gram occurs
     * in at least one OTHER document (df over per-doc-distinct hashes

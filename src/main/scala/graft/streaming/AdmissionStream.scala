@@ -134,6 +134,14 @@ object AdmissionStream {
     def collapse(id: Long, rows: Iterator[Marker],
                  state: GroupState[Boolean]): Iterator[Verdict] = {
       val rs = rows.toList
+      // doc_id is the append-only unique ingest key (a re-crawled page
+      // arrives under a NEW id — the recrawl fixture in
+      // AdmissionStreamSpec): two same-id docs in one micro-batch would
+      // collapse to one verdict over the union of both docs' markers —
+      // fail loudly instead of silently merging
+      require(rs.count(_.is_base) <= 1,
+        s"duplicate doc_id $id within a micro-batch — the admission " +
+          "gate requires the append-only unique ingest key")
       rs.find(_.is_base).map { b =>
         val outcome =
           if (b.exact_dup) "exact_dup"

@@ -44,13 +44,11 @@ object ExciseStream {
                      kept_tokens: Long, bytes_removed: Long)
 
   /** Batch form against the frozen index — the equivalence baseline for
-    * the stream and exactly the q_incremental_excision operator body
-    * (`applyExcision ∘ exciseSpanFrame ∘ indexedRunFrame`). */
+    * the stream and LITERALLY the q_incremental_excision operator body
+    * ([[TextAnalytics.exciseAgainstIndex]], one shared definition). */
   def exciseBatch(docs: DataFrame, ngramIdx: DataFrame,
                   n: Int = ExciseN): DataFrame =
-    TextAnalytics.applyExcision(docs,
-      TextAnalytics.exciseSpanFrame(
-        TextAnalytics.indexedRunFrame(docs, ngramIdx, n), n.toLong))
+    TextAnalytics.exciseAgainstIndex(docs, ngramIdx, n)
 
   /** The streaming excision: one base row per doc (carrying its text)
     * plus one row per index-hit position from the stream-static join,
@@ -73,6 +71,15 @@ object ExciseStream {
     def collapse(id: Long, rows: Iterator[Piece],
                  state: GroupState[Boolean]): Iterator[Excised] = {
       val rs = rows.toList
+      // doc_id is the append-only INGEST KEY (a re-crawled page arrives
+      // under a new id — the AdmissionStream recrawl contract): two
+      // same-id rows in one micro-batch would merge both texts' hit
+      // positions onto one arbitrary base — silent corruption. Fail the
+      // query loudly instead; the batch form degrades the same way for
+      // a non-unique key, so uniqueness is the shared contract.
+      require(rs.count(_.is_base) <= 1,
+        s"duplicate doc_id $id within a micro-batch — the excision " +
+          "stream requires the append-only unique ingest key")
       rs.find(_.is_base).map { b =>
         val (cleaned, nTokens, kept, bytesRemoved) = SpanKernel.excise(
           b.text, rs.filter(!_.is_base).map(_.pos).sorted, n)

@@ -14,10 +14,14 @@ import graft.expressions.ExciseSpans
   * (or from the batch arithmetic) independently. */
 private[streaming] object SpanKernel {
 
-  /** @param positions sorted 0-based n-gram start positions with a hit
+  /** @param sortedPositions sorted 0-based n-gram start positions with a hit
     * @return (cleaned_text, n_tokens, kept_tokens, bytes_removed) */
-  def excise(text: String, positions: Seq[Long],
+  def excise(text: String, sortedPositions: Seq[Long],
              n: Int): (String, Long, Long, Long) = {
+    // indexed access: callers hand a List whose apply is O(i) — the
+    // nested position loops below would make a heavily-duplicated
+    // document O(positions^2) in the streaming hot path
+    val positions = sortedPositions.toArray
     val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     var i = 0
     while (i < positions.length) {

@@ -77,6 +77,12 @@ object StripStream {
     def collapse(id: Long, rows: Iterator[Piece],
                  state: GroupState[Boolean]): Iterator[Stripped] = {
       val rs = rows.toList
+      // doc_id is the append-only unique ingest key (the ExciseStream
+      // contract): same-id rows in one micro-batch would merge both
+      // texts' hit positions onto one arbitrary base — fail loudly
+      require(rs.count(_.is_base) <= 1,
+        s"duplicate doc_id $id within a micro-batch — the strip " +
+          "stream requires the append-only unique ingest key")
       rs.find(_.is_base).map { b =>
         val (cleaned, nTokens, kept, bytesRemoved) = SpanKernel.excise(
           b.text, rs.filter(!_.is_base).map(_.pos).sorted, n)

@@ -60,15 +60,19 @@ class BenchLadderSpec extends AnyFunSuite {
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
 
-  /** (warmup_sec total, per-derivation warmup map) of a committed rung. */
+  /** (warmup_sec total, per-derivation warmup map) of a committed rung.
+    * None when the artifact carries no warmup_sec — an absent field
+    * must surface as a missing rung, not as a 0.0 that turns the ratio
+    * checks into NaN/Infinity false reports. */
   private def rungWarmup(name: String): Option[(Double, Map[String, Double])] =
-    rungBody(name).map { body =>
+    rungBody(name).flatMap { body =>
       val total = "\"warmup_sec\":([0-9.]+)".r.findFirstMatchIn(body)
-        .map(_.group(1).toDouble).getOrElse(0.0)
+        .map(_.group(1).toDouble)
       val wBody = "\"warmup\":\\{([^}]*)\\}".r.findFirstMatchIn(body)
         .map(_.group(1)).getOrElse("")
-      (total, "\"([a-zA-Z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(wBody)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+      total.filter(_ > 0).map(t =>
+        (t, "\"([a-zA-Z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(wBody)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap))
     }
 
   private val AllRungNames =

@@ -98,9 +98,7 @@ class ExcisionSpec extends AnyFunSuite {
     val crawl = docs.filter(col("doc_id") > split)
     val idx = graft.operators.IncrementalDedup.ngramIndex(
       docs.filter(col("doc_id") <= split))
-    val got = TextAnalytics.applyExcision(crawl,
-        TextAnalytics.exciseSpanFrame(
-          TextAnalytics.indexedRunFrame(crawl, idx), 5L))
+    val got = TextAnalytics.exciseAgainstIndex(crawl, idx)
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).toMap
     val want = all.filter(_._1 > split).map { case (id, text) =>

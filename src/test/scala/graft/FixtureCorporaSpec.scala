@@ -20,23 +20,24 @@ class FixtureCorporaSpec extends AnyFunSuite {
   private def docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
 
   /** A corpus dir with documents + the two fixture tables, `poison`
-    * optionally rewriting one PII-fixture doc's text to a sentinel. */
+    * optionally rewriting one PII-fixture doc's text to a sentinel.
+    * REBUILT on every suite run — reusing on bare existence would read
+    * a fixture minted by an older FixtureCorpora (the exact
+    * bare-existence trap ladder_refresh keys content hashes against),
+    * failing the equivalence test spuriously after a derivation edit. */
   private def fixtureDir(name: String, poison: Boolean): String = {
     val dir = s"/tmp/graft_fixture_spec_$name"
-    val d = new java.io.File(dir)
-    if (!new java.io.File(d, "documents.parquet").exists()) {
-      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      val pii = FixtureCorpora.piiDirty(docs)
-      val piiOut =
-        if (poison) pii.withColumn("text",
-          when(col("doc_id") === 0, lit("poisoned fixture sentinel"))
-            .otherwise(col("text")))
-        else pii
-      piiOut.write.mode("overwrite")
-        .parquet(s"$dir/${FixtureCorpora.PiiTable}.parquet")
-      FixtureCorpora.templated(docs).write.mode("overwrite")
-        .parquet(s"$dir/${FixtureCorpora.TemplatedTable}.parquet")
-    }
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pii = FixtureCorpora.piiDirty(docs)
+    val piiOut =
+      if (poison) pii.withColumn("text",
+        when(col("doc_id") === 0, lit("poisoned fixture sentinel"))
+          .otherwise(col("text")))
+      else pii
+    piiOut.write.mode("overwrite")
+      .parquet(s"$dir/${FixtureCorpora.PiiTable}.parquet")
+    FixtureCorpora.templated(docs).write.mode("overwrite")
+      .parquet(s"$dir/${FixtureCorpora.TemplatedTable}.parquet")
     dir
   }
 
