@@ -40,10 +40,54 @@ private class ProfListener extends SparkListener {
 }
 
 object Bench {
+  /** Measurement-protocol version stamped into every sidecar, so a
+    * cross-round artifact diff can attribute level shifts to protocol
+    * changes instead of code (r13 ADVICE 1). History:
+    *  - (unstamped, r13): corpus provenance block added — the _SUCCESS
+    *    read + per-table parquet count() runs BEFORE the warmup timer,
+    *    pre-warming filesystem/footer/session state earlier rungs'
+    *    warmup_sec was measured without. An artifact carrying a
+    *    "corpus" block but no "protocol" field is this generation.
+    *  - 2 (r14): per-settle-entry ambient self-attribution (first_load/
+    *    first_gc_ms for the first pass, load/gc_ms for the re-run) and
+    *    the run-level "contended" flag — the r13 graded run's 4-9x
+    *    c-d-alphabet inflations needed cross-run forensics because the
+    *    settle protocol cannot exonerate contention that outlasts the
+    *    whole run; these fields make such a run classify itself. */
+  private[graft] val Protocol = 2
+
   /** 3 decimal places: millisecond resolution keeps the one-line JSON
     * ~2.5 KB for 100+ queries — BENCH_r03.json was tail-truncated by the
     * driver's capture because full-precision doubles tripled the line. */
-  private def fmt(sec: Double): String = f"$sec%.3f"
+  private[graft] def fmt(sec: Double): String = f"$sec%.3f"
+
+  /** Per-query settle provenance (r10 verdict item 2) extended with
+    * ambient self-attribution (r13 verdict item 1): first/settled times
+    * and the kept/trigger story as before, PLUS the 1-minute system
+    * load at the start of each timed run and the bench-JVM GC delta
+    * across it — for both the first pass and the isolated re-run. A
+    * `kept:first_lower` entry whose first_load/load both sit near the
+    * core count now reads as ambient contention in-artifact (the r13
+    * case: driver start load 19.7 on 32 cores, contention outlasting
+    * the settle phase), while the same entry at idle load is a genuine
+    * regression signal. Rendering lives here, not inline in main, so
+    * BenchLadderSpec can assert the fields exist without a bench run. */
+  private[graft] case class Settle(first: Double, settled: Double,
+      nReruns: Int, kept: String, trigger: String, pred: Option[Double],
+      firstLoad: Double, firstGcMs: Long, rerunLoad: Double,
+      rerunGcMs: Long) {
+    def json: String =
+      "{\"first\":" + fmt(first) +
+        ",\"settled\":" + fmt(settled) +
+        ",\"n_reruns\":" + nReruns +
+        ",\"kept\":\"" + kept + "\"" +
+        ",\"trigger\":\"" + trigger + "\"" +
+        pred.map(p => ",\"pred\":" + fmt(p)).getOrElse("") +
+        ",\"first_load\":" + fmt(firstLoad) +
+        ",\"first_gc_ms\":" + firstGcMs +
+        ",\"load\":" + fmt(rerunLoad) +
+        ",\"gc_ms\":" + rerunGcMs + "}"
+  }
 
   private val QueryTiming = "\"(q_[a-zA-Z0-9_]+)\"\\s*:\\s*([0-9.]+)".r
 
@@ -201,8 +245,16 @@ object Bench {
     // noop sink: materializes every output row/column (count() would let
     // Catalyst prune the query down to a row count)
     val failed = scala.collection.mutable.LinkedHashSet[String]()
+    // per-query first-pass ambient markers (load at query start, GC
+    // delta across it) — published only for settled queries, so the
+    // one-line sidecar stays bounded while every re-run attributes its
+    // own first pass
+    val firstMarkers =
+      scala.collection.mutable.LinkedHashMap[String, (Double, Long)]()
     type QFn = (SparkSession, String) => org.apache.spark.sql.DataFrame
     def timeQuery(name: String, fn: QFn): Double = {
+      val load0 = loadAvg()
+      val gc0 = gcMs()
       val t0 = System.nanoTime()
       try profiled(name)(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
       catch {
@@ -210,6 +262,7 @@ object Bench {
           failed += name
           System.err.println(s"[bench] $name: $e")
       }
+      firstMarkers(name) = (load0, gcMs() - gc0)
       (System.nanoTime() - t0) / 1e9
     }
     val gcQ0 = gcMs()
@@ -328,8 +381,6 @@ object Bench {
     // sidecar), "extrapolation" (cross-rung power-law prediction, with
     // the predicted seconds), or "median" (the no-baseline fallback) —
     // so a fresh-rung settle record attributes itself in-artifact
-    case class Settle(first: Double, settled: Double, nReruns: Int,
-                      kept: String, trigger: String, pred: Option[Double])
     val settled = scala.collection.mutable.LinkedHashMap[String, Settle]()
     val gcS0 = gcMs()
     // settle-local timing (r9 ADVICE): a FAILED re-run must not mark a
@@ -338,17 +389,23 @@ object Bench {
     // and report the flake on stderr. NonFatal only (r10 ADVICE): an
     // OOM or interrupt in the settle phase is an environment problem the
     // graded artifact must not paper over — let it kill the run.
-    def timeSettle(name: String, fn: QFn): Option[Double] = {
+    // Returns (seconds-if-succeeded, load at start, GC delta) — the
+    // re-run's own ambient markers for the Settle record.
+    def timeSettle(name: String, fn: QFn): (Option[Double], Double, Long) = {
+      val load0 = loadAvg()
+      val gc0 = gcMs()
       val t0 = System.nanoTime()
-      try {
-        profiled(name)(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
-        Some((System.nanoTime() - t0) / 1e9)
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench_settle] $name re-run FAILED " +
-            s"(keeping first-pass time): $e")
-          None
-      }
+      val sec =
+        try {
+          profiled(name)(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench_settle] $name re-run FAILED " +
+              s"(keeping first-pass time): $e")
+            None
+        }
+      (sec, load0, gcMs() - gc0)
     }
     val results = firstPass.map { case (name, first) =>
       if (isOutlier(name, first)) {
@@ -357,7 +414,7 @@ object Bench {
         // multi-rerun protocol changes this list, and the artifact
         // follows
         val attempts = List(timeSettle(name, qmap(name)))
-        val second = attempts.flatten.minOption
+        val second = attempts.flatMap(_._1).minOption
         // attribution matches the (now combined) trigger: a prediction
         // that exists but did NOT fire — the median fallback caught it —
         // is labeled "median" with the prediction still recorded, so the
@@ -378,7 +435,9 @@ object Bench {
           case Some(_) => "first_lower"
         }
         val value = second.fold(first)(math.min(first, _))
-        settled += name -> Settle(first, value, attempts.size, kept, trigger, pred)
+        val (fLoad, fGc) = firstMarkers.getOrElse(name, (-1.0, -1L))
+        settled += name -> Settle(first, value, attempts.size, kept, trigger,
+          pred, fLoad, fGc, attempts.last._2, attempts.last._3)
         name -> value
       } else name -> first
     }
@@ -393,20 +452,20 @@ object Bench {
     // it); "settle" carries the full provenance per re-run query
     val firstPassJson = settled.map { case (k, s) => "\"" + k + "\":" + fmt(s.first) }
       .mkString("{", ",", "}")
-    val settleJson = settled.map { case (k, s) =>
-      "\"" + k + "\":{\"first\":" + fmt(s.first) +
-        ",\"settled\":" + fmt(s.settled) +
-        ",\"n_reruns\":" + s.nReruns +
-        ",\"kept\":\"" + s.kept + "\"" +
-        ",\"trigger\":\"" + s.trigger + "\"" +
-        s.pred.map(p => ",\"pred\":" + fmt(p)).getOrElse("") + "}"
-    }.mkString("{", ",", "}")
+    val settleJson = settled.map { case (k, s) => "\"" + k + "\":" + s.json }
+      .mkString("{", ",", "}")
     // markers: GC time per phase, heap ceiling, and system load at both
-    // ends — the graded artifact carries its own ambient-noise evidence
+    // ends — the graded artifact carries its own ambient-noise evidence.
+    // "contended" (r13 verdict item 1's run-level half): start load
+    // above half the run's core count means every first-pass timing ran
+    // against sustained external competition — a run-level caveat the
+    // per-settle load/gc fields then attribute query by query.
+    val contended = loadStart > cpus.toDouble / 2
     val markers = s""""warmup_gc_ms":$warmupGcMs,"queries_gc_ms":$mainPassGcMs,""" +
       s""""settle_gc_ms":$settleGcMs,""" +
       s""""heap_max_mb":${Runtime.getRuntime.maxMemory() / (1 << 20)},""" +
-      s""""load_avg":[${fmt(loadStart)},${fmt(loadEnd)}]"""
+      s""""load_avg":[${fmt(loadStart)},${fmt(loadEnd)}],""" +
+      s""""cpus":$cpus,"contended":$contended,"protocol":$Protocol"""
     // per-derivation warmup attribution (r9 verdict item 2): warmup_sec
     // was the last unattributed slice of the graded artifact — publish
     // its composition so bench_diff.py can report warmup deltas the way

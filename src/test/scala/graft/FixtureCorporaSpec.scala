@@ -25,7 +25,8 @@ class FixtureCorporaSpec extends AnyFunSuite {
     * a fixture minted by an older FixtureCorpora (the exact
     * bare-existence trap ladder_refresh keys content hashes against),
     * failing the equivalence test spuriously after a derivation edit. */
-  private def fixtureDir(name: String, poison: Boolean): String = {
+  private def fixtureDir(name: String, poison: Boolean,
+                         marker: Boolean = true): String = {
     val dir = s"/tmp/graft_fixture_spec_$name"
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val pii = FixtureCorpora.piiDirty(docs)
@@ -38,6 +39,13 @@ class FixtureCorporaSpec extends AnyFunSuite {
       .parquet(s"$dir/${FixtureCorpora.PiiTable}.parquet")
     FixtureCorpora.templated(docs).write.mode("overwrite")
       .parquet(s"$dir/${FixtureCorpora.TemplatedTable}.parquet")
+    // the corpus-dir completion marker ladder_refresh writes after
+    // BenchAtScale finishes — the fixture read path is gated on it
+    val m = new java.io.File(dir, "_SUCCESS")
+    if (marker) {
+      val w = new java.io.PrintWriter(m, "UTF-8")
+      try w.println("spec-fixture") finally w.close()
+    } else m.delete()
     dir
   }
 
@@ -60,5 +68,19 @@ class FixtureCorporaSpec extends AnyFunSuite {
     assert(redacted.length == 1 &&
       redacted(0).getString(1) == "poisoned fixture sentinel",
       "q_pii_redact ignored the fixture table — the cold-read path is dead")
+  }
+
+  test("a fixture dir without the _SUCCESS marker falls back to the derivation") {
+    // r13 ADVICE 2: precedence is absolute only for COMPLETE corpora —
+    // a fixture dir missing the completion marker (an interrupted
+    // manual BenchAtScale run, a partial copy) must not be preferred.
+    // The poisoned fixture is present but unmarked, so the clean
+    // derivation must win.
+    val dir = fixtureDir("unmarked", poison = true, marker = false)
+    val redacted = SparkEntry.queries("q_pii_redact")(spark, dir)
+      .filter(col("doc_id") === 0).collect()
+    assert(redacted.length == 1 &&
+      redacted(0).getString(1) != "poisoned fixture sentinel",
+      "an unmarked (possibly partial) fixture dir was read over the derivation")
   }
 }
