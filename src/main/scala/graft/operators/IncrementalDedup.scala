@@ -105,12 +105,58 @@ object IncrementalDedup {
     * anti-join removes the only possible overlap, so no existing row
     * changes (the [[indexDelta]] append invariant, pinned for this
     * table in IncrementalDedupSpec). The excision ingest cadence
-    * appends this alongside the three [[indexDelta]] tables; between
-    * ingests the table is read-only, and [[compactIndex]]-style file
-    * folding applies unchanged (plain single-column parquet). */
+    * appends this alongside the three [[indexDelta]] tables
+    * ([[ingestBatch]]'s ngramDir); between ingests the table is
+    * read-only, and [[compactNgramIndex]] folds the accumulated
+    * per-crawl files (plain single-column parquet). */
   def ngramDelta(crawl: DataFrame, ngramIdx: DataFrame,
                  n: Int = 5): DataFrame =
     ngramIndex(crawl, n).join(ngramIdx, Seq("ngh"), "left_anti")
+
+  /** Default bucket count of the BUCKETED ngram-lake layout — the scale
+    * knob: at 100 TB the table holds ~one row per distinct corpus
+    * n-gram, so production deployments size this so each bucket's hash
+    * side fits one task's build memory (thousands of buckets); the
+    * default matches [[SnapshotLake.writeBucketed]]'s snapshot-scale
+    * default. */
+  val NgramBuckets = 8
+
+  /** The PROBE layout of the ngram table (r13 verdict item 2): hash-
+    * bucketed on `ngh` via [[SnapshotLake.writeBucketed]], so the
+    * per-crawl excision probe
+    * ([[graft.functions.TextAnalytics.indexedRunFrame]]) reads the
+    * index side pre-partitioned and shuffles ONLY the crawl's
+    * positional n-gram stream — the plain-parquet layout re-shuffled
+    * the corpus-proportional index side on every ingest cadence
+    * (plan-asserted exchange-free in IncrementalDedupSpec). Rebuilt
+    * from the append-cadence dir at compaction time, the
+    * [[rankedIndex]] cadence contract: the plain dir takes the daily
+    * [[ngramDelta]] appends, this table serves probe-heavy windows. */
+  def writeNgramBucketed(idx: DataFrame, table: String,
+                         buckets: Int = NgramBuckets): Unit =
+    SnapshotLake.writeBucketed(idx.select(col("ngh")), table, buckets,
+      Seq("ngh"))
+
+  /** Append a crawl's [[ngramDelta]] to the bucketed probe table:
+    * bucketed appends write their own per-bucket files, so bucket-join
+    * exchange elimination survives (per-bucket file count grows until
+    * the next [[writeNgramBucketed]] rebuild folds it). */
+  def appendNgramBucketed(delta: DataFrame, table: String,
+                          buckets: Int = NgramBuckets): Unit =
+    delta.select(col("ngh")).write.mode("append")
+      .bucketBy(buckets, "ngh").sortBy("ngh")
+      .format("parquet").saveAsTable(table)
+
+  /** File folding for the append-cadence ngram dir (r13 verdict item 5:
+    * the scaladoc claimed compactIndex-style folding "applies
+    * unchanged" — this is that claim made real): same
+    * [[SnapshotLake.swapInPlace]] stage-and-rename contract as
+    * [[compactIndex]], content bit-identical (probe-hash equality
+    * pinned in IncrementalDedupSpec). */
+  def compactNgramIndex(spark: org.apache.spark.sql.SparkSession,
+                        ngramDir: String,
+                        rowsPerFile: Long = 4000000L): Unit =
+    foldDir(spark, ngramDir, rowsPerFile, identity)
 
   /** Skinny minhash band index over an ALREADY-COMPUTED signature
     * table: (band, band_key, doc_id). */
@@ -296,7 +342,7 @@ object IncrementalDedup {
     * see the batch's rows in its own index. */
   def ingestBatch(batch: DataFrame, exactDir: String, bandDir: String,
                   sigDir: String, threshold: Double = 0.3,
-                  n: Int = 5): DataFrame = {
+                  n: Int = 5, ngramDir: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession
     val ex = spark.read.parquet(exactDir)
     val bi = spark.read.parquet(bandDir)
@@ -317,9 +363,16 @@ object IncrementalDedup {
     val nhM = nh.localCheckpoint(true)
     val nbM = nb.localCheckpoint(true)
     val nsM = ns.localCheckpoint(true)
+    // the fourth table rides the same cadence when the deployment runs
+    // span excision: the batch's new distinct hashes, eagerly
+    // materialized for the same own-append reason as the other three
+    val ngM = ngramDir.map { d =>
+      d -> ngramDelta(batch, spark.read.parquet(d), n).localCheckpoint(true)
+    }
     nhM.write.mode("append").parquet(exactDir)
     nbM.write.mode("append").parquet(bandDir)
     nsM.write.mode("append").parquet(sigDir)
+    ngM.foreach { case (d, delta) => delta.write.mode("append").parquet(d) }
     verdicts
   }
 
@@ -396,17 +449,22 @@ object IncrementalDedup {
                    exactDir: String, bandDir: String, sigDir: String,
                    ranked: Boolean = false,
                    rowsPerFile: Long = 4000000L): Unit = {
-    def rewrite(dir: String, shape: DataFrame => DataFrame): Unit =
-      SnapshotLake.swapInPlace(spark, dir) { tmp =>
-        val df = shape(spark.read.parquet(dir))
-        val files = math.max(1L, (df.count() + rowsPerFile - 1) / rowsPerFile)
-        df.repartition(files.toInt).write.mode("overwrite").parquet(tmp)
-      }
-    rewrite(exactDir, identity)
-    rewrite(sigDir, identity)
-    rewrite(bandDir, b => {
+    foldDir(spark, exactDir, rowsPerFile, identity)
+    foldDir(spark, sigDir, rowsPerFile, identity)
+    foldDir(spark, bandDir, rowsPerFile, b => {
       val bare = b.select(col("band"), col("band_key"), col("doc_id"))
       if (ranked) rankedIndex(bare) else bare
     })
   }
+
+  /** Shared fold body of [[compactIndex]]/[[compactNgramIndex]]: stage
+    * the reshaped table at ~rowsPerFile-row files, then rename-swap
+    * through [[SnapshotLake.swapInPlace]]. */
+  private def foldDir(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      rowsPerFile: Long, shape: DataFrame => DataFrame): Unit =
+    SnapshotLake.swapInPlace(spark, dir) { tmp =>
+      val df = shape(spark.read.parquet(dir))
+      val files = math.max(1L, (df.count() + rowsPerFile - 1) / rowsPerFile)
+      df.repartition(files.toInt).write.mode("overwrite").parquet(tmp)
+    }
 }

@@ -296,6 +296,91 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(admitFromDir(dir) === before)
   }
 
+  // --- the fourth table's lake forms (r13 verdict items 2 & 5) --------
+
+  /** The probe result as a comparable set: (doc_id, s, e) excision runs
+    * of [[probeDocs]] against an ngram index frame. */
+  private def probeRuns(idx: DataFrame): Set[(Long, Long, Long)] =
+    graft.functions.TextAnalytics.indexedRunFrame(probeDocs, idx)
+      .as[(Long, Long, Long)].collect().toSet
+
+  test("ngram lake: ingest appends fold under compactNgramIndex, probe-identical") {
+    // r13 verdict item 5: the scaladoc CLAIMED compactIndex-style file
+    // folding applies to the fourth table — this shows it: two ingest
+    // cadences append ngram deltas, the folded table is bit-identical
+    // to the from-scratch union index, and a probe hash-matches across
+    // the fold.
+    val dir = Files.createTempDirectory("graft-inc-ngram").toFile.getAbsolutePath
+    writeIndex(corpusDocs, dir)
+    IncrementalDedup.ngramIndex(corpusDocs).write.parquet(s"$dir/ngrams")
+    val rows = crawlDocs.as[(Long, String, String)].collect().sortBy(_._1)
+    Seq(rows.filter(_._1 <= 103).toSeq, rows.filter(_._1 >= 104).toSeq)
+      .foreach { b =>
+        IncrementalDedup.ingestBatch(b.toDF("doc_id", "text", "source"),
+          s"$dir/exact", s"$dir/bands", s"$dir/sigs",
+          ngramDir = Some(s"$dir/ngrams"))
+      }
+    // the appended lake IS the union index (the ngramDelta invariant,
+    // now through the ingest cadence), before any folding
+    val want = IncrementalDedup.ngramIndex(corpusDocs.unionByName(crawlDocs))
+      .as[Long].collect().toSet
+    assert(spark.read.parquet(s"$dir/ngrams").as[Long].collect().toSet === want)
+    val before = probeRuns(spark.read.parquet(s"$dir/ngrams"))
+    assert(before.nonEmpty, "probe fixture must hit the index")
+    assert(partFiles(dir, "ngrams") > 1, "ingest appends must leave >1 file")
+    IncrementalDedup.compactNgramIndex(spark, s"$dir/ngrams")
+    assert(partFiles(dir, "ngrams") == 1)
+    assert(spark.read.parquet(s"$dir/ngrams").as[Long].collect().toSet === want)
+    assert(probeRuns(spark.read.parquet(s"$dir/ngrams")) === before)
+  }
+
+  test("bucketed ngram layout: probe-identical with NO Exchange on the index side") {
+    // r13 verdict item 2 / What's wrong #2: the plain-parquet layout
+    // re-shuffles the corpus-proportional index side on every crawl's
+    // probe; the bucketed layout pre-partitions it on ngh so only the
+    // crawl's positional stream is exchanged.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    val tbl = "graft_ngram_probe_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val idx = IncrementalDedup.ngramIndex(corpusDocs)
+    IncrementalDedup.writeNgramBucketed(idx, tbl)
+    val plain = probeRuns(idx)
+    assert(probeRuns(spark.table(tbl)) === plain)
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    def assertProbeShape(): Unit = {
+      val plan = unwrap(graft.functions.TextAnalytics
+        .indexedRunFrame(probeDocs, spark.table(tbl))
+        .queryExecution.executedPlan)
+      val joins = plan.collect { case j: ShuffledHashJoinExec => j }
+      assert(joins.size == 1, s"expected one SHUFFLE_HASH probe join:\n$plan")
+      val sides = Seq(joins.head.left, joins.head.right)
+      val idxSide = sides.find(_.collect {
+        case f: FileSourceScanExec if f.bucketedScan => f }.nonEmpty)
+      assert(idxSide.isDefined, s"no bucketed index scan under the join:\n$plan")
+      assert(idxSide.get.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"the bucketed index side still exchanges:\n${idxSide.get}")
+      val crawlSide = sides.filterNot(_ eq idxSide.get).head
+      assert(crawlSide.collect { case e: ShuffleExchangeExec => e }.nonEmpty,
+        "the crawl side must be the one shuffled to the bucket layout")
+    }
+    assertProbeShape()
+    // bucketed APPENDS keep both the content contract and the layout:
+    // the per-crawl delta lands as its own per-bucket files
+    IncrementalDedup.appendNgramBucketed(
+      IncrementalDedup.ngramDelta(crawlDocs, idx), tbl)
+    val unionWant = probeRuns(
+      IncrementalDedup.ngramIndex(corpusDocs.unionByName(crawlDocs)))
+    assert(probeRuns(spark.table(tbl)) === unionWant)
+    assertProbeShape()
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   /** A (201) and B (202) are unrelated texts; C (203) is a half-A,
     * half-B concatenation that bridges both. Banding at J ~ 0.5 is a
     * deterministic coin-flip per text choice, so search a small grid of
