@@ -45,6 +45,12 @@ object AdmissionStream {
   case class Marker(doc_id: Long, source: String, exact_dup: Boolean,
                     near_hit: Boolean, is_base: Boolean)
   case class Verdict(doc_id: Long, source: String, outcome: String)
+  /** [[Marker]] with the document text carried on its base row — the
+    * [[admittedStream]] form, where the gate's output is the admitted
+    * documents themselves (hit rows carry ""). */
+  case class DocMarker(doc_id: Long, source: String, text: String,
+                       exact_dup: Boolean, near_hit: Boolean, is_base: Boolean)
+  case class AdmittedDoc(doc_id: Long, text: String, source: String)
 
   /** Static probe table (band, band_key, idx_sig): the anchored slice
     * of the corpus band index joined to its signatures — built once per
@@ -76,34 +82,44 @@ object AdmissionStream {
     * (localCheckpoint is illegal on a streaming frame, and each
     * micro-batch computes it once per branch — bounded by batch size,
     * not corpus size). */
-  private def baseRows(docs: DataFrame, exactIdx: DataFrame): DataFrame = {
-    val hashed = docs.select(col("doc_id"), col("source"),
+  private def baseRows(docs: DataFrame, exactIdx: DataFrame,
+                       carryText: Boolean = false): DataFrame = {
+    // carryText threads the document body through to the base marker
+    // (the admittedStream form, whose output is the documents) — kept
+    // OFF for the verdict gate so its marker shuffle stays skinny
+    val textCol = if (carryText) Seq(col("text")) else Nil
+    val hashed = docs.select(Seq(col("doc_id"), col("source"),
       md5(col("text")).as("h"),
       when(length(col("text")) >= GateN,
         graft.expressions.MinHashSig.min_hash_sig(col("text"), GateN))
-        .otherwise(lit(null)).as("sig"))
+        .otherwise(lit(null)).as("sig")) ++ textCol: _*)
     hashed.join(
         exactIdx.select(col("content_hash").as("h"), lit(true).as("eh")),
         Seq("h"), "left")
-      .select(col("doc_id"), col("source"),
-        coalesce(col("eh"), lit(false)).as("exact_dup"), col("sig"))
+      .select(Seq(col("doc_id"), col("source"),
+        coalesce(col("eh"), lit(false)).as("exact_dup"),
+        col("sig")) ++ textCol: _*)
   }
 
   private def markersFrom(base: DataFrame, probe: DataFrame,
-                          threshold: Double): DataFrame = {
+                          threshold: Double,
+                          carryText: Boolean = false): DataFrame = {
     val bands = base.filter(!col("exact_dup") && col("sig").isNotNull)
       .select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(Sketches.MinHashBands - 1))).as("band"))
       .select(col("doc_id"), col("sig"), col("band"),
         expr(s"slice(sig, band * ${Sketches.RowsPerBand} + 1, " +
           s"${Sketches.RowsPerBand})").as("band_key"))
+    val hitText = if (carryText) Seq(lit("").as("text")) else Nil
+    val baseText = if (carryText) Seq(col("text")) else Nil
     val hits = bands.join(probe, Seq("band", "band_key"))
       .filter(Sketches.estJaccard("sig", "idx_sig") >= threshold)
-      .select(col("doc_id"), lit(null).cast("string").as("source"),
-        lit(false).as("exact_dup"), lit(true).as("near_hit"),
-        lit(false).as("is_base"))
-    base.select(col("doc_id"), col("source"), col("exact_dup"),
-        lit(false).as("near_hit"), lit(true).as("is_base"))
+      .select(Seq(col("doc_id"), lit(null).cast("string").as("source")) ++
+        hitText ++ Seq(lit(false).as("exact_dup"), lit(true).as("near_hit"),
+        lit(false).as("is_base")): _*)
+    base.select(Seq(col("doc_id"), col("source")) ++ baseText ++
+        Seq(col("exact_dup"), lit(false).as("near_hit"),
+          lit(true).as("is_base")): _*)
       .unionByName(hits)
   }
 
@@ -126,9 +142,17 @@ object AdmissionStream {
   /** The streaming gate: marker rows collapse per doc_id through a
     * flatMapGroupsWithState that NEVER writes state — all of a doc's
     * markers live in its arrival micro-batch, so the group function is
-    * a per-batch collapse and retained state stays at zero rows. */
+    * a per-batch collapse and retained state stays at zero rows.
+    *
+    * `mode` is the collapse's declared output mode (Update by default,
+    * matching the original twin); pass Append when the gate is one
+    * stage of a larger chained query — Spark permits a query with
+    * multiple flatMapGroupsWithState stages only when every stage and
+    * the sink run in append mode, and the two modes are semantically
+    * identical here because the collapse never writes state. */
   def gateStream(docs: DataFrame, exactIdx: DataFrame, probe: DataFrame,
-                 threshold: Double = 0.3): Dataset[Verdict] = {
+                 threshold: Double = 0.3,
+                 mode: OutputMode = OutputMode.Update): Dataset[Verdict] = {
     import docs.sparkSession.implicits._
     val markers = markerRows(docs, exactIdx, probe, threshold).as[Marker]
     def collapse(id: Long, rows: Iterator[Marker],
@@ -138,7 +162,11 @@ object AdmissionStream {
       // arrives under a NEW id — the recrawl fixture in
       // AdmissionStreamSpec): two same-id docs in one micro-batch would
       // collapse to one verdict over the union of both docs' markers —
-      // fail loudly instead of silently merging
+      // fail loudly instead of silently merging. Ingest sources that
+      // can REPLAY a key within a batch opt into the documented
+      // first-wins policy upstream ([[IngestChain.firstWins]]) — or
+      // route the violating rows to a dead-letter sink before the gate;
+      // this stage deliberately never guesses which copy to keep.
       require(rs.count(_.is_base) <= 1,
         s"duplicate doc_id $id within a micro-batch — the admission " +
           "gate requires the append-only unique ingest key")
@@ -151,7 +179,37 @@ object AdmissionStream {
       }.iterator
     }
     markers.groupByKey(_.doc_id)
-      .flatMapGroupsWithState(OutputMode.Update,
-        GroupStateTimeout.NoTimeout)(collapse)
+      .flatMapGroupsWithState(mode, GroupStateTimeout.NoTimeout)(collapse)
+  }
+
+  /** The gate emitting the ADMITTED documents themselves — the
+    * upstream half of the production ingest chain
+    * ([[IngestChain.chainStream]]: gate → span excision, one streaming
+    * query): dropped docs vanish at the door and admitted ones flow on
+    * WITH their text, so the downstream excision stage never sees
+    * rejected traffic. Same zero-retained-state collapse as
+    * [[gateStream]]; defaults to Append because chaining is this
+    * form's purpose (see [[gateStream]] on Spark's multi-stage rule). */
+  def admittedStream(docs: DataFrame, exactIdx: DataFrame, probe: DataFrame,
+                     threshold: Double = 0.3,
+                     mode: OutputMode = OutputMode.Append): Dataset[AdmittedDoc] = {
+    import docs.sparkSession.implicits._
+    val markers = markersFrom(
+      baseRows(docs, exactIdx, carryText = true), probe, threshold,
+      carryText = true).as[DocMarker]
+    def collapse(id: Long, rows: Iterator[DocMarker],
+                 state: GroupState[Boolean]): Iterator[AdmittedDoc] = {
+      val rs = rows.toList
+      // same append-only-key contract (and upstream policy seam) as
+      // gateStream — one base row per doc_id per micro-batch
+      require(rs.count(_.is_base) <= 1,
+        s"duplicate doc_id $id within a micro-batch — the admission " +
+          "gate requires the append-only unique ingest key")
+      rs.find(_.is_base)
+        .filter(b => !b.exact_dup && !rs.exists(_.near_hit))
+        .map(b => AdmittedDoc(id, b.text, b.source)).iterator
+    }
+    markers.groupByKey(_.doc_id)
+      .flatMapGroupsWithState(mode, GroupStateTimeout.NoTimeout)(collapse)
   }
 }

@@ -53,9 +53,12 @@ object ExciseStream {
   /** The streaming excision: one base row per doc (carrying its text)
     * plus one row per index-hit position from the stream-static join,
     * collapsed per doc_id through [[SpanKernel.excise]] with zero
-    * retained state. */
+    * retained state. `mode` as in [[AdmissionStream.gateStream]]:
+    * Update standalone (the original twin), Append when chained after
+    * the gate in one query ([[IngestChain.chainStream]]). */
   def exciseStream(docs: DataFrame, ngramIdx: DataFrame,
-                   n: Int = ExciseN): Dataset[Excised] = {
+                   n: Int = ExciseN,
+                   mode: OutputMode = OutputMode.Update): Dataset[Excised] = {
     import docs.sparkSession.implicits._
     val base = docs.select(col("doc_id"), col("text"),
       lit(-1L).as("pos"), lit(true).as("is_base"))
@@ -76,7 +79,9 @@ object ExciseStream {
       // same-id rows in one micro-batch would merge both texts' hit
       // positions onto one arbitrary base — silent corruption. Fail the
       // query loudly instead; the batch form degrades the same way for
-      // a non-unique key, so uniqueness is the shared contract.
+      // a non-unique key, so uniqueness is the shared contract. Replay-
+      // capable sources opt into [[IngestChain.firstWins]] upstream (or
+      // dead-letter the violators) rather than have this stage guess.
       require(rs.count(_.is_base) <= 1,
         s"duplicate doc_id $id within a micro-batch — the excision " +
           "stream requires the append-only unique ingest key")
@@ -88,7 +93,6 @@ object ExciseStream {
     }
 
     pieces.groupByKey(_.doc_id)
-      .flatMapGroupsWithState(OutputMode.Update,
-        GroupStateTimeout.NoTimeout)(collapse)
+      .flatMapGroupsWithState(mode, GroupStateTimeout.NoTimeout)(collapse)
   }
 }

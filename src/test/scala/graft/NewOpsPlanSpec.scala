@@ -27,6 +27,25 @@ class NewOpsPlanSpec extends AnyFunSuite {
   private def physical(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("excision probe: SHUFFLE_HASH on the index side, never broadcast") {
+    // r13 verdict item 4's enforcement half: the cross-crawl excision
+    // probe (q_incremental_excision's join of the crawl's positional
+    // n-gram stream against the corpus ngram index) must stay a
+    // shuffled hash join — the index side is TOKEN-proportional, the
+    // strongest never-broadcast case; an AQE broadcast promotion at a
+    // momentary small size is exactly the r8 OOM class the hint pins
+    // away. The bucketed-layout exchange elimination on this same join
+    // is asserted separately in IncrementalDedupSpec.
+    val split = graft.operators.IncrementalDedup.splitAt(docs)
+    val idx = graft.operators.IncrementalDedup.ngramIndex(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") <= split))
+    val probe = graft.functions.TextAnalytics.indexedRunFrame(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") > split), idx)
+    val p = physical(probe)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"), p)
+  }
+
   test("editDistancePairs: no cartesian product, no forced broadcast") {
     val df = Linkage.editDistancePairs(tbl("customer"),
       "c_custkey", "c_name", "c_nationkey")

@@ -59,6 +59,9 @@ class StreamBenchSpec extends AnyFunSuite {
       "pii_redact" -> ((0L, "stateless row-local redaction")),
       "boiler_strip" -> ((0L, "zero-retained-rows strip collapse")),
       "incremental_excise" -> ((0L, "zero-retained-rows excision collapse")),
+      // r13 verdict item 3: the composed gate->excise chain — BOTH
+      // collapse stages must retain nothing
+      "ingest_chain" -> ((0L, "zero-retained-rows chained gate->excise")),
       // keyed state with an explicit structural cap
       "retrieval_topk" -> ((StreamBench.RetrievalQueries.toLong,
         "one k-bounded entry list per query")),
