@@ -53,8 +53,15 @@ object Bench {
     *    the run-level "contended" flag — the r13 graded run's 4-9x
     *    c-d-alphabet inflations needed cross-run forensics because the
     *    settle protocol cannot exonerate contention that outlasts the
-    *    whole run; these fields make such a run classify itself. */
-  private[graft] val Protocol = 2
+    *    whole run; these fields make such a run classify itself.
+    *  - 3 (r14, optimization round 1): warmup derivations run
+    *    CONCURRENTLY from a bounded pool (SparkEntry.warmup — guide
+    *    §2.6 overlap of independent jobs), so per-derivation warmup
+    *    timings overlap and sum(warmup parts) >= warmup_sec; the
+    *    warmup_sec total keeps its meaning (wall clock of the whole
+    *    warmup phase). Cross-round warmup-part diffs spanning this
+    *    boundary measure the protocol change, not code. */
+  private[graft] val Protocol = 3
 
   /** 3 decimal places: millisecond resolution keeps the one-line JSON
     * ~2.5 KB for 100+ queries — BENCH_r03.json was tail-truncated by the

@@ -1215,40 +1215,92 @@ object SparkEntry {
     // 306 s of warmup — this attributes it). Bench publishes the map in
     // the sidecar's "warmup" object (r9 verdict item 2) so warmup
     // regressions diff the same way query regressions do.
-    val timings = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    def timed(name: String)(body: => Any): Unit = {
-      val t0 = System.nanoTime()
-      body
-      val sec = (System.nanoTime() - t0) / 1e9
-      timings += name -> sec
-      System.err.println(f"[warmup] $name: $sec%.2fs")
-    }
-    timed("topicsDf")(topicsDf(s, dir).count())
-    timed("groupsDf")(groupsDfOf(s, dir).count())
-    timed("srSubjects")(Snapshots.srSubjects(s, dir).count())
-    timed("topicConfigs")(Snapshots.topicConfigs(s, dir).count())
-    timed("scoredPairs")(scoredPairs(s, dir).count())
-    timed("dedupClusters")(dedupClusters03(s, dir).count())
-    timed("scoredBucketPairs")(scoredBucketPairsOf(s, dir).count())
-    timed("minhashCandidates")(minhashCandidates(s, dir).count())
-    timed("incrementalIndex") {
+    //
+    // CONCURRENT since r14 (optimization guide §2.6 — overlap
+    // independent jobs so the tail of one derivation's stages back-fills
+    // executors the next would leave idle): the 22 derivations are
+    // mostly independent Spark jobs, none of which alone fills the
+    // session's cores (half are driver-side training loops that leave
+    // the cluster idle between tiny jobs). They are submitted from a
+    // bounded thread pool with EXPLICIT dependency edges wherever two
+    // derivations touch the same memo, so no memo's `build` ever races
+    // (TrieMap.getOrElseUpdate may evaluate a racing build twice and
+    // leak the loser's persisted blocks). Per-derivation timings remain
+    // each task's own start→finish wall time — under concurrency they
+    // overlap, so sum(parts) >= warmup_sec is expected (measurement
+    // protocol 3; the total warmup_sec Bench times around this call is
+    // unchanged in meaning). Thread count scales with the session's
+    // cores (cores/4, capped at 8) so the driver's low-core scaling
+    // runs keep proportional concurrency; SPARK_GRAFT_WARMUP_THREADS=1
+    // restores one-at-a-time execution (dependency order preserved).
+    val cores = s.sparkContext.defaultParallelism
+    val nThreads = sys.env.get("SPARK_GRAFT_WARMUP_THREADS").map(_.toInt)
+      .getOrElse(math.max(1, math.min(8, cores / 4)))
+    val timings =
+      new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    def task(name: String, deps: Future[Unit]*)(body: => Any): Future[Unit] =
+      Future.sequence(deps.toSeq).map { _ =>
+        // job descriptions are thread-local — each concurrent
+        // derivation labels its own jobs (guide §1.5/§2.6)
+        s.sparkContext.setJobDescription(s"warmup: $name")
+        val t0 = System.nanoTime()
+        body
+        val sec = (System.nanoTime() - t0) / 1e9
+        timings.put(name, sec)
+        System.err.println(f"[warmup] $name: $sec%.2fs")
+      }
+    // dependency edges = shared-memo reach: groupsDf reads the three
+    // snapshot tables topicsDf materializes; dedupClusters filters the
+    // scoredPairs memo; incAdmissions/incNgramIndex read the
+    // incrementalIndex state; excisionSpans packs the dupRuns frame;
+    // dedupIvfCentroids reuses ivfCentroids when the adaptive k is 16.
+    val tTopics = task("topicsDf")(topicsDf(s, dir).count())
+    val tGroups = task("groupsDf", tTopics)(groupsDfOf(s, dir).count())
+    val tSr = task("srSubjects")(Snapshots.srSubjects(s, dir).count())
+    val tTc = task("topicConfigs")(Snapshots.topicConfigs(s, dir).count())
+    val tScored = task("scoredPairs")(scoredPairs(s, dir).count())
+    val tClusters = task("dedupClusters", tScored)(dedupClusters03(s, dir).count())
+    val tBucket = task("scoredBucketPairs")(scoredBucketPairsOf(s, dir).count())
+    val tMinhash = task("minhashCandidates")(minhashCandidates(s, dir).count())
+    val tIncIdx = task("incrementalIndex") {
       val (_, ex, bi, si) = incrementalStateOf(s, dir)
       ex.count(); bi.count(); si.count()
     }
-    timed("incAdmissions")(incAdmissionsOf(s, dir).count())
-    timed("incNgramIndex")(incNgramIdxOf(s, dir).count())
-    timed("bm25TopK")(bm25Of(s, dir).count())
-    timed("dupRuns")(dupRunsOf(s, dir).count())
-    timed("excisionSpans")(excisionSpansOf(s, dir).count())
-    timed("boilerSpans")(boilerSpansOf(s, dir).count())
-    timed("pcaDirections")(pcaDirections(s, dir))
-    timed("ivfCentroids")(ivfCentroids(s, dir))
-    timed("dedupIvfCentroids")(dedupIvfCentroids(s, dir))
-    timed("bpeMerges")(bpeMergesOf(s, dir))
-    timed("pqCodebook")(pqCodebookOf(s, dir))
-    timed("pqSubCodebooks")(pqSubCodebooksOf(s, dir))
-    timed("opqCodebooks")(opqSubCodebooksOf(s, dir))
-    timings.toSeq
+    val tIncAdm = task("incAdmissions", tIncIdx)(incAdmissionsOf(s, dir).count())
+    val tIncNg = task("incNgramIndex", tIncIdx)(incNgramIdxOf(s, dir).count())
+    val tBm25 = task("bm25TopK")(bm25Of(s, dir).count())
+    val tDupRuns = task("dupRuns")(dupRunsOf(s, dir).count())
+    val tExcSpans = task("excisionSpans", tDupRuns)(excisionSpansOf(s, dir).count())
+    val tBoiler = task("boilerSpans")(boilerSpansOf(s, dir).count())
+    val tPca = task("pcaDirections")(pcaDirections(s, dir))
+    val tIvf = task("ivfCentroids")(ivfCentroids(s, dir))
+    val tDedupIvf = task("dedupIvfCentroids", tIvf)(dedupIvfCentroids(s, dir))
+    val tBpe = task("bpeMerges")(bpeMergesOf(s, dir))
+    val tPq = task("pqCodebook")(pqCodebookOf(s, dir))
+    val tPqSub = task("pqSubCodebooks")(pqSubCodebooksOf(s, dir))
+    val tOpq = task("opqCodebooks")(opqSubCodebooksOf(s, dir))
+    val all = Seq(tTopics, tGroups, tSr, tTc, tScored, tClusters, tBucket,
+      tMinhash, tIncIdx, tIncAdm, tIncNg, tBm25, tDupRuns, tExcSpans,
+      tBoiler, tPca, tIvf, tDedupIvf, tBpe, tPq, tPqSub, tOpq)
+    try Await.result(Future.sequence(all), Duration.Inf)
+    finally {
+      pool.shutdown()
+      s.sparkContext.setJobDescription(null)
+    }
+    // canonical (submission) order, independent of completion order —
+    // the sidecar's warmup object stays diffable across runs
+    val order = Seq("topicsDf", "groupsDf", "srSubjects", "topicConfigs",
+      "scoredPairs", "dedupClusters", "scoredBucketPairs",
+      "minhashCandidates", "incrementalIndex", "incAdmissions",
+      "incNgramIndex", "bm25TopK", "dupRuns", "excisionSpans",
+      "boilerSpans", "pcaDirections", "ivfCentroids", "dedupIvfCentroids",
+      "bpeMerges", "pqCodebook", "pqSubCodebooks", "opqCodebooks")
+    order.map(n => n -> timings.get(n))
   }
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
