@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.SessionBridge
 
 /** Deduplication operators for an LLM training-data pipeline.
   *
@@ -51,101 +50,130 @@ object Dedup {
   /** Connected-component clustering of near-dup pairs: every document
     * gets the minimum doc_id of its component as cluster label, via
     * iterative min-label propagation WITH pointer jumping — each round
-    * every node adopts the min of (its label, its neighbors' labels, its
-    * label's label). The neighbor step alone converges in O(diameter)
-    * rounds; the label-of-label step compresses label chains ~in half
-    * each round, so convergence is O(log diameter). Measured on the
-    * sf0.1 cosine pair set (diameter-8 chains): 9 rounds -> 4, and the
-    * per-round cost is FIXED overhead (planning + scheduling of tiny
-    * stages), so rounds are the wall-clock. At 100 TB the log bound is
-    * also the safety margin: maxIter = 10 covers diameter ~2^9, where
-    * the plain operator would silently stop one round short on a longer
-    * chain. The scalable alternative to driver-side union-find: state
-    * stays distributed.
+    * every node adopts the min of (its label, its neighbors' labels,
+    * and its label's label's label). The neighbor step alone converges
+    * in O(diameter) rounds; the two-hop jump compresses label chains
+    * ~3x per round, so convergence is O(log3 diameter) — maxIter = 10
+    * covers diameter ~3^9, where the plain operator would silently
+    * stop one round short on a longer chain. The scalable alternative
+    * to driver-side union-find: state stays distributed.
+    *
+    * The LOOP runs at the RDD level since r14 (optimization round 1).
+    * The DataFrame form paid, EVERY round, for work that is constant
+    * and data-independent: Catalyst analysis/optimization/physical
+    * planning of a brand-new plan (fresh expression ids defeat every
+    * plan/codegen cache — measured 0.5–2 s/round of driver time on a
+    * 1,861-edge input, ~all of q_incremental_dedup's 7 s wall), janino
+    * compilation of stages that process a few thousand rows, AND a
+    * re-shuffle of the EDGE side (each round's join re-exchanged the
+    * unchanged edge table). The RDD loop fixes all three at once:
+    * per-round driver cost is DAG construction (microseconds), there is
+    * nothing to compile, and the edge table is `partitionBy`-ed ONCE on
+    * the loop's HashPartitioner and stays co-partitioned across every
+    * round — the per-round shuffles carry only the label-table-sized
+    * deltas (guide §2.4: two operations keyed the same way share one
+    * exchange; here it is ten rounds sharing one edge exchange). Width
+    * still adapts to the data: one partition per ~500k edges, capped by
+    * the session's shuffle width (the x128 measurement that found 128
+    * near-empty tasks per round costing 34 s -> 80 s stands). The
+    * closures are Long-pair arithmetic — the cheapest possible shape,
+    * where codegen'd expressions have nothing to vectorize and the
+    * row-format conversion happens once at the DataFrame boundary, not
+    * per round. Results are bit-identical: the fixpoint (min id per
+    * component) is partitioning- and execution-mode-independent, and
+    * the oracle gate re-proves it per round-close.
     */
   def dedupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    // localCheckpoint (not persist): an iterative loop must TRUNCATE the
-    // logical plan each round, or Catalyst re-analyzes a plan that doubles
-    // per iteration — execution stays cached but planning time explodes.
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().localCheckpoint()
-    // The loop's tables are EDGE/LABEL-sized, far below the corpus the
-    // session's shuffle width is tuned for, and every round pays that
-    // width in task-scheduling fixed costs (~10 rounds x hundreds of
-    // near-empty tasks: measured 34 s -> 80 s on the same x128 corpus
-    // when the bench session went 32 -> 128 partitions). Size the loop's
-    // exchanges to the materialized edge count instead — the same
-    // decision a production iterative-graph job makes. AQE's
-    // parallelism-first coalescing does NOT do this (it deliberately
-    // keeps small shuffles wide). The narrow width lives in an ISOLATED
-    // child session (newSession: own conf, shared context + caches), so
-    // the caller's shuffle width is never touched — the previous
-    // set/restore on the shared session leaked the narrow width to any
-    // query planned concurrently and was not reentrant (r6 ADVICE).
-    // Rebinding is safe both ways: edges is localCheckpoint'd
-    // (LogicalRDD — session-independent lineage), as is every round's
-    // label table.
     val spark = pairs.sparkSession
+    // one materialization of the (possibly expensive) candidate-pair
+    // DAG; everything after runs on its skinny (Long, Long) rows
+    val undirected = pairs.select(col("doc_a").cast("long"),
+        col("doc_b").cast("long")).rdd
+      .flatMap { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        Iterator((a, b), (b, a))
+      }
     val partsKey = "spark.sql.shuffle.partitions"
-    val loopParts = math.max(8L, math.min(spark.conf.get(partsKey).toLong,
-      edges.count() / 500000L + 1L))
-    val loopSession = spark.newSession()
-    // newSession starts from the SparkContext conf, NOT the caller's
-    // runtime conf — without this copy, session-level settings the
-    // caller changed via spark.conf.set (AQE tuning, ANSI, at-scale
-    // toggles) would silently revert to defaults inside the loop
-    // (r7 ADVICE). Only modifiable (non-static) confs can be carried.
-    spark.conf.getAll.foreach { case (k, v) =>
-      if (loopSession.conf.isModifiable(k)) loopSession.conf.set(k, v)
-    }
-    loopSession.conf.set(partsKey, loopParts.toString)
-    val loopEdges = SessionBridge.rebind(edges, loopSession)
-    // no checkpoint for the init labels: it's one narrow distinct over
-    // the just-checkpointed edges, folded into round 0's job (a separate
-    // materialization job bought nothing — measured ~0.8 s of the sf0.1
-    // label-propagation wall)
-    var labels = loopEdges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+    val sessionParts = spark.conf.get(partsKey).toLong
+    // the edge table is partitioned ONCE and persisted; every round's
+    // neighbor join reads it in place (no per-round edge shuffle). The
+    // distinct rides the same partitioner. Floor 1, not 8: below ~500k
+    // edges extra tasks are pure scheduling overhead (AdmProbe), and at
+    // scale the width tracks the edge count exactly as before.
+    val prePartitioner = new org.apache.spark.HashPartitioner(
+      math.max(1, math.min(sessionParts, 512)).toInt)
+    val dedupedPre = undirected.distinct(prePartitioner.numPartitions)
+    val nEdges = dedupedPre.count()
+    val loopParts = math.max(1L, math.min(sessionParts, nEdges / 500000L + 1L))
+    val part = new org.apache.spark.HashPartitioner(loopParts.toInt)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = dedupedPre.partitionBy(part).persist(lvl)
+    // init label(x) = x; edges is key-partitioned, so this reduceByKey
+    // is NARROW (no shuffle), and the self-label map keeps the keys —
+    // partitioning is declared preserved
+    var labels = edges.mapValues(_ => 0L)
+      .reduceByKey(part, (_, _) => 0L)
+      .mapPartitions(_.map { case (v, _) => (v, v) },
+        preservesPartitioning = true)
+      .persist(lvl)
+    var prev: org.apache.spark.rdd.RDD[_] = labels
     var converged = false
     var i = 0
+    val trace = sys.env.contains("SPARK_GRAFT_CC_TRACE")
     while (!converged && i < maxIter) {
-      val neighborMin = loopEdges
-        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-        .groupBy(col("src").as("doc_id"))
-        .agg(min(col("label")).as("nmin"))
-      // pointer jump: a node labeled L adopts L's own label. Labels are
-      // always node ids (initially self, then mins of node ids), so the
-      // lookup is a self-join of the label table; left + coalesce guards
-      // the (unreachable) miss case.
-      val jump = labels
-        .join(labels.select(col("doc_id").as("label"), col("label").as("jmin")),
-          Seq("label"))
-        .select(col("doc_id"), col("jmin"))
-      // carry a per-row changed flag instead of re-joining old vs new
-      // labels for the convergence check: the check becomes a scan of the
-      // just-checkpointed result, not an extra join job per round.
-      val next = labels
-        .join(neighborMin, Seq("doc_id"), "left")
-        .join(jump, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nmin"), col("label")),
-            coalesce(col("jmin"), col("label"))).as("label"),
-          (least(coalesce(col("nmin"), col("label")),
-            coalesce(col("jmin"), col("label"))) < col("label")).as("changed"))
-        .localCheckpoint()
-      // round 0 always changes a label when edges exist (the max-id node
-      // of any edge adopts a smaller one) — skip its convergence action
-      converged = i > 0 && !next.agg(coalesce(max(col("changed")), lit(false)))
-        .first().getBoolean(0)
-      labels = next.drop("changed")
+      val t0 = System.nanoTime()
+      // neighbors' labels: edges co-partitioned (narrow side), labels
+      // co-partitioned — the only shuffle is the reduceByKey of the
+      // (node, candidate-label) stream
+      val nmin = edges.join(labels)
+        .map { case (_, (dst, lbl)) => (dst, lbl) }
+        .reduceByKey(part, math.min(_: Long, _: Long))
+      // two-hop pointer jump: j2 = L(L(x)), j3 = L(L(L(x))). Labels are
+      // always node ids, so each hop is a label-keyed join against the
+      // label table itself.
+      val hop1 = labels.map { case (x, l) => (l, x) }.join(labels)
+        .map { case (_, (x, l2)) => (x, l2) }
+      val jmin = hop1.map { case (x, l2) => (l2, x) }.join(labels)
+        .map { case (l2, (x, l3)) => (x, math.min(l2, l3)) }
+      // adopt the min of self, neighbor-min, and the jumps; count the
+      // changes in the same pass (cogroup of three P-partitioned sides:
+      // nmin is already on P; the jump side shuffles its label-sized
+      // rows)
+      val next = labels.cogroup(nmin, jmin, part)
+        .mapValues { case (ls, ns, js) =>
+          val old = ls.head
+          var m = old
+          val ni = ns.iterator
+          while (ni.hasNext) { val v = ni.next(); if (v < m) m = v }
+          val ji = js.iterator
+          while (ji.hasNext) { val v = ji.next(); if (v < m) m = v }
+          (m, m < old)
+        }.persist(lvl)
+      val changed = next.filter(_._2._2).count()
+      converged = changed == 0
+      val out = next.mapValues(_._1)
+      prev.unpersist(false)
+      prev = next
+      labels = out
+      if (trace)
+        System.err.println(f"[cc_round] $i: ${(System.nanoTime() - t0) / 1e9}%.3fs " +
+          s"changed=$changed")
       i += 1
     }
-    // hand the result back on the CALLER's session (checkpointed plan —
-    // rebind is lineage-only) so downstream joins don't mix sessions
-    SessionBridge.rebind(labels, spark)
-      .withColumn("keep", col("doc_id") === col("label"))
-      .select(col("doc_id"), col("label").as("cluster_id"), col("keep"))
+    edges.unpersist(false)
+    // the final round's persisted RDD backs the returned frame; its
+    // blocks release via the ContextCleaner once callers drop the
+    // reference (the clustersMemo contract in SparkEntry.invalidate)
+    val rows = labels.map { case (id, l) =>
+      org.apache.spark.sql.Row(id, l, id == l)
+    }
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("cluster_id",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("keep",
+        org.apache.spark.sql.types.BooleanType, nullable = true))))
   }
 
   /** The deduplicated corpus: drop every non-representative member of a
