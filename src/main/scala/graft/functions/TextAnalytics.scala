@@ -986,6 +986,11 @@ object TextAnalytics {
         sum(size(tokens(col("text"))).cast("long")).as("tokens"))
       .withColumn("g",
         floor(sqrt(col("tokens").cast("double")) * lit(1048576.0)).cast("long"))
+      // lazy checkpoint: `per` feeds both the scalar normalizer and the
+      // final projection — unmaterialized, the one-row branch re-ran
+      // the whole corpus aggregation pass (the dsirScored precedent);
+      // the checkpoint is language-cardinality rows
+      .localCheckpoint(false)
     val tot = per.agg(sum(col("tokens")).as("tot_tokens"), sum(col("g")).as("tot_g"))
     per.crossJoin(broadcast(tot)) // one row — fixed-size by construction
       .select(col("lang"), col("docs"), col("tokens"),
@@ -1010,6 +1015,10 @@ object TextAnalytics {
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("tokens"),
         sum(col("n_chars")).as("chars"))
+      // lazy checkpoint: numShards rows feed both the scalar total and
+      // the final projection (the temperatureMixture pattern) — without
+      // it the one-row branch re-ran the corpus shard aggregation
+      .localCheckpoint(false)
     val tot = per.agg(sum(col("tokens")).as("tot_tokens"))
     per.crossJoin(broadcast(tot))
       .select(col("shard"), col("docs"), col("tokens"), col("chars"),
@@ -1079,7 +1088,12 @@ object TextAnalytics {
     * otherwise — no hint), one per-doc aggregation. */
   def rarityScores(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    // lazy checkpoint: the vocabulary table feeds the scalar totals, the
+    // grid projection, AND (through it) the scoring join — without it
+    // each branch re-ran the corpus token explode + frequency
+    // aggregation. Vocab-sized (distinct tokens), far below the corpus.
     val tf = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
     val tot = tf.agg(sum(col("c")).as("n_total"),
       count(lit(1)).as("vocab"))
     val grid = tf.select(col("token"),
@@ -1289,16 +1303,36 @@ object TextAnalytics {
       .select(col("doc_id"), col("lang"),
         (graft.expressions.PolyHash.polyhash(col("feat")) % buckets).as("bucket"))
 
-  private def dsirScored(docs: DataFrame, targetLang: String,
-                         buckets: Int, scale: Long): DataFrame = {
+  /** The UNtruncated per-doc scoring pipeline — the weight-table
+    * broadcast join's plan shape is asserted on THIS frame (DsirSpec),
+    * because [[dsirScored]] checkpoints it and the checkpoint replaces
+    * the subtree with a LogicalRDD scan in downstream plans. */
+  private[graft] def dsirPerDoc(docs: DataFrame, targetLang: String = "en",
+                                buckets: Int = DsirBuckets,
+                                scale: Long = DsirScale): DataFrame = {
     val feats = dsirFeatures(docs, buckets)
     val w = dsirWeightTable(feats, targetLang, buckets, scale)
-    val perDoc = feats.join(broadcast(w), "bucket") // <= `buckets` rows
+    feats.join(broadcast(w), "bucket") // <= `buckets` rows
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feats"), sum(col("g")).as("gsum"))
       .select(col("doc_id"), col("n_feats"), col("gsum"),
         (col("gsum").cast("double") / col("n_feats") / lit(scale.toDouble))
           .as("dsir_weight"))
+  }
+
+  private def dsirScored(docs: DataFrame, targetLang: String,
+                         buckets: Int, scale: Long): DataFrame = {
+    // localCheckpoint (lazy): perDoc feeds BOTH the percentile threshold
+    // and the final projection, and the threshold's scalar branch gave
+    // Catalyst no shared exchange to reuse — un-materialized, each
+    // branch re-ran the whole feature explosion (tokens + bigrams +
+    // polyhash over the corpus) AND the weight-table aggregation it
+    // broadcasts, ~4-6 corpus-explosion passes per query instead of the
+    // two the operator's 100 TB shape budgets (one for the fit
+    // aggregation, one for the scoring stream). The checkpoint is
+    // doc-count-sized (4 numeric columns), far below the corpus.
+    val perDoc = dsirPerDoc(docs, targetLang, buckets, scale)
+      .localCheckpoint(false)
     val thr = perDoc.agg(expr("percentile(dsir_weight, 0.75)").as("thr"))
     perDoc.crossJoin(broadcast(thr)) // one row — fixed-size by construction
       .select(col("doc_id"), col("n_feats"), col("gsum"), col("dsir_weight"),

@@ -94,11 +94,21 @@ class DsirSpec extends AnyFunSuite {
   }
 
   test("the bucket weight table joins by broadcast (plan shape)") {
-    val plan = TextAnalytics.dsirWeights(docs)
+    // asserted on the UNtruncated scoring pipeline: dsirScored
+    // checkpoints perDoc (r14 — the threshold branch re-ran the whole
+    // feature explosion), which replaces this subtree with a LogicalRDD
+    // scan in the public queries' plans
+    val plan = TextAnalytics.dsirPerDoc(docs)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       "the <=1024-row weight table must broadcast onto the feature stream")
     assert(!plan.contains("CartesianProduct"))
+    // and the public query's final plan reads the checkpointed scores,
+    // never a cartesian
+    val outer = TextAnalytics.dsirWeights(docs)
+      .queryExecution.executedPlan.toString
+    assert(outer.contains("Scan ExistingRDD"))
+    assert(!outer.contains("CartesianProduct"))
   }
 
   test("the AtScale dsir.buckets conf reaches the batch AND stream paths") {
