@@ -249,6 +249,19 @@ class BenchLadderSpec extends AnyFunSuite {
       s"rung corpora built by DIFFERENT generators: $revs")
   }
 
+  /** Warmup MEASUREMENT protocol of a rung artifact: protocol >= 3
+    * runs the warmup derivations concurrently (SparkEntry.warmup,
+    * r14), so warmup_sec is the phase's makespan, not the sum of
+    * sequential derivations as in protocol <= 2 artifacts. The two
+    * regimes are not growth-comparable: a protocol-2 -> protocol-3
+    * step measures the protocol change (LADDER_NOTES "r14
+    * measurement-protocol 3"), not code or corpus growth. Artifacts
+    * predating the protocol field are protocol-2-era by construction. */
+  private def warmupProtocol(name: String): Int =
+    rungBody(name).flatMap(body =>
+      "\"protocol\":(\\d+)".r.findFirstMatchIn(body).map(_.group(1).toInt))
+      .map(p => if (p >= 3) 3 else 2).getOrElse(2)
+
   /** Warmup growth contract (r12 verdict item 3): the skinny-frame
     * memos deliberately move shared-family cost INTO warmup, which made
     * warmup the one ladder slice no guard read — super-linear cost
@@ -257,16 +270,27 @@ class BenchLadderSpec extends AnyFunSuite {
     * whole-warmup rung-over-rung <= 1.1x the data ratio, and each
     * attributed derivation's TOP step <= (kTop/kPrev)^2.0 above the 5 s
     * floor (the measured single-sample ambient band calibration of
-    * assertTopStep applies to warmup stages equally). */
-  private def assertWarmup(present: Seq[(Int, (Double, Map[String, Double]))],
-                           label: String): Unit = {
+    * assertTopStep applies to warmup stages equally). Pairs that span
+    * a warmup-protocol boundary are excluded from BOTH bounds (they
+    * measure the protocol change, not growth — see warmupProtocol);
+    * at least one same-protocol pair must remain checkable. */
+  private def assertWarmup(
+      present: Seq[(Int, (Int, Double, Map[String, Double]))],
+      label: String): Unit = {
     assume(present.size >= 2, s"need >= 2 rungs with warmup, have ${present.size}")
-    for (Seq((k1, (t1, _)), (k2, (t2, _))) <- present.sliding(2)) {
+    val comparable = present.sliding(2).toSeq.collect {
+      case Seq((k1, (p1, t1, m1)), (k2, (p2, t2, m2))) if p1 == p2 =>
+        ((k1, t1, m1), (k2, t2, m2))
+    }
+    assume(comparable.nonEmpty,
+      s"$label: every adjacent rung pair spans a warmup-protocol boundary")
+    for (((k1, t1, _), (k2, t2, _)) <- comparable) {
       val dataRatio = k2.toDouble / k1
       assert(t2 / t1 <= dataRatio * 1.1,
         f"$label warmup grew ${t2 / t1}%.2fx for ${dataRatio}%.1fx data (x$k1 -> x$k2)")
     }
-    val Seq((kPrev, (_, mPrev)), (kTop, (_, mTop))) = present.takeRight(2)
+    // per-derivation top step: the topmost same-protocol adjacent pair
+    val ((kPrev, _, mPrev), (kTop, _, mTop)) = comparable.last
     val bound = math.pow(kTop.toDouble / kPrev, 2.0)
     val bad = for {
       s <- (mPrev.keySet intersect mTop.keySet).toSeq.sorted
@@ -281,12 +305,14 @@ class BenchLadderSpec extends AnyFunSuite {
 
   test("parity-series warmup stays inside the growth contract") {
     assertWarmup(Rungs.flatMap(k =>
-      rungWarmup(s"BENCH_x$k.json").map(k -> _)), "parity")
+      rungWarmup(s"BENCH_x$k.json").map { case (t, m) =>
+        k -> ((warmupProtocol(s"BENCH_x$k.json"), t, m)) }), "parity")
   }
 
   test("tuned-series warmup stays inside the growth contract") {
     assertWarmup(Seq(40, 64, 128).flatMap(k =>
-      rungWarmup(s"BENCH_x${k}_tuned.json").map(k -> _)), "tuned")
+      rungWarmup(s"BENCH_x${k}_tuned.json").map { case (t, m) =>
+        k -> ((warmupProtocol(s"BENCH_x${k}_tuned.json"), t, m)) }), "tuned")
   }
 
   /** The JSON object value starting at `body(open)` (which must be '{'),
