@@ -110,21 +110,54 @@ object TopicAnalytics {
           .as("cluster_percentage"))
   }
 
-  /** All three waste categories as one 3-row summary. */
-  def wasteSummary(topics: DataFrame): DataFrame =
-    wasteCategory(topics, emptyPred, "empty")
-      .unionByName(wasteCategory(topics, deadWeightPred, "dead_weight"))
-      .unionByName(wasteCategory(topics, stalePred, "stale"))
+  /** All three waste categories as one 3-row summary — computed in ONE
+    * pass over `topics`: each category is a conditional aggregate next
+    * to the shared total, and the three rows come from exploding a
+    * 3-struct array over the single 1-row aggregate. The previous form
+    * (three wasteCategory unions, each a filter-agg crossJoined with
+    * its own total agg) planned SIX independent scans of `topics`; when
+    * the cached table's blocks are cold each AQE subquery re-derives it
+    * concurrently — measured 55.6 s task time / 5.95 s wall in-bench at
+    * sf0.1 vs ~0.3 s for this shape. Same aggregate semantics:
+    * count(when(pred,1)) == count over filter(pred), the partition sum
+    * coalesces to 0 on an empty category, and the percentage stays the
+    * exact int-truncated division (null when the table is empty). */
+  def wasteSummary(topics: DataFrame): DataFrame = {
+    val cats = Seq(("empty", emptyPred), ("dead_weight", deadWeightPred),
+      ("stale", stalePred))
+    val aggs = count(lit(1)).as("total") +: cats.zipWithIndex.flatMap {
+      case ((_, pred), i) =>
+        Seq(count(when(pred, 1)).as(s"c$i"),
+          coalesce(sum(when(pred, col("partitions"))), lit(0L)).as(s"p$i"))
+    }
+    val rows = cats.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("category"),
+        col(s"c$i").as("topics_count"),
+        col(s"p$i").as("topic_partitions_sum"),
+        when(col("total") === 0, lit(null).cast("long"))
+          .otherwise(expr(s"c$i * 100 div total")).as("cluster_percentage"))
+    }
+    topics.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("w"))
+      .select(col("w.category").as("category"),
+        col("w.topics_count").as("topics_count"),
+        col("w.topic_partitions_sum").as("topic_partitions_sum"),
+        col("w.cluster_percentage").as("cluster_percentage"))
+  }
 
   /** Per-topic membership rows for each waste category (the reference keeps
-    * a name->partitions map per category, reporting/topics.py:24-28). */
-  def wasteDetail(topics: DataFrame): DataFrame = {
-    def cat(pred: Column, name: String) =
-      topics.filter(pred).select(lit(name).as("category"), col("name"), col("partitions"))
-    cat(emptyPred, "empty")
-      .unionByName(cat(deadWeightPred, "dead_weight"))
-      .unionByName(cat(stalePred, "stale"))
-  }
+    * a name->partitions map per category, reporting/topics.py:24-28).
+    * One pass: the categories a topic belongs to are a row-local array
+    * (categories overlap — empty ⊂ dead_weight's predicate — so a topic
+    * can emit several rows, exactly the old three-filter union's rows);
+    * the previous three-filter union planned three scans of `topics`. */
+  def wasteDetail(topics: DataFrame): DataFrame =
+    topics.select(col("name"), col("partitions"),
+        explode(filter(array(
+          when(emptyPred, lit("empty")),
+          when(deadWeightPred, lit("dead_weight")),
+          when(stalePred, lit("stale"))), x => x.isNotNull)).as("category"))
+      .select(col("category"), col("name"), col("partitions"))
 
   /** P6/A6/A9: topics above the 75th percentile of both new_messages and
     * total_messages with at least one active group
@@ -177,20 +210,34 @@ object TopicAnalytics {
     * twice or the two forms silently diverged). */
   private def describeStatsWith(topics: DataFrame,
       quantile: (String, Double) => Column): DataFrame = {
-    def statsFor(c: String) = topics.agg(
-      count(lit(1)).as("cnt"),
-      sum(col(c)).as("sx"),
-      sum(col(c) * col(c)).as("sxx"),
-      min(col(c)).cast("double").as("min_v"),
-      quantile(c, 0.25).as("q25"),
-      quantile(c, 0.5).as("q50"),
-      quantile(c, 0.75).as("q75"),
-      max(col(c)).cast("double").as("max_v"))
-      .select(lit(c).as("column"), col("cnt"),
-        (col("sx").cast("double") / col("cnt")).as("mean"),
-        sqrt((col("sxx").cast("double") - col("sx").cast("double") * col("sx") / col("cnt"))
-          / (col("cnt") - 1)).as("std"),
-        col("min_v"), col("q25"), col("q50"), col("q75"), col("max_v"))
-    statsFor("total_messages").unionByName(statsFor("new_messages"))
+    // Both columns' statistics in ONE aggregation pass (the previous
+    // per-column agg + union planned two scans of `topics`); the two
+    // output rows come from exploding a 2-struct array over the single
+    // 1-row aggregate. Identical arithmetic on identical inputs — the
+    // per-column expressions are unchanged, only named apart.
+    val statCols = Seq("total_messages", "new_messages")
+    val aggs = statCols.flatMap { c =>
+      Seq(count(lit(1)).as(s"cnt_$c"),
+        sum(col(c)).as(s"sx_$c"),
+        sum(col(c) * col(c)).as(s"sxx_$c"),
+        min(col(c)).cast("double").as(s"min_$c"),
+        quantile(c, 0.25).as(s"q25_$c"),
+        quantile(c, 0.5).as(s"q50_$c"),
+        quantile(c, 0.75).as(s"q75_$c"),
+        max(col(c)).cast("double").as(s"max_$c"))
+    }
+    val rows = statCols.map { c =>
+      struct(lit(c).as("column"), col(s"cnt_$c").as("cnt"),
+        (col(s"sx_$c").cast("double") / col(s"cnt_$c")).as("mean"),
+        sqrt((col(s"sxx_$c").cast("double")
+            - col(s"sx_$c").cast("double") * col(s"sx_$c") / col(s"cnt_$c"))
+          / (col(s"cnt_$c") - 1)).as("std"),
+        col(s"min_$c").as("min_v"), col(s"q25_$c").as("q25"),
+        col(s"q50_$c").as("q50"), col(s"q75_$c").as("q75"),
+        col(s"max_$c").as("max_v"))
+    }
+    topics.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("st"))
+      .select(col("st.*"))
   }
 }
