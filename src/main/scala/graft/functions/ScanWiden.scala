@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Scale-adaptive scan widening (guide §2.5 "input skew: one huge
+  * unsplittable file… repartition immediately after the read").
+  *
+  * The driver's fixture tables are single-file, SINGLE-ROW-GROUP
+  * parquet, so every scan plans exactly ONE task regardless of core
+  * count — and everything Catalyst fuses into the scan stage (the
+  * polyhash/tokenize explosions, filter+project chains, partial
+  * aggregates) runs on one core while the other defaultParallelism-1
+  * idle. Measured at sf0.1/local[32]: the calibration shingle pass
+  * alone was 1.9 s wall == 1.8 s task time (a one-task stage).
+  *
+  * The fix is an exchange immediately after the read, ONLY when the
+  * native scan width under-fills the session: `native >= cores` is the
+  * common case at any real scale (a 100 TB table plans orders of
+  * magnitude more splits than the cluster has slots) and returns the
+  * frame UNCHANGED — no exchange, no cost. In the degenerate case the
+  * exchange carries the small file's bytes exactly once, round-robin
+  * for balance (deterministic under retry via Spark's
+  * sortBeforeRepartition default). Width = the session's
+  * defaultParallelism, so the driver's lower-core scaling run widens
+  * proportionally — nothing is tuned to local[32].
+  *
+  * Results are distribution-independent: every declared query
+  * aggregates, joins, or windows on explicit keys with explicit
+  * tiebreaks (the DuckDB parity gate re-proven over all 155 queries at
+  * three scale factors after this change).
+  *
+  * The native width is probed once per (session, path) — one physical
+  * planning of the bare scan, no job — and memoized. Set
+  * SPARK_GRAFT_SCAN_WIDEN=0 to disable (A/B probes; also restores the
+  * exact pre-r14 plans).
+  */
+object ScanWiden {
+  private val nativeWidth =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
+
+  /** Tables below this on-disk size keep their native scan: they are
+    * the broadcast-sized dims (region/nation/supplier/part), where a
+    * widening exchange is pure stage overhead — the rows' downstream
+    * compute is too small to amortize even a tiny shuffle. Measured at
+    * sf0.1: widening ONLY costs (+0.05–0.1 s/query) below roughly this
+    * size and only pays above it. */
+  val MinBytes: Long = 256L << 10
+
+  def widen(s: SparkSession, path: String, df: DataFrame): DataFrame = {
+    if (sys.env.get("SPARK_GRAFT_SCAN_WIDEN").contains("0")) return df
+    val cores = s.sparkContext.defaultParallelism
+    val native = nativeWidth.getOrElseUpdate((s, path),
+      if (bytesOf(new java.io.File(path)) < MinBytes) Int.MaxValue
+      else df.rdd.getNumPartitions)
+    if (native >= cores) df else df.repartition(cores)
+  }
+
+  private def bytesOf(f: java.io.File): Long =
+    if (f.isDirectory) f.listFiles() match {
+      case null => 0L
+      case kids => kids.map(bytesOf).sum
+    } else f.length()
+}
