@@ -248,11 +248,20 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         round(dot(col("qvec"), col("embedding")) / (col("qnorm") * col("norm")), 9)
           .as("score"))
-      .dropDuplicates("query_id", "vec_id")
+    // a candidate can be found by several tables; its duplicates carry
+    // IDENTICAL (score, vec_id), and the window's ordering key is
+    // unique per DISTINCT candidate (vec_id ties are impossible within
+    // a query), so dense_rank over the duplicated rows == row_number
+    // over the deduplicated rows. Ranking first and deduplicating the
+    // <= k survivors (r14, guide §2.3) means the (query,vec) exchange
+    // carries k-bounded rows instead of the full candidate mass — the
+    // previous dropDuplicates-then-window shuffled the candidate set
+    // twice. Same rows, same ranks (SketchSpec recall pins + oracle).
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", dense_rank().over(w))
       .filter(col("rank") <= k)
+      .dropDuplicates("query_id", "vec_id")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rank").cast("long").as("rank"), col("score"))
   }
