@@ -83,7 +83,18 @@ object Dedup {
     * component) is partitioning- and execution-mode-independent, and
     * the oracle gate re-proves it per round-close.
     */
-  def dedupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  /** Below this many distinct undirected edges the label loop is pure
+    * scheduling overhead (~5 RDD jobs x ~0.2 s per round for microseconds
+    * of work — AdmProbe r14), and the component structure fits the
+    * driver many times over: <= 500k skinny Long pairs is <= ~8 MB raw —
+    * the same order the engine already ships driver-side for every
+    * broadcast join. The constant is the loop's own per-partition edge
+    * budget, so the two paths meet exactly where the distributed loop
+    * would first earn a second task. */
+  val DriverCcMaxEdges = 500000L
+
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 10,
+                    driverMaxEdges: Long = DriverCcMaxEdges): DataFrame = {
     val spark = pairs.sparkSession
     // one materialization of the (possibly expensive) candidate-pair
     // DAG; everything after runs on its skinny (Long, Long) rows
@@ -104,6 +115,38 @@ object Dedup {
       math.max(1, math.min(sessionParts, 512)).toInt)
     val dedupedPre = undirected.distinct(prePartitioner.numPartitions)
     val nEdges = dedupedPre.count()
+    // tiny edge sets: min-root union-find on the driver — bit-identical
+    // to the loop's min-id fixpoint (union hangs the larger root under
+    // the smaller, so every final root IS its component's min id), with
+    // zero per-round jobs. CcSmallPathSpec pins equality against the
+    // distributed loop; at scale nEdges exceeds the gate and nothing
+    // below changes.
+    if (nEdges <= driverMaxEdges) {
+      val parent = new scala.collection.mutable.LongMap[Long](
+        math.max(16, nEdges.toInt * 2))
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      dedupedPre.collect().foreach { case (a, b) =>
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val rows = parent.keysIterator.map { id =>
+        val r = find(id)
+        org.apache.spark.sql.Row(id, r, id == r)
+      }.toSeq
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows,
+          math.max(1, math.min(spark.sparkContext.defaultParallelism,
+            rows.size / 100000 + 1))),
+        ccSchema)
+    }
     val loopParts = math.max(1L, math.min(sessionParts, nEdges / 500000L + 1L))
     val part = new org.apache.spark.HashPartitioner(loopParts.toInt)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -167,14 +210,17 @@ object Dedup {
     val rows = labels.map { case (id, l) =>
       org.apache.spark.sql.Row(id, l, id == l)
     }
-    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType, nullable = true),
-      org.apache.spark.sql.types.StructField("cluster_id",
-        org.apache.spark.sql.types.LongType, nullable = true),
-      org.apache.spark.sql.types.StructField("keep",
-        org.apache.spark.sql.types.BooleanType, nullable = true))))
+    spark.createDataFrame(rows, ccSchema)
   }
+
+  /** (doc_id, cluster_id, keep) — shared by both dedupClusters paths. */
+  private val ccSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType, nullable = true),
+    org.apache.spark.sql.types.StructField("cluster_id",
+      org.apache.spark.sql.types.LongType, nullable = true),
+    org.apache.spark.sql.types.StructField("keep",
+      org.apache.spark.sql.types.BooleanType, nullable = true)))
 
   /** The deduplicated corpus: drop every non-representative member of a
     * near-dup cluster (documents in no cluster are kept). */
