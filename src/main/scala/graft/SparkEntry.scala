@@ -1221,7 +1221,21 @@ object SparkEntry {
     * not whichever alphabetically-first query happened to touch a shared
     * cache cold. Production equivalent: the collector materializes the
     * snapshot lake before analysts query it. */
-  def warmup(s: SparkSession, dir: String): Seq[(String, Double)] = {
+  def warmup(s: SparkSession, dir: String): Seq[(String, Double)] =
+    warmupAttributed(s, dir)._1
+
+  /** warmup + per-derivation EXECUTOR-TIME attribution (protocol 4):
+    * under the concurrent pool a derivation's wall time includes
+    * whatever its pool neighbors were running (the r14 x128 artifact
+    * recorded excisionSpans at 6.2x its x64 wall for 2x data — a
+    * scheduling accident, not growth), so the scale-growth guard needs
+    * a contention-free per-part measure. Task time (executorRunTime
+    * summed over the derivation's completed stages, attributed via the
+    * thread-local job description) measures work actually done for the
+    * derivation regardless of what ran beside it. Wall timings stay —
+    * they are the makespan attribution humans read. */
+  def warmupAttributed(s: SparkSession, dir: String)
+      : (Seq[(String, Double)], Seq[(String, Double)]) = {
     // per-derivation timing, returned to the caller AND echoed to
     // stderr: the warmup is the one aggregate cost in the bench line,
     // so its composition must stay observable (the x10 scale run showed
@@ -1251,6 +1265,30 @@ object SparkEntry {
       .getOrElse(math.max(1, math.min(8, cores / 4)))
     val timings =
       new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    // per-derivation executor-time attribution: job description ->
+    // stage ids at job start, executorRunTime at stage completion.
+    // Skipped (reused) stages never complete and are charged nowhere —
+    // correct, since no executor time was spent on them.
+    val stageOwner = scala.collection.concurrent.TrieMap.empty[Int, String]
+    val cpuMs = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val cpuListener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val desc = Option(j.properties)
+          .map(_.getProperty("spark.job.description")).orNull
+        if (desc != null && desc.startsWith("warmup: ")) {
+          val name = desc.stripPrefix("warmup: ")
+          j.stageInfos.foreach(si => stageOwner.putIfAbsent(si.stageId, name))
+        }
+      }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        stageOwner.get(sc.stageInfo.stageId).foreach { name =>
+          cpuMs.merge(name, sc.stageInfo.taskMetrics.executorRunTime,
+            (a, b) => a + b)
+        }
+    }
+    s.sparkContext.addSparkListener(cpuListener)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
@@ -1272,31 +1310,38 @@ object SparkEntry {
     // scoredPairs memo; incAdmissions/incNgramIndex read the
     // incrementalIndex state; excisionSpans packs the dupRuns frame;
     // dedupIvfCentroids reuses ivfCentroids when the adaptive k is 16.
+    // LONGEST-CHAIN-FIRST submission (r14 verdict item 8): a fixed
+    // thread pool runs root tasks in declaration order, so the chains
+    // that gate the makespan (topicsDf→groupsDf at 16.9 s on the r14
+    // quiet run; incrementalIndex→incAdmissions/incNgramIndex;
+    // scoredPairs→dedupClusters; dupRuns→excisionSpans) are declared
+    // first and the short driver-state trainers back-fill the tail —
+    // same tasks, same dependency edges, zero semantic change.
     val tTopics = task("topicsDf")(topicsDf(s, dir).count())
-    val tGroups = task("groupsDf", tTopics)(groupsDfOf(s, dir).count())
-    val tSr = task("srSubjects")(Snapshots.srSubjects(s, dir).count())
-    val tTc = task("topicConfigs")(Snapshots.topicConfigs(s, dir).count())
-    val tScored = task("scoredPairs")(scoredPairs(s, dir).count())
-    val tClusters = task("dedupClusters", tScored)(dedupClusters03(s, dir).count())
-    val tBucket = task("scoredBucketPairs")(scoredBucketPairsOf(s, dir).count())
-    val tMinhash = task("minhashCandidates")(minhashCandidates(s, dir).count())
     val tIncIdx = task("incrementalIndex") {
       val (_, ex, bi, si) = incrementalStateOf(s, dir)
       ex.count(); bi.count(); si.count()
     }
+    val tScored = task("scoredPairs")(scoredPairs(s, dir).count())
+    val tDupRuns = task("dupRuns")(dupRunsOf(s, dir).count())
+    val tBucket = task("scoredBucketPairs")(scoredBucketPairsOf(s, dir).count())
+    val tGroups = task("groupsDf", tTopics)(groupsDfOf(s, dir).count())
+    val tClusters = task("dedupClusters", tScored)(dedupClusters03(s, dir).count())
     val tIncAdm = task("incAdmissions", tIncIdx)(incAdmissionsOf(s, dir).count())
     val tIncNg = task("incNgramIndex", tIncIdx)(incNgramIdxOf(s, dir).count())
-    val tBm25 = task("bm25TopK")(bm25Of(s, dir).count())
-    val tDupRuns = task("dupRuns")(dupRunsOf(s, dir).count())
     val tExcSpans = task("excisionSpans", tDupRuns)(excisionSpansOf(s, dir).count())
+    val tBm25 = task("bm25TopK")(bm25Of(s, dir).count())
+    val tMinhash = task("minhashCandidates")(minhashCandidates(s, dir).count())
     val tBoiler = task("boilerSpans")(boilerSpansOf(s, dir).count())
+    val tOpq = task("opqCodebooks")(opqSubCodebooksOf(s, dir))
+    val tPqSub = task("pqSubCodebooks")(pqSubCodebooksOf(s, dir))
+    val tPq = task("pqCodebook")(pqCodebookOf(s, dir))
     val tPca = task("pcaDirections")(pcaDirections(s, dir))
     val tIvf = task("ivfCentroids")(ivfCentroids(s, dir))
     val tDedupIvf = task("dedupIvfCentroids", tIvf)(dedupIvfCentroids(s, dir))
     val tBpe = task("bpeMerges")(bpeMergesOf(s, dir))
-    val tPq = task("pqCodebook")(pqCodebookOf(s, dir))
-    val tPqSub = task("pqSubCodebooks")(pqSubCodebooksOf(s, dir))
-    val tOpq = task("opqCodebooks")(opqSubCodebooksOf(s, dir))
+    val tSr = task("srSubjects")(Snapshots.srSubjects(s, dir).count())
+    val tTc = task("topicConfigs")(Snapshots.topicConfigs(s, dir).count())
     val all = Seq(tTopics, tGroups, tSr, tTc, tScored, tClusters, tBucket,
       tMinhash, tIncIdx, tIncAdm, tIncNg, tBm25, tDupRuns, tExcSpans,
       tBoiler, tPca, tIvf, tDedupIvf, tBpe, tPq, tPqSub, tOpq)
@@ -1305,15 +1350,33 @@ object SparkEntry {
       pool.shutdown()
       s.sparkContext.setJobDescription(null)
     }
-    // canonical (submission) order, independent of completion order —
-    // the sidecar's warmup object stays diffable across runs
+    // stage-completion events arrive async: poll until the CPU totals
+    // stop moving (the Bench ProfListener protocol), bounded at 2 s
+    def cpuTotal: Long = {
+      var t = 0L
+      cpuMs.forEach((_, v) => t += v)
+      t
+    }
+    var lastCpu = cpuTotal
+    var waited = 0
+    var stable = false
+    while (!stable && waited < 2000) {
+      Thread.sleep(50); waited += 50
+      val now = cpuTotal
+      if (now == lastCpu) stable = true else lastCpu = now
+    }
+    s.sparkContext.removeSparkListener(cpuListener)
+    // canonical (historical) order, independent of submission or
+    // completion order — the sidecar's warmup object stays diffable
+    // across runs and rounds
     val order = Seq("topicsDf", "groupsDf", "srSubjects", "topicConfigs",
       "scoredPairs", "dedupClusters", "scoredBucketPairs",
       "minhashCandidates", "incrementalIndex", "incAdmissions",
       "incNgramIndex", "bm25TopK", "dupRuns", "excisionSpans",
       "boilerSpans", "pcaDirections", "ivfCentroids", "dedupIvfCentroids",
       "bpeMerges", "pqCodebook", "pqSubCodebooks", "opqCodebooks")
-    order.map(n => n -> timings.get(n))
+    (order.map(n => n -> timings.get(n)),
+      order.map(n => n -> cpuMs.getOrDefault(n, 0L) / 1000.0))
   }
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =

@@ -137,10 +137,16 @@ object Dedup {
         val ra = find(a); val rb = find(b)
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      val rows = parent.keysIterator.map { id =>
+      // materialize the ids BEFORE mapping with find(): find()
+      // path-compresses (writes values of) the same LongMap, and
+      // iterating a map while mutating it is an invalidation hazard
+      // even when today's value writes happen not to restructure it
+      // (r14 ADVICE)
+      val ids = parent.keysIterator.toArray
+      val rows = ids.toSeq.map { id =>
         val r = find(id)
         org.apache.spark.sql.Row(id, r, id == r)
-      }.toSeq
+      }
       return spark.createDataFrame(
         spark.sparkContext.parallelize(rows,
           math.max(1, math.min(spark.sparkContext.defaultParallelism,

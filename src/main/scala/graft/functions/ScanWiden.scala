@@ -35,8 +35,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * exact pre-r14 plans).
   */
 object ScanWiden {
+  // keyed by the session's UUID, not the session object (r14 ADVICE:
+  // a SparkSession key strongly retains stopped sessions for the JVM's
+  // life). Size probing is java.io.File and therefore LOCAL-PATH-ONLY
+  // by design: the probe exists for the driver's local fixture files;
+  // a non-local path (hdfs://, s3://) reads 0 bytes, memoizes
+  // Int.MaxValue and widening stays OFF — exactly the no-op-at-scale
+  // contract, where native scan width exceeds the core count anyway.
+  // Paths are assumed immutable for a session's life (the engine's
+  // corpus dirs are write-once, _SUCCESS-gated); a pipeline rewriting
+  // a table in-session must use a new path or a new session.
   private val nativeWidth =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
+    scala.collection.concurrent.TrieMap.empty[(String, String), Int]
 
   /** Tables below this on-disk size keep their native scan: they are
     * the broadcast-sized dims (region/nation/supplier/part), where a
@@ -49,7 +59,8 @@ object ScanWiden {
   def widen(s: SparkSession, path: String, df: DataFrame): DataFrame = {
     if (sys.env.get("SPARK_GRAFT_SCAN_WIDEN").contains("0")) return df
     val cores = s.sparkContext.defaultParallelism
-    val native = nativeWidth.getOrElseUpdate((s, path),
+    val native = nativeWidth.getOrElseUpdate(
+      (s"${s.sparkContext.applicationId}/${System.identityHashCode(s)}", path),
       if (bytesOf(new java.io.File(path)) < MinBytes) Int.MaxValue
       else df.rdd.getNumPartitions)
     if (native >= cores) df else df.repartition(cores)

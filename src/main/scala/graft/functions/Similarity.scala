@@ -198,7 +198,16 @@ object Similarity {
 
   /** Multi-probe LSH top-k for an ARBITRARY query table — the Hamming-1
     * probe expansion applied to externally supplied queries. No
-    * id-based self-exclusion (see [[knnExactFor]]). */
+    * id-based self-exclusion (see [[knnExactFor]]).
+    *
+    * CONTRACT: `queries` must carry ONE row per query_id. The shared
+    * re-rank dedups candidates via the dense_rank == row_number-on-
+    * distinct identity, which relies on duplicate (query_id, vec_id)
+    * rows carrying identical scores; a caller passing the same
+    * query_id twice with DIFFERENT embeddings would burn rank slots on
+    * the duplicate's scores and shift ranks (r14 ADVICE). Every
+    * declared query satisfies this (ids are keys); dedup externally
+    * supplied frames on query_id first. */
   def knnLshMultiProbeFor(emb: DataFrame, queries: DataFrame,
                           dim: Int = 64, k: Int = 10): DataFrame = {
     val b = bucketed(emb, dim)
@@ -484,19 +493,34 @@ object Similarity {
     // nQueries threads into EVERY arm (r9 ADVICE: the per-method calls
     // hardcoded the 10-query default, so a non-default nQueries shaped
     // the retained sample but not the query set)
+    // ONE driver collect of the benchmark query slice, shared by the
+    // three ADC arms (r15 — each arm ran its own identical collect
+    // job while assembling the plan: 3 scan jobs for 10 rows). The OPQ
+    // arm's queries are permuted DRIVER-SIDE with the same
+    // perm(newPos) = oldPos convention as Pq.permute's element_at
+    // projection — a pure reorder of the identical doubles, so the
+    // arm's LUTs are bit-identical to collecting from the permuted
+    // frame (PqSpec's OPQ reproduction pins the arm end to end).
+    val preQ = Pq.collectQueries(emb, nQueries)
+    val preQOpq =
+      if (measureOpq) Some(preQ.map { case (id, v) =>
+        (id, opqPerm.map(v).toArray) })
+      else None
     val ex = knnExact(emb, nQueries = nQueries, k = k)
       .select(col("query_id"), col("neighbor_id"))
     val ann = knnLsh(emb, nQueries = nQueries, k = k)
         .select(col("query_id"), col("neighbor_id"), lit("lsh").as("m"))
       .unionByName(knnLshMultiProbe(emb, nQueries = nQueries, k = k)
         .select(col("query_id"), col("neighbor_id"), lit("mp").as("m")))
-      .unionByName(Pq.knnPqWith(emb, pqCodebook, k = k, nQueries = nQueries)
+      .unionByName(Pq.knnPqWith(emb, pqCodebook, k = k, nQueries = nQueries,
+          preQueries = Some(preQ))
         .select(col("query_id"), col("neighbor_id"), lit("pq").as("m")))
-      .unionByName(Pq.knnPqSubWith(emb, pqSubCodebooks, k = k, nQueries = nQueries)
+      .unionByName(Pq.knnPqSubWith(emb, pqSubCodebooks, k = k,
+          nQueries = nQueries, preQueries = Some(preQ))
         .select(col("query_id"), col("neighbor_id"), lit("pqs").as("m")))
       .unionByName(Pq.knnPqSubWith(
           if (measureOpq) Pq.permute(emb, opqPerm) else emb.limit(0),
-          opqSubCodebooks, k = k, nQueries = nQueries)
+          opqSubCodebooks, k = k, nQueries = nQueries, preQueries = preQOpq)
         .select(col("query_id"), col("neighbor_id"), lit("opq").as("m")))
     ex.join(ann, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))

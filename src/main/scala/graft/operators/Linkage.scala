@@ -108,8 +108,17 @@ object Linkage {
         col("nation").as("nation1")), Seq("id1"))
       .join(ent.select(col("id").as("id2"), col("name").as("name2"),
         col("nation").as("nation2")), Seq("id2"))
-      .withColumn("dist", levenshtein(col("name1"), col("name2")))
-      .filter(col("dist") <= 1)
+      // thresholded levenshtein (Spark 3.5+): computes only the
+      // |i-j| <= 1 diagonal band and exits early, returning -1 past the
+      // threshold — for an L-char name that is ~3L cells instead of
+      // L^2 per candidate (guide §1.2 step 2: per-task work, the
+      // verification is the candidate-mass CPU). For kept pairs the
+      // banded distance equals the unbanded one (<= 1 by the filter),
+      // so rows and values are identical; -1 rows are exactly the
+      // dist > 1 rows the old filter dropped. LinkageSamplingSpec pins
+      // pair-set + dist equality against the unthresholded form.
+      .withColumn("dist", levenshtein(col("name1"), col("name2"), 1))
+      .filter(col("dist") >= 0)
       .select(col("id1"), col("id2"), col("name1"), col("name2"),
         col("dist").cast("long").as("dist"),
         (col("nation1") === col("nation2")).as("same_nation"))

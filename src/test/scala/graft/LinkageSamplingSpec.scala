@@ -91,6 +91,31 @@ class LinkageSamplingSpec extends AnyFunSuite {
     assert(rows.head.getBoolean(5) == false || rows.head.getBoolean(5) == true)
   }
 
+  test("banded (threshold=1) verify kernel == unthresholded levenshtein semantics") {
+    // the r15 verify rewrite: levenshtein(a, b, 1) computes only the
+    // |i-j|<=1 band and returns -1 past it — kept rows and dist values
+    // must match the unthresholded filter exactly, including candidates
+    // whose names differ in length by 2 (band exits immediately) and
+    // multi-edit collisions that survive variant blocking
+    val pairs = Seq(
+      ("Ent#123", "Ent#123"),   // dist 0
+      ("Ent#123", "Ent#124"),   // dist 1 substitution
+      ("Ent#123", "Ent#1234"),  // dist 1 insertion
+      ("Ent#123", "Ent#12345"), // dist 2 by length — banded early exit
+      ("Ent#123", "Ent#456"),   // dist 3 same length
+      ("", "X"), ("", "")).toDF("a", "b")
+    val both = pairs.select(col("a"), col("b"),
+      levenshtein(col("a"), col("b")).as("full"),
+      levenshtein(col("a"), col("b"), 1).as("banded")).collect()
+    both.foreach { r =>
+      val (full, banded) = (r.getInt(2), r.getInt(3))
+      assert((full <= 1) == (banded >= 0),
+        s"banded keep-set diverges on (${r.getString(0)}, ${r.getString(1)})")
+      if (full <= 1) assert(banded == full,
+        s"banded dist diverges on (${r.getString(0)}, ${r.getString(1)})")
+    }
+  }
+
   test("stratifiedSample: deterministic, stratum-local, near target rate") {
     val a = Sampling.stratifiedSample(docs).collect()
     val b = Sampling.stratifiedSample(docs).collect()

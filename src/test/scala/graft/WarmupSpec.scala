@@ -27,12 +27,24 @@ class WarmupSpec extends AnyFunSuite {
       ns
     }
     val dir = TestSpark.Sf0001
-    val timings = SparkEntry.warmup(s, dir)
+    val (timings, cpu) = SparkEntry.warmupAttributed(s, dir)
     assert(timings.map(_._1) == Names,
       "warmup must report the canonical derivation order")
     timings.foreach { case (n, sec) =>
       assert(sec > 0.0, s"warmup part $n reported non-positive time $sec")
     }
+    // the protocol-4 CPU attribution: canonical order, non-negative
+    // (a derivation that only reuses another memo legitimately reports
+    // 0 executor time), and the run as a whole attributed SOME executor
+    // time — the contention-free map BenchLadderSpec's per-part growth
+    // bound reads from protocol 4 on
+    assert(cpu.map(_._1) == Names,
+      "warmup CPU attribution must report the canonical derivation order")
+    cpu.foreach { case (n, sec) =>
+      assert(sec >= 0.0, s"warmup part $n reported negative CPU time $sec")
+    }
+    assert(cpu.map(_._2).sum > 0.0,
+      "warmup attributed zero executor time across every derivation")
     // the memo families are populated (same probe as CacheLifecycleSpec)
     assert(SparkEntry.cachedFrames(s, dir).nonEmpty)
     // a query over the warmed memos still answers (no half-built state
