@@ -123,6 +123,30 @@ class PqSpec extends AnyFunSuite {
     assertSubAdcReproducible(shortCbs)
   }
 
+  test("annRecall lsh/mp hit counts == standalone knnLsh/knnLshMultiProbe (r15 shared-index arms)") {
+    // the r15 restructure builds ONE bucketed index + candidate join
+    // and ranks the single-probe arm off the multi-probe stream's
+    // flip = 0 slice — this pins the report's lsh/mp hit counts
+    // against the standalone operators it must agree with
+    val rows = Similarity.annRecall(emb, cb, Seq.empty).collect()
+      .map(r => r.getLong(r.fieldIndex("query_id")) ->
+        (r.getLong(r.fieldIndex("lsh_hits")),
+          r.getLong(r.fieldIndex("multiprobe_hits")))).toMap
+    val ex = Similarity.knnExact(emb).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .filter(ex).groupBy(_._1).map { case (q, h) => q -> h.length.toLong }
+    val lsh = hits(Similarity.knnLsh(emb))
+    val mp = hits(Similarity.knnLshMultiProbe(emb))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, (lh, mh)) =>
+      assert(lh == lsh.getOrElse(q, 0L), s"lsh_hits diverge for query $q")
+      assert(mh == mp.getOrElse(q, 0L), s"multiprobe_hits diverge for query $q")
+    }
+  }
+
   test("annRecall: explicit empty sub-codebooks -> NULL pq_sub columns, not 0.0") {
     val rows = Similarity.annRecall(emb, cb, Seq.empty).collect()
     assert(rows.nonEmpty)
