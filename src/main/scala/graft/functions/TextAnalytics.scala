@@ -288,8 +288,8 @@ object TextAnalytics {
     * (qualityBySource). Thresholds are one tiny aggregate broadcast back
     * over the scored stream. */
   def qualitySourceFilter(docs: DataFrame, q: Double = 0.25): DataFrame = {
-    val scored = qualityScores(docs.select(col("doc_id"), col("text")))
-      .join(docs.select(col("doc_id"), col("source"), col("n_chars")), "doc_id")
+    // carry-through instead of the doc_id rejoin (see qualityScoredWith)
+    val scored = qualityScoredWith(docs, Seq("source", "n_chars"))
     val thresholds = scored.groupBy(col("source"))
       .agg(AtScale.quantile(scored, col("quality_score"), q).as("threshold"))
     scored.join(broadcast(thresholds), "source")
@@ -406,18 +406,31 @@ object TextAnalytics {
     * score = 0.4*(1 - stopword_ratio) + 0.3*min(1, n_tokens/100)
     *       + 0.3*(unique/n_tokens) — plain double arithmetic, identical
     * on both engines. */
-  def qualityScores(docs: DataFrame): DataFrame = {
+  def qualityScores(docs: DataFrame): DataFrame =
+    qualityScoredWith(docs, Nil)
+
+  /** qualityScores plus PASS-THROUGH columns from the same row (r15;
+    * guide §2.4): the quality battery is row-local, so a consumer that
+    * needs (source, n_chars, …) next to the score reads them off the
+    * original row in the SAME projection — the former
+    * `qualityScores(docs) ⋈ docs on doc_id` pattern exchanged
+    * corpus-mass rows TWICE (both join sides keyed by doc_id) to
+    * reunite columns born together. The 1:1 inner join was the
+    * identity (both sides derive exactly one row per doc_id), so
+    * per-doc tuples — and every consumer's results — are unchanged. */
+  private[graft] def qualityScoredWith(docs: DataFrame,
+                                       carry: Seq[String]): DataFrame = {
     val toks = tokens(col("text"))
     docs
       .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("n_stop",
         size(filter(toks, t => Stopwords.map(s => t === s).reduce(_ || _))).cast("long"))
       .withColumn("n_unique", size(array_distinct(toks)).cast("long"))
-      .select(
+      .select(Seq(
         col("doc_id"), col("n_tokens"), col("n_stop"), col("n_unique"),
         (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"),
         qualityExpr(col("n_tokens"), col("n_stop"), col("n_unique"))
-          .as("quality_score"))
+          .as("quality_score")) ++ carry.map(col): _*)
   }
 
   /** One-row corpus data card — the summary a pipeline publishes next to
@@ -479,8 +492,8 @@ object TextAnalytics {
     * oracle-gated default) is unchanged. */
   def qualityDeciles(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = qualityScores(docs)
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    // carry-through instead of the doc_id rejoin (see qualityScoredWith)
+    val scored = qualityScoredWith(docs, Seq("source"))
     if (graft.functions.AtScale.approxEnabled(docs)) {
       val cuts = scored.groupBy(col("source"))
         .agg(graft.functions.AtScale.quantiles(docs, col("quality_score"),
@@ -520,8 +533,8 @@ object TextAnalytics {
     * is enough to act on. */
   def histogramQuantile(docs: DataFrame, buckets: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = qualityScores(docs)
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    // carry-through instead of the doc_id rejoin (see qualityScoredWith)
+    val scored = qualityScoredWith(docs, Seq("source"))
       .select(col("source"), col("quality_score"))
     val hist = scored
       .withColumn("b", least(lit(buckets - 1L),
@@ -1892,8 +1905,8 @@ object TextAnalytics {
     * partition order) — the view that decides which feeds to keep,
     * re-weight, or drop. */
   def qualityBySource(docs: DataFrame): DataFrame =
-    qualityScores(docs.select(col("doc_id"), col("text"), col("source")))
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    // carry-through instead of the doc_id rejoin (see qualityScoredWith)
+    qualityScoredWith(docs, Seq("source"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("docs"),
         AtScale.quantile(docs, col("quality_score"), 0.5).as("median_quality"),

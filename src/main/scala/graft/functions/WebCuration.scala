@@ -97,10 +97,33 @@ object WebCuration {
     * on both sides, so it is pinned SHUFFLE_HASH (never a broadcast
     * candidate, never a sort). */
   def domainRollup(docs: DataFrame): DataFrame = {
-    val verdicts = urlDedup(docs)
-    val q = TextAnalytics.qualityScores(docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
-    verdicts.join(q.hint("shuffle_hash"), Seq("doc_id"))
+    import org.apache.spark.sql.expressions.Window
+    // ONE corpus pass (r15; guide §2.4): the quality columns are
+    // row-local on the very row the URL verdict reads, so the former
+    // urlDedup ⋈ qualityScores shuffle-hash join — which exchanged
+    // corpus-mass TWICE keyed by doc_id only to reunite columns born
+    // on the same row — is gone. Both former sides derived exactly one
+    // row per doc_id, so the 1:1 inner join was the identity: the
+    // per-doc tuples entering the rollup (and its results) are
+    // unchanged, and the oracle re-proves it. The one exchange left is
+    // the url_norm window, carrying (doc_id, url_norm, n_tokens,
+    // quality_score) — the `keep` verdict needs it; `url_docs` was
+    // never read by the rollup and its window count is dropped.
+    val toks = TextAnalytics.tokens(col("text"))
+    val w = Window.partitionBy(col("url_norm"))
+    val enriched = docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_stop", size(filter(toks,
+        t => TextAnalytics.Stopwords.map(s => t === s).reduce(_ || _)))
+        .cast("long"))
+      .withColumn("n_unique", size(array_distinct(toks)).cast("long"))
+      .withColumn("quality_score",
+        TextAnalytics.qualityExpr(col("n_tokens"), col("n_stop"), col("n_unique")))
+      .withColumn("url_norm", normalizeUrl(col("url")))
+      .select(col("doc_id"), col("url_norm"), col("n_tokens"),
+        col("quality_score"))
+    enriched
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
       .withColumn("domain", domainOf(col("url_norm")))
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("docs"),

@@ -79,7 +79,7 @@ class WebCurationSpec extends AnyFunSuite {
     }
   }
 
-  test("plan shapes: one window exchange, shuffle-hash join, no broadcast of the corpus") {
+  test("plan shapes: one window exchange, JOIN-FREE rollup, no broadcast of the corpus") {
     val dedupPlan = WebCuration.urlDedup(WebCuration.withSyntheticUrls(docs))
       .queryExecution.executedPlan.toString
     // both verdict columns come from one window over url_norm
@@ -87,8 +87,16 @@ class WebCurationSpec extends AnyFunSuite {
     assert(!dedupPlan.contains("CartesianProduct"))
     val rollPlan = WebCuration.domainRollup(WebCuration.withSyntheticUrls(docs))
       .queryExecution.executedPlan.toString
-    assert(rollPlan.contains("ShuffledHashJoin"),
-      "the corpus-proportional doc_id join must stay shuffle-hash")
+    // r15: the quality columns are computed on the same row the URL
+    // verdict reads, so the former qualityScores ⋈ urlDedup
+    // shuffle-hash join (two corpus-mass doc_id exchanges) is GONE —
+    // the rollup is one corpus scan, one url_norm window exchange, one
+    // domain aggregation ("domain rollup is consistent" above pins the
+    // values; the oracle gate pins them cross-engine)
+    assert(!rollPlan.contains("Join"),
+      "the rollup must stay join-free (row-local carry-through)")
+    assert("Window".r.findAllIn(rollPlan).size == 1)
+    assert(!rollPlan.contains("BroadcastExchange"))
     assert(!rollPlan.contains("CartesianProduct"))
   }
 
