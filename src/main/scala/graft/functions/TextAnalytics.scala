@@ -1169,7 +1169,19 @@ object TextAnalytics {
           slice(toks, lit(2), size(toks) - 1),
           (a, b) => struct(a.as("prev"), b.as("cur")))).as("p"))
       .select(col("doc_id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
+    // ONE bigram-count pass (r15, verdict item 7): the three margins
+    // (cctx, cug, tot) and the scored join all consume cbg, and the
+    // hoped-for AQE stage reuse DOES NOT FIRE — the executed x64 final
+    // plan (tools.ReuseProbe) showed four separate ShuffleQueryStages
+    // each re-running the corpus bigram explode + (prev,cur)
+    // aggregation. The lazy localCheckpoint makes cbg one RDD shared by
+    // every consumer (the perplexityBuckets/admissions precedent):
+    // 4 corpus explode passes collapse to 1. cbg is bigram-VOCABULARY
+    // mass (distinct (prev,cur) pairs), disk-backed storage, orders of
+    // magnitude below corpus mass — the r12 rule forbids corpus-text
+    // caching, not this. Values unchanged (lineage cut only).
     val cbg = pairs.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cbg"))
+      .localCheckpoint(false)
     val cctx = cbg.groupBy(col("prev")).agg(sum(col("cbg")).as("cctx"))
     val cug = cbg.groupBy(col("cur")).agg(sum(col("cbg")).as("cug"))
     val tot = cug.agg(sum(col("cug")).as("n_total"), count(lit(1)).as("vocab"))
