@@ -543,7 +543,14 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("flip"),
         round(dot(col("qvec"), col("embedding")) / (col("qnorm") * col("norm")), 9)
           .as("score"))
-      .localCheckpoint()
+      // DISK_ONLY (r15, same lesson as bigramRarity's cbg): candidate
+      // mass is nQueries-bounded but scales with bucket POPULATION,
+      // which the parity-geometry ladder does not cap — heap-resident
+      // candidate blocks at x128 would stack onto an already-pressured
+      // 8 GiB bench JVM. Disk costs one write + two reads of a skinny
+      // frame.
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     def rankArm(df: DataFrame, tag: String): DataFrame = {
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("vec_id"))

@@ -1176,12 +1176,18 @@ object TextAnalytics {
     // each re-running the corpus bigram explode + (prev,cur)
     // aggregation. The lazy localCheckpoint makes cbg one RDD shared by
     // every consumer (the perplexityBuckets/admissions precedent):
-    // 4 corpus explode passes collapse to 1. cbg is bigram-VOCABULARY
-    // mass (distinct (prev,cur) pairs), disk-backed storage, orders of
-    // magnitude below corpus mass — the r12 rule forbids corpus-text
-    // caching, not this. Values unchanged (lineage cut only).
+    // 4 corpus explode passes collapse to 1. Storage is DISK_ONLY (the
+    // incNgramIndex lake-table precedent), NOT the default
+    // MEMORY_AND_DISK: cbg is bigram-VOCABULARY mass, and the ladder's
+    // permuted-alphabet replicas multiply the vocabulary by the replica
+    // count — the first x128 refresh with heap-resident blocks pushed
+    // the 8 GiB bench JVM into GCLocker OOM (run log
+    // /tmp/bench_x128.log, r15) under queries that merely followed.
+    // Disk blocks cost one write + four reads, still far below four
+    // corpus explodes. Values unchanged (lineage cut only).
     val cbg = pairs.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cbg"))
-      .localCheckpoint(false)
+      .localCheckpoint(false,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val cctx = cbg.groupBy(col("prev")).agg(sum(col("cbg")).as("cctx"))
     val cug = cbg.groupBy(col("cur")).agg(sum(col("cbg")).as("cug"))
     val tot = cug.agg(sum(col("cug")).as("n_total"), count(lit(1)).as("vocab"))
